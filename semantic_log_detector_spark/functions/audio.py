@@ -1,0 +1,197 @@
+"""Audio payload handling: WAV PCM codec + spectral features, pure numpy.
+
+The reference embeds *text* with Sentence-BERT (`src/detection/pipeline.py:65-68`,
+contract in SURVEY.md §0.1/X1); this graft's payload is audio, so the
+"embedding" seam becomes PCM decode → log-mel / MFCC features. Everything
+here is batch-vectorized numpy intended to run inside Arrow-batched pandas
+UDFs (see checks/drift.py) — never per-row Python on the Spark hot path.
+
+Codec support: ``pcm_s16le`` (RIFF/WAV, int16) is implemented for real.
+``flac`` / ``opus`` / ``mp3`` decode requires external codecs that are not in
+this container: those payloads are produced by the deterministic synthetic
+source as WAV-framed PCM as well, and `decode_clip` dispatches them to a
+clearly-marked deterministic-fake path (same WAV parse). A production build
+would swap `_decode_fake` for a real codec call with the same signature.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------- WAV IO
+
+_RIFF_HDR = struct.Struct("<4sI4s")  # 'RIFF', size, 'WAVE'
+_FMT_CHUNK = struct.Struct("<4sIHHIIHH")  # 'fmt ', 16, tag, ch, sr, brate, align, bits
+_DATA_HDR = struct.Struct("<4sI")
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """float32 [-1,1] mono → 16-bit PCM RIFF/WAV bytes."""
+    ints = np.clip(np.asarray(pcm, dtype=np.float64) * 32767.0, -32768, 32767)
+    data = ints.astype("<i2").tobytes()
+    n = len(data)
+    hdr = _RIFF_HDR.pack(b"RIFF", 36 + n, b"WAVE")
+    fmt = _FMT_CHUNK.pack(b"fmt ", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    return hdr + fmt + _DATA_HDR.pack(b"data", n) + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV 16-bit mono → (float32 pcm in [-1,1], sr_hz).
+
+    Raises ValueError on malformed/truncated payloads — the decode check
+    turns that into a violation row rather than failing the job.
+    """
+    if buf is None or len(buf) < 44:
+        raise ValueError("payload too short for WAV header")
+    riff, _, wave = _RIFF_HDR.unpack_from(buf, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    # walk chunks
+    off, sr_hz, bits, channels, data = 12, None, None, None, None
+    while off + 8 <= len(buf):
+        cid, csize = _DATA_HDR.unpack_from(buf, off)
+        body = off + 8
+        if cid == b"fmt " and body + 16 <= len(buf):
+            (_tag, channels, sr_hz, _br, _ba, bits) = struct.unpack_from(
+                "<HHIIHH", buf, body
+            )
+        elif cid == b"data":
+            if body + csize > len(buf):
+                raise ValueError(
+                    f"truncated data chunk: declares {csize} bytes, "
+                    f"{len(buf) - body} available"
+                )
+            data = buf[body : body + csize]
+        off = body + csize + (csize & 1)
+    if sr_hz is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV layout bits={bits} channels={channels}")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    return pcm, int(sr_hz)
+
+
+def _decode_fake(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    """DETERMINISTIC FAKE decode for codecs without an in-container decoder.
+
+    The synthetic source frames every payload as WAV regardless of the codec
+    label, so the fake path is simply the WAV parse. Swap for a real
+    flac/opus/mp3 decoder in production; signature stays identical.
+    """
+    return decode_wav(buf)
+
+
+KNOWN_CODECS = ("pcm_s16le", "flac", "opus", "mp3")
+
+
+def decode_clip(buf: bytes, codec: str | None) -> tuple[np.ndarray, int]:
+    """Dispatch decode by codec label. ValueError on unknown codec/bad payload."""
+    if codec == "pcm_s16le" or codec is None:
+        return decode_wav(buf)
+    if codec in KNOWN_CODECS:
+        return _decode_fake(buf, codec)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+# ------------------------------------------------------- spectral feature path
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr_hz: int, n_fft: int, n_mels: int = 20) -> np.ndarray:
+    """Triangular mel filterbank (n_mels × n_fft//2+1), slaney-style, numpy only."""
+    n_bins = n_fft // 2 + 1
+    fmax = sr_hz / 2.0
+    mels = np.linspace(_hz_to_mel(0.0), _hz_to_mel(fmax), n_mels + 2)
+    hz = _mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * hz / sr_hz).astype(int)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(1, n_mels + 1):
+        lo, mid, hi = bins[m - 1], bins[m], bins[m + 1]
+        if mid == lo:
+            mid += 1
+        if hi == mid:
+            hi += 1
+        fb[m - 1, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+        fb[m - 1, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
+    return fb
+
+
+def log_mel_frames(
+    pcm: np.ndarray,
+    sr_hz: int,
+    n_mels: int = 20,
+    frame_ms: float = 25.0,
+    hop_ms: float = 10.0,
+) -> np.ndarray:
+    """frames × n_mels log-mel energies. Pure numpy (no scipy in container)."""
+    frame = max(int(sr_hz * frame_ms / 1000.0), 2)
+    hop = max(int(sr_hz * hop_ms / 1000.0), 1)
+    if len(pcm) < frame:
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    n_frames = 1 + (len(pcm) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx] * np.hanning(frame)[None, :]
+    n_fft = 1 << (frame - 1).bit_length()
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+    fb = mel_filterbank(sr_hz, n_fft, n_mels)
+    mel = spec @ fb.T
+    return np.log(mel + 1e-10)
+
+
+_DCT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    key = (n_in, n_out)
+    if key not in _DCT_CACHE:
+        k = np.arange(n_out)[:, None]
+        n = np.arange(n_in)[None, :]
+        m = np.sqrt(2.0 / n_in) * np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in))
+        m[0] /= np.sqrt(2.0)
+        _DCT_CACHE[key] = m
+    return _DCT_CACHE[key]
+
+
+def mfcc(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13, n_mels: int = 20) -> np.ndarray:
+    """frames × n_mfcc MFCCs (DCT-II of log-mel)."""
+    lm = log_mel_frames(pcm, sr_hz, n_mels=n_mels)
+    return lm @ _dct_matrix(n_mels, n_mfcc).T
+
+
+def clip_features(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13) -> np.ndarray:
+    """Per-clip feature vector: mean MFCC over frames + rms + spectral centroid.
+
+    Replaces the reference's 384-d sentence embedding (pipeline.py:65-68) as
+    the drift-scored representation. Length = n_mfcc + 2.
+    """
+    m = mfcc(pcm, sr_hz, n_mfcc=n_mfcc).mean(axis=0)
+    rms = float(np.sqrt(np.mean(pcm**2) + 1e-12))
+    spec = np.abs(np.fft.rfft(pcm[: min(len(pcm), 1 << 15)])) ** 2 + 1e-12
+    freqs = np.fft.rfftfreq(min(len(pcm), 1 << 15), d=1.0 / sr_hz)
+    centroid = float((spec * freqs).sum() / spec.sum())
+    return np.concatenate([m, [rms, centroid]]).astype(np.float64)
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of `test` against reference PCM, in dB.
+
+    Per-row invariant vs the reference decode path (input_hint): decoded PCM
+    must match at SNR ≥ 30 dB.
+    """
+    n = min(len(ref), len(test))
+    if n == 0:
+        return float("-inf")
+    ref, test = ref[:n].astype(np.float64), test[:n].astype(np.float64)
+    noise = np.mean((ref - test) ** 2)
+    if noise == 0:
+        return float("inf")
+    return float(10.0 * np.log10(np.mean(ref**2) / noise))

@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where engine-relevant Spark conf is set so tests, bench, and
+spark-submit entrypoints agree. On a real cluster the same conf applies —
+only master/memory change (supplied by spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "semantic-log-detector-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults.
+
+    - AQE on (runtime coalescing + skew-join splitting).
+    - Arrow on (vectorized pandas UDF transfer; audio decode path).
+    - shuffle partitions sized to parallelism (local) — on a real cluster
+      AQE coalesces, so a generous initial number is safe.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the `spark-submit --py-files` story).
+
+    Local mode inherits the driver cwd so imports may happen to work; on a
+    real cluster (or a driver launched from another cwd) workers need the
+    package on their python path. Zipping + addPyFile is idempotent-enough:
+    Spark ignores re-adds of the same filename within a session.
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "semantic_log_detector_spark.zip"
+    sources = sorted(pkg_dir.rglob("*.py"))
+    newest = max((p.stat().st_mtime for p in sources), default=0.0)
+    if not zip_path.exists() or zip_path.stat().st_mtime < newest:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        pass  # e.g. Spark Connect without SparkContext — rely on PYTHONPATH

@@ -1,0 +1,257 @@
+"""Deterministic synthetic clips + transcripts source.
+
+Mirrors the reference's seeded fixture generator (`data/log_generator.py:16-83`
+— seeded normal/anomaly split) for the graft's audio input contract
+(FIXTURES.md §1): every defect is planted at a known seeded rate so every
+check has a known-answer fixture. Fully Spark-native: rows derive *only*
+from their global index ``i`` (splitmix64 hash streams), so output is
+identical at any parallelism — required for cross-parallelism verdict
+stability (SURVEY.md §7.3).
+
+Generation is two-phase so the metadata table is cheap (no PCM synth) and
+the drift planting can key off the engine's own partition id:
+
+1. ``clips_meta`` — mapInPandas over ``spark.range``: all non-binary columns.
+2. ``part_id = pmod(xxhash64(clip_id), P)`` added in Spark (JVM-side).
+3. ``with_audio`` — second mapInPandas synthesizes WAV bytes; designated
+   drift partitions get a shifted sine-frequency distribution so PSI/KS
+   must flag exactly those partitions (FIXTURES.md §1c).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.audio import encode_wav
+
+# ------------------------------------------------- deterministic hash streams
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — the per-row PRNG."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _stream(i: np.ndarray, tag: int, seed: int) -> np.ndarray:
+    """uint64 hash stream for row indices `i`, independent per (tag, seed)."""
+    base = (i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    mix = (tag * 0xA24BAED4963EE407 + seed) & 0xFFFFFFFFFFFFFFFF
+    return _splitmix64(base ^ np.uint64(mix))
+
+
+def _u01(i: np.ndarray, tag: int, seed: int) -> np.ndarray:
+    """Uniform [0,1) doubles from the hash stream."""
+    return (_stream(i, tag, seed) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+_VOCAB = np.array(
+    "the quick spark clip audio sound wave noise signal speech word test "
+    "hello data table row batch stream codec sample rate frame mel filter "
+    "check valid drift stat count group join key value".split()
+)
+
+_SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000], dtype=np.int64)
+_SR_WEIGHTS = np.array([0.10, 0.55, 0.10, 0.15, 0.10])
+_CODECS = np.array(["pcm_s16le", "flac", "opus", "mp3"])
+_CODEC_WEIGHTS = np.array([0.80, 0.12, 0.05, 0.03])  # intentionally skewed
+
+
+def _weighted_pick(u: np.ndarray, choices: np.ndarray, weights: np.ndarray):
+    return choices[np.searchsorted(np.cumsum(weights / weights.sum()), u, side="right").clip(0, len(choices) - 1)]
+
+
+def _transcript_words(i: np.ndarray, n_words: np.ndarray, seed: int) -> list[str]:
+    out = []
+    for idx, n in zip(i, n_words):
+        ws = _stream(np.arange(int(n), dtype=np.uint64) + np.uint64(int(idx) << 20), 7, seed)
+        out.append(" ".join(_VOCAB[(ws % np.uint64(len(_VOCAB))).astype(int)]))
+    return out
+
+
+# --------------------------------------------------------------- phase 1: meta
+
+DEFECT_RATES = {
+    "dup_clip_id": 0.001,
+    "sr_null": 0.002,
+    "sr_out_of_range": 0.001,
+    "dur_null": 0.002,
+    "dur_negative": 0.0005,
+    "codec_unknown": 0.001,
+    "transcript_null": 0.003,
+    "bytes_truncated": 0.0005,
+}
+
+
+def clips_meta(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    dur_min_ms: int = 200,
+    dur_max_ms: int = 2000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Metadata-only clips table (bytes column absent) — cheap at any scale."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            # clip_id with planted duplicates: dup rows copy neighbor's id
+            dup = (_u01(i, 1, seed) < DEFECT_RATES["dup_clip_id"]) & (i > 0)
+            src = np.where(dup, i - 1, i)
+            clip_id = np.char.add("clip_", np.char.zfill(src.astype(str), 12))
+
+            sr = _weighted_pick(_u01(i, 2, seed), _SR_CHOICES, _SR_WEIGHTS).astype("float64")
+            oor = _u01(i, 3, seed) < DEFECT_RATES["sr_out_of_range"]
+            sr[oor] = np.where(_u01(i, 4, seed)[oor] < 0.5, 0, 96001)
+            sr[_u01(i, 5, seed) < DEFECT_RATES["sr_null"]] = np.nan
+
+            # log-uniform duration
+            lo, hi = np.log(dur_min_ms), np.log(dur_max_ms)
+            dur = np.exp(lo + (hi - lo) * _u01(i, 6, seed))
+            dur = dur.round()
+            dur[_u01(i, 8, seed) < DEFECT_RATES["dur_negative"]] *= -1
+            dur[_u01(i, 9, seed) < DEFECT_RATES["dur_null"]] = np.nan
+
+            codec = _weighted_pick(_u01(i, 10, seed), _CODECS, _CODEC_WEIGHTS).astype(object)
+            codec[_u01(i, 11, seed) < DEFECT_RATES["codec_unknown"]] = "vorbis??"
+
+            n_words = np.maximum((np.nan_to_num(dur, nan=500.0) / 300.0), 1).astype(int)
+            transcript = np.array(_transcript_words(i, n_words, seed), dtype=object)
+            tnull = _u01(i, 12, seed) < DEFECT_RATES["transcript_null"]
+            transcript[tnull] = None
+
+            yield pd.DataFrame(
+                {
+                    "idx": i,
+                    "clip_id": clip_id,
+                    "sr_hz": pd.array(np.where(np.isnan(sr), None, sr), dtype="Int32"),
+                    "dur_ms": pd.array(np.where(np.isnan(dur), None, dur), dtype="Int32"),
+                    "codec": codec,
+                    "transcript": transcript,
+                }
+            )
+
+    rng = spark.range(0, n, numPartitions=num_partitions)
+    out_schema = (
+        "idx long, clip_id string, sr_hz int, dur_ms int, codec string, transcript string"
+    )
+    return rng.mapInPandas(gen, schema=out_schema)
+
+
+def with_part_id(df: DataFrame, num_parts: int = 64) -> DataFrame:
+    """Engine partition key: data-derived (NOT spark_partition_id) so verdicts
+    are stable across parallelism levels (SURVEY.md §7.3)."""
+    return df.withColumn("part_id", F.pmod(F.xxhash64("clip_id"), F.lit(num_parts)).cast("int"))
+
+
+# -------------------------------------------------------------- phase 2: audio
+
+
+def with_audio(
+    meta: DataFrame,
+    seed: int = 42,
+    drift_parts: tuple[int, ...] = (7, 21),
+    max_samples: int = 1 << 16,
+) -> DataFrame:
+    """Add WAV `bytes` derived from (idx, part_id). Drifted partitions use a
+    shifted sine-frequency band (1500–3000 Hz vs 100–1000 Hz), so spectral
+    feature histograms diverge and the drift check must flag exactly them."""
+    cols = meta.columns
+    if "part_id" not in cols:
+        raise ValueError("call with_part_id() before with_audio()")
+    drift = set(int(p) for p in drift_parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes: list[bytes | None] = []
+            i_arr = pdf["idx"].to_numpy()
+            u_freq = _u01(i_arr, 20, seed)
+            u_amp = 0.3 + 0.4 * _u01(i_arr, 21, seed)
+            u_trunc = _u01(i_arr, 22, seed) < DEFECT_RATES["bytes_truncated"]
+            for row_n, (idx, sr, dur, part) in enumerate(
+                zip(i_arr, pdf["sr_hz"], pdf["dur_ms"], pdf["part_id"])
+            ):
+                sr_i = int(sr) if pd.notna(sr) and int(sr) > 0 else 16000
+                dur_i = int(dur) if pd.notna(dur) and int(dur) > 0 else 500
+                ns = min(int(sr_i * dur_i / 1000.0), max_samples)
+                if int(part) in drift:
+                    freq = 1500.0 + 1500.0 * u_freq[row_n]
+                else:
+                    freq = 100.0 + 900.0 * u_freq[row_n]
+                t = np.arange(max(ns, 16), dtype=np.float64) / sr_i
+                rng = np.random.Generator(np.random.Philox(key=int(idx) + seed))
+                pcm = u_amp[row_n] * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+                buf = encode_wav(pcm.astype(np.float32), sr_i)
+                if u_trunc[row_n]:
+                    buf = buf[: max(len(buf) // 2, 20)]
+                out_bytes.append(buf)
+            pdf = pdf.copy()
+            pdf["bytes"] = pd.Series(out_bytes, index=pdf.index, dtype=object)
+            yield pdf
+
+    out_schema = ", ".join(
+        {
+            "idx": "idx long",
+            "clip_id": "clip_id string",
+            "sr_hz": "sr_hz int",
+            "dur_ms": "dur_ms int",
+            "codec": "codec string",
+            "transcript": "transcript string",
+            "part_id": "part_id int",
+        }[c]
+        for c in cols
+    ) + ", bytes binary"
+    return meta.mapInPandas(gen, schema=out_schema)
+
+
+def clips_table(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    num_parts: int = 64,
+    with_bytes: bool = True,
+    drift_parts: tuple[int, ...] = (7, 21),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full synthetic clips table in the input_hint contract (+ idx, part_id)."""
+    meta = with_part_id(clips_meta(spark, n, seed=seed, num_partitions=num_partitions), num_parts)
+    if with_bytes:
+        return with_audio(meta, seed=seed, drift_parts=drift_parts)
+    return meta
+
+
+def transcripts_table(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Normalized transcript side table (FIXTURES.md §1b): ~0.2% of clips
+    missing here, ~0.2% orphan rows, ~0.1% transcript mismatches."""
+    meta = clips_meta(spark, n, seed=seed).select("idx", "clip_id", "transcript")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i = pdf["idx"].to_numpy()
+            keep = _u01(i, 30, seed) >= 0.002  # drop → "missing transcript" violations
+            mismatch = _u01(i, 31, seed) < 0.001
+            orphan = _u01(i, 32, seed) < 0.002  # extra row with unknown clip_id
+            pdf = pdf.copy()
+            tr = pdf["transcript"].to_numpy(dtype=object)
+            tr[mismatch] = [None if t is None else t + " MUTATED" for t in tr[mismatch]]
+            pdf["transcript"] = tr
+            langs = np.array(["en", "de", "fr", "es"], dtype=object)
+            pdf["lang"] = langs[(_stream(i, 33, seed) % np.uint64(4)).astype(int)]
+            base = pdf.loc[keep, ["clip_id", "transcript", "lang"]]
+            orphans = pdf.loc[orphan, ["transcript", "lang"]].copy()
+            orphans["clip_id"] = [
+                f"orphan_{int(x):012d}" for x in i[orphan]
+            ]
+            yield pd.concat([base, orphans[["clip_id", "transcript", "lang"]]])
+
+    return meta.mapInPandas(gen, schema="clip_id string, transcript string, lang string")
