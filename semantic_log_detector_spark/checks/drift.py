@@ -1,0 +1,323 @@
+"""Distribution-drift check over audio features (SURVEY.md A15/W6/X1/X5).
+
+Replaces the reference's semantic-embedding anomaly scorer — Sentence-BERT
+kNN distance vs a percentile threshold (`src/detection/anomaly_scorer.py:
+38-84`) and the rolling drift monitor (`src/monitoring/drift.py:18-47`) —
+with closed-form statistics per the north_star: PSI and two-sample KS over
+MFCC/log-mel feature histograms.
+
+Pipeline (two Arrow-UDF stages, no shuffle between them; one tiny shuffle
+after):
+
+1. ``decode_features``: mapInPandas over (clip_id, part_id, bytes, codec,
+   sr_hz, dur_ms) → per-clip rows (ok, err, n_samples, feature vector).
+   Decode errors become R060 violations instead of failing the job; the
+   declared-vs-decoded duration consistency is R061.
+2. ``histogram_partials``: mapInPandas over feature rows → per-batch
+   fixed-bin histogram partials (part_id, feature, bin, cnt). This is a
+   hand-rolled map-side combine: the shuffle carries ≤ parts×features×bins
+   rows per task, never per-clip rows.
+3. ``groupBy(part_id, feature, bin).sum`` merges partials; the global
+   histogram (the baseline, unless a stored one is supplied) is another
+   tiny agg of the same table.
+4. PSI = Σ (p−q)·ln(p/q) and KS = max|CDF_p − CDF_q| computed in Spark on
+   the histogram table (window cumsum over bins) — the fixed-bin KS
+   approximation is bounded by bin width (SURVEY.md §7.3).
+
+Bins are FIXED (data-independent) so partials merge exactly and baselines
+from different runs are comparable — mirrors the reference's own advice to
+drift-score against *stored summaries* (outputs/reports/final_report.md:148).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.audio import clip_features, decode_clip
+from .base import (
+    CheckResult,
+    RunContext,
+    ensure_part_id,
+    part_row_counts,
+    verdicts_from_violations,
+)
+
+R_DECODE = "R060_decode"
+R_DURATION = "R061_duration_consistency"
+R_PSI = "R050_drift_psi"
+R_KS = "R051_drift_ks"
+
+N_MFCC = 13
+FEATURE_NAMES = [f"mfcc_{i}" for i in range(N_MFCC)] + ["rms", "centroid"]
+
+
+@dataclass(frozen=True)
+class BinSpec:
+    lo: float
+    hi: float
+    n: int
+
+
+# Bin counts sized for per-partition sample sizes in the hundreds: PSI over
+# B bins needs n >> B per side or sampling noise dominates (SURVEY.md §7.3
+# bounds the KS approximation by bin width; PSI needs the smoothing below).
+DEFAULT_BINS: dict[str, BinSpec] = {
+    **{f"mfcc_{i}": BinSpec(-60.0, 60.0, 16) for i in range(N_MFCC)},
+    "rms": BinSpec(0.0, 1.0, 16),
+    "centroid": BinSpec(0.0, 8000.0, 24),
+}
+
+
+# ------------------------------------------------------------- stage 1: decode
+
+
+def decode_features(df: DataFrame, ctx: RunContext) -> DataFrame:
+    """Per-clip decode + feature extraction. Output: clip_id, part_id, ok,
+    err, sr_decoded, n_samples, features array<double> (len 15)."""
+    df = ensure_part_id(df, ctx)
+    cols = ["clip_id", ctx.part_col, "bytes", "codec", "sr_hz", "dur_ms"]
+    part_col = ctx.part_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            err = np.empty(n, dtype=object)
+            srd = np.zeros(n, dtype=np.int64)
+            nsamp = np.zeros(n, dtype=np.int64)
+            feats = np.empty(n, dtype=object)
+            for i, (buf, codec) in enumerate(zip(pdf["bytes"], pdf["codec"])):
+                try:
+                    pcm, sr = decode_clip(bytes(buf) if buf is not None else None, codec)
+                    fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
+                    if not np.isfinite(fv).all():
+                        raise ValueError("non-finite features")
+                    ok[i], srd[i], nsamp[i], feats[i] = True, sr, len(pcm), fv
+                except Exception as e:  # decode is allowed to fail per-row
+                    err[i] = f"{type(e).__name__}: {e}"[:200]
+                    feats[i] = None
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    part_col: pdf[part_col],
+                    "declared_sr": pdf["sr_hz"],
+                    "declared_dur": pdf["dur_ms"],
+                    "ok": ok,
+                    "err": err,
+                    "sr_decoded": srd,
+                    "n_samples": nsamp,
+                    "features": feats,
+                }
+            )
+
+    schema = (
+        f"clip_id string, {part_col} int, declared_sr int, declared_dur int, "
+        "ok boolean, err string, sr_decoded long, n_samples long, features array<double>"
+    )
+    return df.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def decode_violations(feats: DataFrame, ctx: RunContext, dur_tol_ms: float = 20.0,
+                      dur_tol_rel: float = 0.02) -> DataFrame:
+    """R060 decode errors + R061 declared-vs-decoded duration mismatch."""
+    # try_divide: sr_decoded is 0 on failed decodes and ANSI mode would raise
+    decoded_ms = F.try_divide(F.col("n_samples") * 1000.0, F.col("sr_decoded"))
+    tol = F.greatest(F.lit(dur_tol_ms), F.abs(F.col("declared_dur")) * dur_tol_rel)
+    bad_dur = (
+        F.col("ok")
+        & F.col("declared_dur").isNotNull()
+        & (F.col("declared_dur") > 0)
+        & F.col("declared_sr").isNotNull()
+        & (F.col("declared_sr") == F.col("sr_decoded"))
+        & (F.abs(decoded_ms - F.col("declared_dur")) > tol)
+    )
+    v_decode = feats.filter(~F.col("ok")).select(
+        F.lit(ctx.run_id).alias("run_id"),
+        F.col(ctx.part_col).cast("int").alias("part_id"),
+        F.lit(R_DECODE).alias("rule_id"),
+        "clip_id",
+        F.lit("bytes").alias("column"),
+        F.col("err").alias("observed"),
+        F.lit("payload decodes cleanly").alias("expected"),
+        F.lit("Critical").alias("severity"),
+        F.concat(F.lit("payload failed to decode: "), F.col("err")).alias("explanation"),
+    )
+    v_dur = feats.filter(bad_dur).select(
+        F.lit(ctx.run_id).alias("run_id"),
+        F.col(ctx.part_col).cast("int").alias("part_id"),
+        F.lit(R_DURATION).alias("rule_id"),
+        "clip_id",
+        F.lit("dur_ms").alias("column"),
+        F.round(decoded_ms, 1).cast("string").alias("observed"),
+        F.col("declared_dur").cast("string").alias("expected"),
+        F.lit("Medium").alias("severity"),
+        F.lit("decoded duration differs from declared dur_ms").alias("explanation"),
+    )
+    return v_decode.unionByName(v_dur)
+
+
+# -------------------------------------------------- stage 2: histogram partials
+
+
+def histogram_partials(feats: DataFrame, ctx: RunContext,
+                       bins: dict[str, BinSpec] | None = None) -> DataFrame:
+    """Per-Arrow-batch fixed-bin histogram partials — hand-rolled map-side
+    combine so the shuffle carries histograms, not clips."""
+    bins = bins or DEFAULT_BINS
+    part_col = ctx.part_col
+    specs = [(i, name, bins[name]) for i, name in enumerate(FEATURE_NAMES)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["ok"]]
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["features"].to_numpy())  # n × n_features
+            parts = pdf[part_col].to_numpy()
+            out_part, out_feat, out_bin, out_cnt = [], [], [], []
+            for p in np.unique(parts):
+                sub = mat[parts == p]
+                for fi, name, spec in specs:
+                    v = sub[:, fi]
+                    idx = np.clip(
+                        ((v - spec.lo) / (spec.hi - spec.lo) * spec.n).astype(int),
+                        0, spec.n - 1,
+                    )
+                    binc = np.bincount(idx, minlength=spec.n)
+                    nz = np.nonzero(binc)[0]
+                    out_part.extend([int(p)] * len(nz))
+                    out_feat.extend([name] * len(nz))
+                    out_bin.extend(nz.tolist())
+                    out_cnt.extend(binc[nz].tolist())
+            yield pd.DataFrame(
+                {part_col: out_part, "feature": out_feat, "bin": out_bin, "cnt": out_cnt}
+            )
+
+    partials = feats.mapInPandas(
+        gen, schema=f"{part_col} int, feature string, bin int, cnt long"
+    )
+    return partials.groupBy(part_col, "feature", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+# ------------------------------------------------------------ stage 3: scoring
+
+# Laplace (add-α) smoothing for PSI: p=(cnt+α)/(n+αB). Symmetric in p and q,
+# unlike a bare epsilon, so empty sample bins don't blow up ln(p/q).
+_ALPHA = 0.5
+
+
+def drift_scores(hist: DataFrame, ctx: RunContext,
+                 baseline: DataFrame | None = None) -> DataFrame:
+    """Per (part_id, feature): PSI + fixed-bin KS vs baseline.
+
+    `baseline` defaults to the global histogram (sum over partitions) — a
+    self-baseline in the spirit of the reference's fit-on-normal pass
+    (`src/detection/pipeline.py:124-134`); pass a stored baseline table
+    (feature, bin, cnt) for cross-run drift.
+    """
+    part_col = ctx.part_col
+    if baseline is None:
+        baseline = hist.groupBy("feature", "bin").agg(F.sum("cnt").alias("bcnt"))
+    else:
+        baseline = baseline.select("feature", "bin", F.col("cnt").alias("bcnt"))
+
+    # align bins: grid = (parts present) × (baseline bins), fill missing with 0
+    parts = hist.select(part_col).distinct()
+    grid = parts.crossJoin(F.broadcast(baseline))
+    j = grid.join(hist, [part_col, "feature", "bin"], "left").fillna({"cnt": 0})
+
+    tot = Window.partitionBy(part_col, "feature")
+    cum = Window.partitionBy(part_col, "feature").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_bins = F.count("*").over(tot)
+    p = (F.col("cnt") + _ALPHA) / (F.sum("cnt").over(tot) + _ALPHA * n_bins)
+    q = (F.col("bcnt") + _ALPHA) / (F.sum("bcnt").over(tot) + _ALPHA * n_bins)
+    scored = j.select(
+        part_col,
+        "feature",
+        "bin",
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+        (F.sum(F.col("cnt")).over(cum) / F.sum("cnt").over(tot)).alias("cdf_p"),
+        (F.sum(F.col("bcnt")).over(cum) / F.sum("bcnt").over(tot)).alias("cdf_q"),
+    )
+    return scored.groupBy(part_col, "feature").agg(
+        F.sum("psi_term").alias("psi"),
+        F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("ks"),
+    )
+
+
+def drift_check(
+    clips: DataFrame,
+    ctx: RunContext,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.2,
+    baseline: DataFrame | None = None,
+    bins: dict[str, BinSpec] | None = None,
+) -> CheckResult:
+    """Full drift + decode check. Returns verdicts per (part, rule) for
+    R050/R051 (drift) and violations for R060/R061 (decode/duration)."""
+    feats = decode_features(clips, ctx)
+    feats.persist()
+    try:
+        viol_rows = decode_violations(feats, ctx)
+        hist = histogram_partials(feats, ctx, bins)
+        scores = drift_scores(hist, ctx, baseline)
+
+        part_counts = part_row_counts(ensure_part_id(clips, ctx), ctx)
+        per_part = scores.groupBy(ctx.part_col).agg(
+            F.max("psi").alias("max_psi"),
+            F.max("ks").alias("max_ks"),
+            F.max_by("feature", "psi").alias("worst_feature"),
+        )
+        base = part_counts.join(per_part, ctx.part_col, "left")
+        verdicts = None
+        for rule, col, thr in ((R_PSI, "max_psi", psi_threshold), (R_KS, "max_ks", ks_threshold)):
+            v = base.select(
+                F.lit(ctx.run_id).alias("run_id"),
+                F.col(ctx.part_col).cast("int").alias("part_id"),
+                F.lit(rule).alias("rule_id"),
+                F.coalesce(F.col(col) <= thr, F.lit(True)).alias("passed"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.when(F.coalesce(F.col(col) <= thr, F.lit(True)), 0).otherwise(1).cast("long").alias("n_violations"),
+                F.concat(F.lit(f"{col}="), F.round(F.col(col), 4), F.lit(" feature="), F.col("worst_feature")).alias("observed"),
+                F.lit(f"{col} <= {thr}").alias("expected"),
+            )
+            verdicts = v if verdicts is None else verdicts.unionByName(v)
+
+        drift_viols = base.filter(
+            (F.col("max_psi") > psi_threshold) | (F.col("max_ks") > ks_threshold)
+        ).select(
+            F.lit(ctx.run_id).alias("run_id"),
+            F.col(ctx.part_col).cast("int").alias("part_id"),
+            F.when(F.col("max_psi") > psi_threshold, F.lit(R_PSI)).otherwise(F.lit(R_KS)).alias("rule_id"),
+            F.lit(None).cast("string").alias("clip_id"),
+            F.col("worst_feature").alias("column"),
+            F.concat(F.lit("psi="), F.round("max_psi", 4), F.lit(" ks="), F.round("max_ks", 4)).alias("observed"),
+            F.lit(f"psi<={psi_threshold} ks<={ks_threshold}").alias("expected"),
+            F.lit("High").alias("severity"),
+            F.concat(
+                F.lit("partition feature distribution drifted from baseline ("),
+                F.col("worst_feature"), F.lit(")"),
+            ).alias("explanation"),
+        )
+        decode_verdicts = verdicts_from_violations(
+            viol_rows.withColumnRenamed("part_id", ctx.part_col),
+            part_counts,
+            ctx,
+            [R_DECODE, R_DURATION],
+        )
+        verdicts = verdicts.unionByName(decode_verdicts)
+        violations = viol_rows.unionByName(drift_viols)
+        # materialize while feats is cached
+        verdicts = verdicts.localCheckpoint(eager=True)
+        violations = violations.localCheckpoint(eager=True)
+        return CheckResult("drift", verdicts, violations)
+    finally:
+        feats.unpersist()

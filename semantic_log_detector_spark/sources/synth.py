@@ -161,7 +161,7 @@ def with_audio(
     meta: DataFrame,
     seed: int = 42,
     drift_parts: tuple[int, ...] = (7, 21),
-    max_samples: int = 1 << 16,
+    max_samples: int = 1 << 17,  # covers 48 kHz × 2000 ms; cap only guards runaway durs
 ) -> DataFrame:
     """Add WAV `bytes` derived from (idx, part_id). Drifted partitions use a
     shifted sine-frequency band (1500–3000 Hz vs 100–1000 Hz), so spectral
