@@ -36,8 +36,13 @@ def referential_check(
 ) -> CheckResult:
     clips = ensure_part_id(clips, ctx)
     left = clips.select("clip_id", ctx.part_col, F.col("transcript").alias("_t_clip"))
+    # transcripts get their part_id from their own clip_id (same hash) so the
+    # orphan direction is partition-prunable too: a wave runs clips[parts W]
+    # against transcripts[parts W] with no cross-wave false orphans.
     right = transcripts.select(
-        F.col("clip_id").alias("t_clip_id"), F.col("transcript").alias("_t_side")
+        F.col("clip_id").alias("t_clip_id"),
+        F.col("transcript").alias("_t_side"),
+        F.pmod(F.xxhash64("clip_id"), F.lit(ctx.num_parts)).cast("int").alias("_t_part"),
     )
     if strategy == "broadcast":
         right = F.broadcast(right)
@@ -62,7 +67,7 @@ def referential_check(
     )
     orphan = j.filter(F.col("clip_id").isNull()).select(
         F.col("t_clip_id").alias("clip_id"),
-        F.lit(None).cast("int").alias(ctx.part_col),  # not a clip partition
+        F.col("_t_part").alias(ctx.part_col),
         F.lit(R_ORPHAN).alias("rule_id"),
         F.col("t_clip_id").cast("string").alias("observed"),
         F.lit("clip row exists").alias("expected"),

@@ -1,0 +1,74 @@
+"""spark-submit entry point.
+
+Cluster usage (north_rule):
+
+    spark-submit --py-files semantic_log_detector_spark.zip \
+        -m semantic_log_detector_spark.cli run \
+        --input /path/to/clips_table --transcripts /path/to/transcripts \
+        --out /path/to/run_output --waves 8
+
+Local/demo usage (synthesizes the deterministic clip table):
+
+    python -m semantic_log_detector_spark.cli run --n-clips 20000 --out /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .plans.report import write_report
+from .plans.runner import SuiteConfig, run_suite
+from .session import get_spark
+from .sources.synth import clips_table, transcripts_table
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="semantic_log_detector_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run the validation suite")
+    run.add_argument("--input", help="clips table path (parquet/iceberg); omit to synthesize")
+    run.add_argument("--transcripts", help="transcripts table path")
+    run.add_argument("--n-clips", type=int, default=20_000, help="synthetic table size")
+    run.add_argument("--out", required=True)
+    run.add_argument("--num-parts", type=int, default=64)
+    run.add_argument("--waves", type=int, default=1)
+    run.add_argument("--max-waves", type=int, default=None)
+    run.add_argument("--checks", default=",".join(SuiteConfig().checks))
+    run.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.input:
+            clips = spark.read.parquet(args.input)
+            fingerprint = args.input
+            transcripts = (
+                spark.read.parquet(args.transcripts) if args.transcripts else None
+            )
+        else:
+            clips = clips_table(spark, args.n_clips, num_parts=args.num_parts)
+            transcripts = transcripts_table(spark, args.n_clips)
+            fingerprint = f"synth:{args.n_clips}"
+        cfg = SuiteConfig(
+            num_parts=args.num_parts,
+            waves=args.waves,
+            checks=tuple(args.checks.split(",")),
+        )
+        result = run_suite(
+            spark, clips, transcripts, args.out, cfg,
+            input_fingerprint=fingerprint, max_waves=args.max_waves,
+        )
+        report = write_report(spark, args.out)
+        print(
+            f"run={result.run_id} waves={result.waves_run} checks={result.checks_run} "
+            f"wall={result.wall_s:.1f}s overall={'PASS' if report['overall_passed'] else 'FAIL'}"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Run lifecycle: plan → execute check waves → verdicts/violations/ledger → report.
+
+Spark-first restatement of the reference's 9-stage hand-sequenced DAG
+(`src/ids/pipeline.py:76-231`): config → checks over pending partitions →
+persisted outputs per stage. Instead of one monolithic pass, partitions are
+processed in deterministic *waves* (part_id % waves) — each wave is one set
+of Spark jobs followed by a ledger append, giving kill-anywhere resume at
+wave granularity (micro-batch over a partition work-queue; the Structured-
+Streaming-shaped replacement for the reference's asyncio queue,
+`src/api/main.py:64-75`).
+
+At cluster scale the input is an Iceberg/parquet table partitioned by
+part_id, so each wave's `filter(part_id % waves = w)` is partition-pruned —
+no full scans per wave. Checks within a wave reuse one cached projection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checks.base import CheckResult, RunContext, ensure_part_id
+from ..checks.column_stats import DEFAULT_EXPECTATIONS, stats_check
+from ..checks.drift import drift_check
+from ..checks.frequency import frequency_check
+from ..checks.referential import referential_check
+from ..checks.row_rules import default_clip_rules, run_row_rules
+from ..checks.schema_check import schema_check
+from ..checks.uniqueness import uniqueness_check
+from ..schema import CLIPS_SCHEMA
+from . import ledger as ledger_mod
+
+ALL_CHECKS = ("schema", "row_rules", "stats", "uniqueness", "referential", "frequency", "drift")
+
+
+@dataclass(frozen=True)
+class SuiteConfig:
+    num_parts: int = 64
+    checks: tuple[str, ...] = ALL_CHECKS
+    allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "opus", "mp3")
+    sr_range: tuple[int, int] = (4000, 96000)
+    dur_range: tuple[int, int] = (1, 12 * 3600 * 1000)
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.2
+    waves: int = 1
+    stats_expectations: tuple = tuple(
+        (c, tuple(exps)) for c, exps in DEFAULT_EXPECTATIONS.items()
+    )
+
+    def config_hash(self) -> str:
+        return hashlib.md5(
+            json.dumps(asdict(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    out_dir: str
+    waves_run: int
+    checks_run: list[str] = field(default_factory=list)
+    wall_s: float = 0.0
+    n_rows: int = 0
+
+
+def _wave_parts(cfg: SuiteConfig, wave: int) -> list[int]:
+    return [p for p in range(cfg.num_parts) if p % cfg.waves == wave]
+
+
+def run_suite(
+    spark: SparkSession,
+    clips: DataFrame,
+    transcripts: DataFrame | None,
+    out_dir: str,
+    cfg: SuiteConfig = SuiteConfig(),
+    run_id: str | None = None,
+    input_fingerprint: str = "",
+    max_waves: int | None = None,
+) -> RunResult:
+    """Execute the configured check suite; everything lands under out_dir:
+    verdicts/ violations/ ledger/ report.json. Re-running with the same
+    (input_fingerprint, config) resumes: completed (check, part) pairs are
+    skipped via the ledger anti-join."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ctx = RunContext(run_id=run_id, num_parts=cfg.num_parts,
+                     config_hash=cfg.config_hash())
+    ledger_path = f"{out_dir}/ledger"
+    t_start = time.time()
+
+    clips = ensure_part_id(clips, ctx)
+    result = RunResult(run_id=run_id, out_dir=out_dir, waves_run=0)
+
+    # schema check is plan-time + global — run once, outside the wave loop
+    if "schema" in cfg.checks:
+        done = ledger_mod.completed_parts(
+            spark, ledger_path, "schema", input_fingerprint, ctx.config_hash)
+        if -1 not in done:
+            t0 = time.time()
+            res = schema_check(clips, CLIPS_SCHEMA, ctx)
+            _write_outputs(res, out_dir)
+            ledger_mod.append(
+                spark, ledger_path, run_id, "schema", [(-1, 0, res.violations.count())],
+                (time.time() - t0) * 1000, input_fingerprint, ctx.config_hash)
+            result.checks_run.append("schema")
+
+    wave_checks = [c for c in cfg.checks if c != "schema"]
+    n_waves = cfg.waves if max_waves is None else min(cfg.waves, max_waves)
+
+    for wave in range(n_waves):
+        parts = _wave_parts(cfg, wave)
+        pending_by_check = {
+            c: sorted(
+                set(parts)
+                - ledger_mod.completed_parts(
+                    spark, ledger_path, c, input_fingerprint, ctx.config_hash)
+            )
+            for c in wave_checks
+        }
+        if not any(pending_by_check.values()):
+            result.waves_run += 1
+            continue
+
+        union_parts = sorted({p for ps in pending_by_check.values() for p in ps})
+        # partition-pruned slice of the input; cached once per wave so the
+        # metadata-only checks share a single scan. NB: bytes intentionally
+        # excluded from the cache — only drift reads them, streamed not cached.
+        meta_cols = [c for c in clips.columns if c != "bytes"]
+        wave_meta = clips.select(*meta_cols).filter(F.col(ctx.part_col).isin(union_parts)).cache()
+
+        tr_wave = None
+        if transcripts is not None:
+            tr_part = F.pmod(F.xxhash64("clip_id"), F.lit(cfg.num_parts)).cast("int")
+            tr_wave = transcripts.filter(tr_part.isin(union_parts))
+
+        try:
+            for check in wave_checks:
+                pend = pending_by_check[check]
+                if not pend:
+                    continue
+                sub_meta = wave_meta.filter(F.col(ctx.part_col).isin(pend))
+                t0 = time.time()
+                if check == "row_rules":
+                    res = run_row_rules(
+                        sub_meta,
+                        default_clip_rules(cfg.allowed_codecs, cfg.sr_range, cfg.dur_range),
+                        ctx)
+                elif check == "stats":
+                    res = stats_check(sub_meta, ctx,
+                                      {c: list(e) for c, e in cfg.stats_expectations})
+                elif check == "uniqueness":
+                    res = uniqueness_check(sub_meta, ctx)
+                elif check == "referential":
+                    if tr_wave is None:
+                        continue
+                    res = referential_check(
+                        sub_meta.filter(F.col(ctx.part_col).isin(pend)), tr_wave, ctx)
+                elif check == "frequency":
+                    res = frequency_check(sub_meta, ctx, allowed=cfg.allowed_codecs)
+                elif check == "drift":
+                    sub_full = clips.filter(F.col(ctx.part_col).isin(pend))
+                    res = drift_check(sub_full, ctx,
+                                      psi_threshold=cfg.psi_threshold,
+                                      ks_threshold=cfg.ks_threshold)
+                else:
+                    raise ValueError(f"unknown check {check!r}")
+
+                _write_outputs(res, out_dir)
+                stats = (
+                    res.verdicts.groupBy("part_id")
+                    .agg(F.max("n_rows").alias("nr"), F.sum("n_violations").alias("nv"))
+                    .collect()
+                )
+                by_part = {r["part_id"]: (r["nr"], r["nv"]) for r in stats}
+                part_stats = [
+                    (p, *(by_part.get(p, (0, 0)))) for p in pend
+                ]
+                ledger_mod.append(
+                    spark, ledger_path, run_id, check, part_stats,
+                    (time.time() - t0) * 1000, input_fingerprint, ctx.config_hash)
+                if check not in result.checks_run:
+                    result.checks_run.append(check)
+        finally:
+            wave_meta.unpersist()
+        result.waves_run += 1
+
+    result.wall_s = time.time() - t_start
+    return result
+
+
+def _write_outputs(res: CheckResult, out_dir: str) -> None:
+    res.verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
+    res.violations.write.mode("append").parquet(f"{out_dir}/violations")
