@@ -1,0 +1,55 @@
+"""Drift check: flags exactly the planted drifted partitions; decode errors
+become violations; per-partition verdicts stable across parallelism."""
+
+import pyspark.sql.functions as F
+
+from semantic_log_detector_spark.checks.base import RunContext
+from semantic_log_detector_spark.checks.drift import (
+    decode_features,
+    drift_check,
+    histogram_partials,
+)
+
+CTX16 = RunContext(run_id="t", num_parts=16)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def drift_res(clips_2k):
+    return drift_check(clips_2k, CTX16)
+
+
+def test_drift_flags_exactly_planted_parts(drift_res):
+    res = drift_res
+    failed = {
+        (r["rule_id"], r["part_id"])
+        for r in res.verdicts.filter("NOT passed AND rule_id LIKE 'R05%'").collect()
+    }
+    drift_parts = {p for _, p in failed}
+    assert drift_parts == {7}
+    assert ("R050_drift_psi", 7) in failed
+
+
+def test_decode_errors_are_violations_not_failures(drift_res):
+    res = drift_res
+    n_decode = res.violations.filter("rule_id = 'R060_decode'").count()
+    assert n_decode >= 1  # planted truncated payloads
+    # every decode violation names its clip
+    assert res.violations.filter("rule_id='R060_decode' AND clip_id IS NULL").count() == 0
+
+
+def test_histograms_partition_invariant(clips_2k):
+    feats = decode_features(clips_2k, CTX16)
+    h1 = histogram_partials(feats, CTX16)
+    feats2 = decode_features(clips_2k.repartition(3), CTX16)
+    h2 = histogram_partials(feats2, CTX16)
+    assert h1.exceptAll(h2).count() == 0 and h2.exceptAll(h1).count() == 0
+
+
+def test_normal_parts_psi_low(drift_res):
+    res = drift_res
+    psis = res.verdicts.filter("rule_id='R050_drift_psi' AND part_id != 7").select(
+        F.regexp_extract("observed", r"max_psi=([0-9.]+)", 1).cast("double").alias("psi")
+    ).collect()
+    assert all(r["psi"] is not None and r["psi"] < 0.2 for r in psis)

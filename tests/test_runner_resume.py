@@ -1,0 +1,67 @@
+"""Run lifecycle: wave resume produces identical verdicts to a single-shot
+run and never recomputes completed (check, partition) pairs."""
+
+import pyspark.sql.functions as F
+
+from semantic_log_detector_spark.plans.runner import SuiteConfig, run_suite
+from semantic_log_detector_spark.sources.synth import clips_table, transcripts_table
+
+FAST_CHECKS = ("schema", "row_rules", "stats", "uniqueness", "referential", "frequency")
+
+
+def _verdict_set(spark, out):
+    return {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/verdicts")
+        .select("part_id", "rule_id", "passed", "n_rows", "n_violations")
+        .collect()
+    }
+
+
+def test_resume_after_partial_run(spark, tmp_path):
+    clips = clips_table(spark, 3000, with_bytes=False).cache()
+    tr = transcripts_table(spark, 3000).cache()
+    cfg = SuiteConfig(checks=FAST_CHECKS, waves=3)
+
+    out1 = str(tmp_path / "partial")
+    r1 = run_suite(spark, clips, tr, out1, cfg, input_fingerprint="fp1", max_waves=1)
+    assert r1.waves_run == 1
+    # simulate the resumed run (same lineage)
+    r2 = run_suite(spark, clips, tr, out1, cfg, input_fingerprint="fp1")
+    assert r2.waves_run == 3
+
+    out2 = str(tmp_path / "single")
+    run_suite(spark, clips, tr, out2, cfg, input_fingerprint="fp1")
+
+    assert _verdict_set(spark, out1) == _verdict_set(spark, out2)
+
+    # ledger: exactly one completion per (check, part)
+    led = spark.read.parquet(f"{out1}/ledger")
+    dupes = (
+        led.groupBy("check_id", "part_id").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+    clips.unpersist()
+    tr.unpersist()
+
+
+def test_config_change_invalidates_ledger(spark, tmp_path):
+    clips = clips_table(spark, 500, with_bytes=False)
+    out = str(tmp_path / "cfg")
+    cfg1 = SuiteConfig(checks=("row_rules",), waves=1)
+    run_suite(spark, clips, None, out, cfg1, input_fingerprint="fp")
+    # different thresholds ⇒ different config hash ⇒ re-runs
+    cfg2 = SuiteConfig(checks=("row_rules",), waves=1, sr_range=(8000, 48000))
+    r = run_suite(spark, clips, None, out, cfg2, input_fingerprint="fp")
+    assert "row_rules" in r.checks_run
+
+
+def test_verdicts_stable_across_input_parallelism(spark, tmp_path):
+    cfg = SuiteConfig(checks=("row_rules", "uniqueness"), waves=1)
+    outs = []
+    for i, nparts in enumerate((2, 13)):
+        clips = clips_table(spark, 2000, with_bytes=False, num_partitions=nparts)
+        out = str(tmp_path / f"par{i}")
+        run_suite(spark, clips, None, out, cfg, input_fingerprint=f"p{i}")
+        outs.append(out)
+    assert _verdict_set(spark, outs[0]) == _verdict_set(spark, outs[1])
