@@ -1,38 +1,862 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One queries()/oracle_sql() pair per operator family from SURVEY.md §2,
+exercised over the driver-generated testdata tables. Engine-specific
+operators over the synthetic clips table (no oracle view exists for it)
+are registered as rows-only checks (no oracle_sql entry), as are the
+approximate operators (MinHash/SimHash/LSH) whose outputs are not
+SQL-reproducible.
+
+All float outputs are rounded identically on both sides; every computed
+column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary (SURVEY.md A1 family)."""
+    return _q01_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- query catalog
+
+
+def _q01_pricing_summary(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    # exact decimal sums: double summation order differs across engines and
+    # partitionings, which flips 6-dp rounding; decimal accumulation is exact
+    dec = lambda c: F.col(c).cast("decimal(30,12)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,12)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q02_nation_revenue(spark, sf):
+    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,12)")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q03_topk_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(10)
+    )
+
+
+def _q04_freq_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt")).orderBy("o_orderpriority")
+
+
+def _q05_quantiles(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+    )
+
+
+def _q06_distinct_parts(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _q07_union_nations(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+def _q08_sliding_avg(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg5"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+def _q09_burst_flag(spark, sf):
+    e = _t(spark, sf, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_recent = base.rowsBetween(-4, 0)
+    w_rest = base.rowsBetween(-19, -5)
+    m_recent = F.avg("value").over(w_recent)
+    m_rest = F.avg("value").over(w_rest)
+    return e.select(
+        "event_id",
+        (m_rest.isNotNull() & (m_rest > 0) & (m_recent > 1.5 * m_rest)).alias("burst"),
+    )
+
+
+def _q10_decay(spark, sf):
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "event_id",
+            F.round(
+                F.col("value")
+                * F.greatest(
+                    F.pow(
+                        F.lit(0.95),
+                        (F.col("mx").cast("timestamp").cast("double")
+                         - F.col("ts").cast("timestamp").cast("double")) / 3600.0,
+                    ),
+                    F.lit(0.1),
+                ),
+                6,
+            ).alias("decayed"),
+        )
+    )
+
+
+def _q11_temporal_features(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.round(F.hour("ts") / 23.0, 6).alias("hour_norm"),
+        F.round(((F.dayofweek("ts") + 5) % 7) / 6.0, 6).alias("dow_norm"),
+        F.round(F.sin(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6).alias("hour_sin"),
+        F.round(F.cos(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6).alias("hour_cos"),
+    )
+
+
+def _q12_zscore_window(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    z = F.when(std > 0, (F.col("value") - mean) / std).otherwise(F.lit(0.0))
+    factor = F.least(F.greatest(F.lit(1.0) + z / 3.0, F.lit(0.5)), F.lit(2.0))
+    return e.select("event_id", F.round(F.col("value") * factor, 6).alias("adjusted"))
+
+
+def _q13_window_alerts(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.floor(F.col("ts").cast("timestamp").cast("double") / 3600).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("user_id", "bucket")
+    )
+
+
+def _q14_severity(spark, sf):
+    e = _t(spark, sf, "events")
+    score = F.col("value") / 490.02
+    sev = (
+        F.when(score >= 0.9, "Critical")
+        .when(score >= 0.7, "High")
+        .when(score >= 0.5, "Medium")
+        .otherwise("Low")
+    )
+    return e.groupBy(sev.alias("severity")).agg(F.count(F.lit(1)).alias("cnt")).orderBy("severity")
+
+
+def _q15_normalize_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = F.regexp_replace(F.col("text"), r"\b\d+\b", "<NUM>")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return d.select("doc_id", F.substring(F.lower(F.trim(out)), 1, 128).alias("norm"))
+
+
+def _q16_stable_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.substring(F.md5(F.concat_ws("\x1f", "text", "lang")), 1, 12).alias("row_id")
+    )
+
+
+def _q17_label_map(spark, sf):
+    o = _t(spark, sf, "orders")
+    lab = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority").rlike("LOW"), "low")
+        .otherwise("normal")
+    )
+    return o.groupBy(lab.alias("label")).agg(F.count(F.lit(1)).alias("cnt")).orderBy("label")
+
+
+def _q18_confusion(spark, sf):
+    e = _t(spark, sf, "events")
+    y = (F.col("event_type") == "error").cast("int")
+    p = (F.col("value") > 50.0).cast("int")
+    cells = e.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round((F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")), 6).alias("accuracy"),
+    )
+
+
+def _q19_best_threshold(spark, sf):
+    e = _t(spark, sf, "events")
+    by_v = (
+        e.select(F.round("value", 0).alias("v"), (F.col("event_type") == "error").cast("long").alias("y"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos"))
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("pos_all"),
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        by_v.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("npos").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    tp = F.col("cum_pos")
+    fp = F.col("cum_n") - tp
+    fn = F.col("pos_all") - tp
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    return (
+        scored.select(F.col("v").alias("threshold"), F.round(f1, 6).alias("f1"))
+        .orderBy(F.desc("f1"), F.asc("threshold"))
+        .limit(1)
+    )
+
+
+def _q20_percentile_filter(spark, sf):
+    e = _t(spark, sf, "events")
+    thr = e.agg(F.expr("percentile(value, 0.95)").alias("thr"))
+    return (
+        e.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") >= F.col("thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.min("value"), 6).alias("min_above"),
+            F.round(F.max("value"), 6).alias("max_above"),
+        )
+    )
+
+
+def _q21_exact_dup_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(d, ["text"], "doc_id").select(
+        "content_hash", "n_dups", "keep_id"
+    ).orderBy("content_hash")
+
+
+def _q22_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.03).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q23_embedding_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    from semantic_log_detector_spark.operators.knn import brute_force_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    b = emb.select(F.col("vec_id").alias("b_id"), "embedding")
+    return brute_force_topk(q, b, k=5, metric="cosine").orderBy("q_id", "rank")
+
+
+def _q24_norm_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    from semantic_log_detector_spark.operators.knn import norm_stats
+
+    return norm_stats(emb, "label").orderBy("label")
+
+
+def _q25_textstats(spark, sf):
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+def _q26_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    return d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.array_min(F.transform(sh, F.md5)).alias("fingerprint")
+    )
+
+
+def _q27_psi_split(spark, sf):
+    e = _t(spark, sf, "events")
+    nb, lo, hi = 20, 0.0, 500.0
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("value") - lo) / ((hi - lo) / nb)), F.lit(0)), F.lit(nb - 1)
+    ).alias("bin")
+    side = F.when(F.dayofmonth("ts") <= 15, "a").otherwise("b").alias("side")
+    counts = e.select(bin_col, side).groupBy("bin", "side").agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(nb).select(F.col("id").alias("bin"))
+    a = counts.filter(F.col("side") == "a").select("bin", F.col("c").alias("ca"))
+    b = counts.filter(F.col("side") == "b").select("bin", F.col("c").alias("cb"))
+    j = grid.join(a, "bin", "left").join(b, "bin", "left").fillna(0)
+    tot = j.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    jj = j.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + 0.5) / (F.col("ta") + 0.5 * nb)
+    q = (F.col("cb") + 0.5) / (F.col("tb") + 0.5 * nb)
+    return jj.agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+
+
+def _q28_stats_profile(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    out = None
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        # exact decimal sums make mean/std independent of summation order
+        s = F.sum(F.col(c).cast("decimal(30,12)")).cast("double")
+        # square in double (IEEE, order-free per value), then exact decimal sum
+        s2 = F.sum((F.col(c) * F.col(c)).cast("decimal(30,10)")).cast("double")
+        nn = F.count(c)
+        var = (s2 - s * s / nn) / (nn - 1)
+        row = l.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("cnt"),
+            nn.alias("n_nonnull"),
+            F.round(s / nn, 6).alias("mean"),
+            F.round(F.sqrt(var), 6).alias("std"),
+            F.round(F.min(c), 6).alias("mn"),
+            F.round(F.max(c), 6).alias("mx"),
+            F.sum((F.col(c) == 0).cast("long")).alias("num_zeros"),
+            F.countDistinct(c).alias("num_unique"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_name")
+
+
+def _q29_orders_without_lineitem(spark, sf):
+    o, l = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    return (
+        o.join(l.select("l_orderkey").distinct(), o["o_orderkey"] == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def _q30_dim_lookup(spark, sf):
+    e = _t(spark, sf, "events")
+    mapping = [
+        ("error", "TA0040", "Impact"),
+        ("signup", "TA0001", "Initial Access"),
+        ("purchase", "TA0010", "Exfiltration"),
+    ]
+    dim = e.sparkSession.createDataFrame(mapping, ["event_type", "technique", "tactic"])
+    return (
+        e.join(F.broadcast(dim), "event_type", "left")
+        .groupBy(
+            F.coalesce("technique", F.lit("unknown")).alias("technique"),
+            F.coalesce("tactic", F.lit("unknown")).alias("tactic"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("technique")
+    )
+
+
+def _q31_semi_blocklist(spark, sf):
+    e = _t(spark, sf, "events")
+    bl = e.sparkSession.createDataFrame([(1,), (2,), (3,), (5,), (8,)], ["user_id"])
+    return (
+        e.join(F.broadcast(bl), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("user_id")
+    )
+
+
+def _q32_topk_per_group(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rank")
+    )
+
+
+# ----------------------------------------------- rows-only (no SQL oracle)
+
+
+def _q33_minhash_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.2)
+
+
+def _q34_simhash_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(d, "text", "doc_id", max_hamming=16)
+
+
+def _q35_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    from semantic_log_detector_spark.operators.knn import lsh_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    b = emb.select(F.col("vec_id").alias("b_id"), "embedding")
+    return lsh_topk(q, b, k=5, dim=64)
+
+
+def _q36_clips_suite(spark, sf):
+    from semantic_log_detector_spark.checks.base import RunContext
+    from semantic_log_detector_spark.checks.row_rules import default_clip_rules, run_row_rules
+    from semantic_log_detector_spark.sources.synth import clips_table
+
+    clips = clips_table(spark, 4000, with_bytes=False)
+    res = run_row_rules(clips, default_clip_rules(), RunContext(run_id="entry"))
+    return res.verdicts.orderBy("part_id", "rule_id").drop("run_id")
+
+
+def _q37_media_features(spark, sf):
+    from semantic_log_detector_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    return extract_media_features(synth_media(spark, 500))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_nation_revenue": _q02_nation_revenue,
+        "q03_topk_orders": _q03_topk_orders,
+        "q04_freq_priority": _q04_freq_priority,
+        "q05_quantiles": _q05_quantiles,
+        "q06_distinct_parts": _q06_distinct_parts,
+        "q07_union_nations": _q07_union_nations,
+        "q08_sliding_avg": _q08_sliding_avg,
+        "q09_burst_flag": _q09_burst_flag,
+        "q10_decay": _q10_decay,
+        "q11_temporal_features": _q11_temporal_features,
+        "q12_zscore_window": _q12_zscore_window,
+        "q13_window_alerts": _q13_window_alerts,
+        "q14_severity": _q14_severity,
+        "q15_normalize_docs": _q15_normalize_docs,
+        "q16_stable_id": _q16_stable_id,
+        "q17_label_map": _q17_label_map,
+        "q18_confusion": _q18_confusion,
+        "q19_best_threshold": _q19_best_threshold,
+        "q20_percentile_filter": _q20_percentile_filter,
+        "q21_exact_dup_docs": _q21_exact_dup_docs,
+        "q22_ngram_jaccard": _q22_ngram_jaccard,
+        "q23_embedding_topk": _q23_embedding_topk,
+        "q24_norm_stats": _q24_norm_stats,
+        "q25_textstats": _q25_textstats,
+        "q26_fingerprint": _q26_fingerprint,
+        "q27_psi_split": _q27_psi_split,
+        "q28_stats_profile": _q28_stats_profile,
+        "q29_orders_without_lineitem": _q29_orders_without_lineitem,
+        "q30_dim_lookup": _q30_dim_lookup,
+        "q31_semi_blocklist": _q31_semi_blocklist,
+        "q32_topk_per_group": _q32_topk_per_group,
+        "q33_minhash_pairs": _q33_minhash_pairs,
+        "q34_simhash_pairs": _q34_simhash_pairs,
+        "q35_lsh_topk": _q35_lsh_topk,
+        "q36_clips_suite": _q36_clips_suite,
+        "q37_media_features": _q37_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity::DECIMAL(30,12))::DOUBLE, 2) AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(30,12))::DOUBLE, 2) AS sum_base_price,
+                   round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,12))::DOUBLE, 2) AS sum_disc_price,
+                   round(sum(l_quantity::DECIMAL(30,12))::DOUBLE / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(*), 6) AS avg_price,
+                   round(sum(l_discount::DECIMAL(30,12))::DOUBLE / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q02_nation_revenue": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(30,12))::DOUBLE, 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q03_topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q04_freq_priority": """
+            SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q05_quantiles": """
+            SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS median,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+            FROM lineitem
+        """,
+        "q06_distinct_parts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q07_union_nations": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            UNION SELECT DISTINCT s_nationkey FROM supplier ORDER BY 1
+        """,
+        "q08_sliding_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS avg5,
+                   count(*) OVER w AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "q09_burst_flag": """
+            SELECT event_id,
+                   coalesce(mr IS NOT NULL AND mr > 0 AND mc > 1.5 * mr, FALSE) AS burst
+            FROM (
+              SELECT event_id,
+                     avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mc,
+                     avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING) AS mr
+              FROM events)
+        """,
+        "q10_decay": """
+            SELECT event_id,
+                   round(value * greatest(power(0.95, (epoch(mx) - epoch(ts)) / 3600.0), 0.1), 6) AS decayed
+            FROM events, (SELECT max(ts) AS mx FROM events)
+        """,
+        "q11_temporal_features": """
+            SELECT event_id,
+                   round(hour(ts) / 23.0, 6) AS hour_norm,
+                   round(((dayofweek(ts) + 6) % 7) / 6.0, 6) AS dow_norm,
+                   round(sin(2 * 3.141592653589793 * hour(ts) / 24.0), 6) AS hour_sin,
+                   round(cos(2 * 3.141592653589793 * hour(ts) / 24.0), 6) AS hour_cos
+            FROM events
+        """,
+        "q12_zscore_window": """
+            SELECT event_id,
+                   round(value * least(greatest(1.0 + (CASE WHEN sd > 0 THEN (value - mn) / sd ELSE 0.0 END) / 3.0, 0.5), 2.0), 6) AS adjusted
+            FROM (
+              SELECT event_id, value,
+                     avg(value) OVER w AS mn,
+                     stddev_samp(value) OVER w AS sd
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        """,
+        "q13_window_alerts": """
+            SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS bucket, count(*) AS n
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2
+        """,
+        "q14_severity": """
+            SELECT CASE WHEN value / 490.02 >= 0.9 THEN 'Critical'
+                        WHEN value / 490.02 >= 0.7 THEN 'High'
+                        WHEN value / 490.02 >= 0.5 THEN 'Medium'
+                        ELSE 'Low' END AS severity,
+                   count(*) AS cnt
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q15_normalize_docs": r"""
+            SELECT doc_id,
+                   substring(lower(trim(regexp_replace(regexp_replace(text, '\b\d+\b', '<NUM>', 'g'), '\s+', ' ', 'g'))), 1, 128) AS norm
+            FROM documents
+        """,
+        "q16_stable_id": """
+            SELECT doc_id, substring(md5(concat(text, chr(31), lang)), 1, 12) AS row_id
+            FROM documents
+        """,
+        "q17_label_map": """
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                        WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                        WHEN regexp_matches(o_orderpriority, 'LOW') THEN 'low'
+                        ELSE 'normal' END AS label,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q18_confusion": """
+            WITH c AS (
+              SELECT sum(CASE WHEN event_type = 'error' AND value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN event_type != 'error' AND value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN event_type = 'error' AND value <= 50.0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN event_type != 'error' AND value <= 50.0 THEN 1 ELSE 0 END)::BIGINT AS tn
+              FROM events)
+            SELECT tp, fp, fn, tn,
+                   round(tp / (tp + fp), 6) AS precision,
+                   round(tp / (tp + fn), 6) AS recall,
+                   round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn)) / ((tp / (tp + fp)) + (tp / (tp + fn))), 6) AS f1,
+                   round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
+            FROM c
+        """,
+        "q19_best_threshold": """
+            WITH by_v AS (
+              SELECT round(value, 0) AS v, count(*) AS n,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS npos
+              FROM events GROUP BY 1),
+            tot AS (
+              SELECT count(*) AS n_all,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS pos_all
+              FROM events),
+            scored AS (
+              SELECT v,
+                     sum(n) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                     sum(npos) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+              FROM by_v)
+            SELECT v AS threshold,
+                   round(2.0 * cum_pos / (2.0 * cum_pos + (cum_n - cum_pos) + (pos_all - cum_pos)), 6) AS f1
+            FROM scored, tot
+            ORDER BY f1 DESC, threshold ASC LIMIT 1
+        """,
+        "q20_percentile_filter": """
+            SELECT count(*) AS n_above,
+                   round(min(value), 6) AS min_above,
+                   round(max(value), 6) AS max_above
+            FROM events, (SELECT quantile_cont(value, 0.95) AS thr FROM events)
+            WHERE value >= thr
+        """,
+        "q21_exact_dup_docs": """
+            SELECT md5(coalesce(text, '∅')) AS content_hash,
+                   count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+        """,
+        "q22_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+              FROM toks WHERE len(t) >= 3),
+            inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+            FROM pairs WHERE inter / (na + nb - inter) >= 0.03
+            ORDER BY id_a, id_b
+        """,
+        "q23_embedding_topk": """
+            SELECT q_id, b_id, score, rank FROM (
+              SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                                 b.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
+              WHERE q.vec_id < 10)
+            WHERE rank <= 5 ORDER BY q_id, rank
+        """,
+        "q24_norm_stats": """
+            SELECT label, count(*) AS n,
+                   round(avg(nrm), 6) AS norm_mean,
+                   round(stddev_samp(nrm), 6) AS norm_std,
+                   round(min(nrm), 6) AS norm_min,
+                   round(max(nrm), 6) AS norm_max
+            FROM (SELECT label, sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+                  FROM embeddings)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q26_fingerprint": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents)
+            SELECT doc_id,
+                   list_min([md5(array_to_string(t[i:i+2], ' ')) FOR i IN range(1, len(t) - 1)]) AS fingerprint
+            FROM toks WHERE len(t) >= 3
+        """,
+        "q27_psi_split": """
+            WITH binned AS (
+              SELECT least(greatest(floor(value / 25.0), 0), 19)::BIGINT AS bin,
+                     CASE WHEN dayofmonth(ts) <= 15 THEN 'a' ELSE 'b' END AS side
+              FROM events),
+            grid AS (SELECT range AS bin FROM range(20)),
+            a AS (SELECT bin, count(*) AS ca FROM binned WHERE side = 'a' GROUP BY 1),
+            b AS (SELECT bin, count(*) AS cb FROM binned WHERE side = 'b' GROUP BY 1),
+            j AS (
+              SELECT g.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM grid g LEFT JOIN a ON g.bin = a.bin LEFT JOIN b ON g.bin = b.bin),
+            tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j)
+            SELECT round(sum(((ca + 0.5) / (ta + 10.0) - (cb + 0.5) / (tb + 10.0))
+                   * ln(((ca + 0.5) / (ta + 10.0)) / ((cb + 0.5) / (tb + 10.0)))), 6) AS psi
+            FROM j, tot
+        """,
+        "q28_stats_profile": """
+            SELECT * FROM (
+              SELECT 'l_discount' AS col_name, count(*) AS cnt, count(l_discount) AS n_nonnull,
+                     round(sum(l_discount::DECIMAL(30,12))::DOUBLE / count(l_discount), 6) AS mean, round(sqrt((sum((l_discount * l_discount)::DECIMAL(30,10))::DOUBLE - sum(l_discount::DECIMAL(30,12))::DOUBLE * sum(l_discount::DECIMAL(30,12))::DOUBLE / count(l_discount)) / (count(l_discount) - 1)), 6) AS std,
+                     round(min(l_discount), 6) AS mn, round(max(l_discount), 6) AS mx,
+                     sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::BIGINT AS num_zeros,
+                     count(DISTINCT l_discount) AS num_unique
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+                     round(sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(l_extendedprice), 6), round(sqrt((sum((l_extendedprice * l_extendedprice)::DECIMAL(30,10))::DOUBLE - sum(l_extendedprice::DECIMAL(30,12))::DOUBLE * sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 6),
+                     round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+                     sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END)::BIGINT,
+                     count(DISTINCT l_extendedprice)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(*), count(l_quantity),
+                     round(sum(l_quantity::DECIMAL(30,12))::DOUBLE / count(l_quantity), 6), round(sqrt((sum((l_quantity * l_quantity)::DECIMAL(30,10))::DOUBLE - sum(l_quantity::DECIMAL(30,12))::DOUBLE * sum(l_quantity::DECIMAL(30,12))::DOUBLE / count(l_quantity)) / (count(l_quantity) - 1)), 6),
+                     round(min(l_quantity), 6), round(max(l_quantity), 6),
+                     sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END)::BIGINT,
+                     count(DISTINCT l_quantity)
+              FROM lineitem)
+            ORDER BY col_name
+        """,
+        "q29_orders_without_lineitem": """
+            SELECT o_orderkey FROM orders
+            WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)
+            ORDER BY 1
+        """,
+        "q30_dim_lookup": """
+            WITH dim(event_type, technique, tactic) AS (VALUES
+              ('error', 'TA0040', 'Impact'),
+              ('signup', 'TA0001', 'Initial Access'),
+              ('purchase', 'TA0010', 'Exfiltration'))
+            SELECT coalesce(technique, 'unknown') AS technique,
+                   coalesce(tactic, 'unknown') AS tactic, count(*) AS cnt
+            FROM events LEFT JOIN dim USING (event_type)
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "q31_semi_blocklist": """
+            SELECT user_id, count(*) AS cnt FROM events
+            WHERE user_id IN (1, 2, 3, 5, 8) GROUP BY 1 ORDER BY 1
+        """,
+        "q32_topk_per_group": """
+            SELECT event_type, rank, event_id, round(value, 6) AS value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rank
+              FROM events)
+            WHERE rank <= 3 ORDER BY event_type, rank
+        """,
+    } | _long_oracles()
+
+
+def _long_oracles() -> dict[str, str]:
+    sw = {
+        "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+        "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+        "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    }
+
+    def ratio(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in sw[lang])
+        return (
+            f"(len(list_filter(t, x -> list_contains([{lst}], x)))::DOUBLE / len(t))"
+        )
+
+    scores = {lang: ratio(lang) for lang in sw}
+    best = f"greatest({', '.join(scores.values())})"
+    lang_case = "CASE WHEN " + best + " <= 0.0 THEN 'und' " + " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in sw
+    ) + " END"
+    en = scores["en"]
+    q25 = rf"""
+        WITH base AS (
+          SELECT doc_id, trim(text) AS tt,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents)
+        SELECT doc_id,
+               (CASE WHEN length(tt) = 0 THEN 0 ELSE len(t) END)::BIGINT AS n_tokens,
+               round(
+                 0.25 * (CASE WHEN len(t) >= 5 AND len(t) <= 100000 THEN 1.0 ELSE 0.25 END)
+                 + 0.25 * (CASE WHEN len(t) > 0 AND length(tt)::DOUBLE / len(t) >= 2.0
+                                 AND length(tt)::DOUBLE / len(t) <= 12.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * (CASE WHEN {en} >= 0.05 AND {en} <= 0.6 THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * (CASE WHEN length(tt) > 0
+                                THEN length(regexp_replace(tt, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(tt)
+                                ELSE 0.0 END), 6) AS quality,
+               {lang_case} AS lang_guess
+        FROM base
     """
-    return {}
+    return {"q25_textstats": q25}

@@ -1,0 +1,277 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference removes exact duplicate rows (`src/ids/data_loader.py:189-194`);
+a 100 TB corpus pipeline needs the full ladder: exact, MinHash+LSH, SimHash,
+and n-gram Jaccard near-dup. Everything below is built-in-function Spark —
+shingling, hashing, banding and verification all run in whole-stage codegen
+(no Python UDFs): higher-order functions (transform/aggregate/array_*) do
+the per-row array work JVM-side.
+
+Scale notes:
+- Shingle/signature computation is a narrow map — no shuffle.
+- LSH banding shuffles (band_id, band_hash) key pairs; bucket sizes are the
+  skew risk, so buckets above `max_bucket` are dropped (and logged) —
+  standard "stop-word bucket" guard for near-dup at corpus scale.
+- Pair verification joins only within-bucket candidates, never all-pairs.
+  Exact Jaccard verification re-joins the (small) candidate set against the
+  shingle arrays by id — broadcastable when candidates are sparse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array<string> (JVM higher-order fns)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# ------------------------------------------------------------------ exact dup
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: one hash-partitioned groupBy.
+    Returns (content_hash, n_dups, keep_id, dup_ids) for groups with n>1."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide MinHash signature: min over shingles of seeded
+    xxhash64 — all JVM-side, no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
+
+    Band width r = num_hashes/bands ⇒ candidate prob ≈ 1-(1-j^r)^bands.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            token_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # stop-word-bucket guard: degenerate buckets explode quadratically
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "bucket"], "left_anti"
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash of token set, built from bit-vote aggregation over the
+    token array — single narrow projection, no explode/shuffle.
+
+    Bit masks are a powers-of-two literal array (shiftleft needs a literal
+    count, so bits are tested with bitwiseAND against element_at). The sign
+    bit's mask is long-min, which also keeps the final sum in long range.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    # votes[b] = Σ_tokens (bit b set ? +1 : −1); bit b of result = votes[b] > 0
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda vacc, h: vacc
+                + F.when(h.bitwiseAND(F.element_at(masks, b + 1)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.element_at(masks, b + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k, using the 4-band pigeonhole
+    trick (k<16 ⇒ some 16-bit band equal) to avoid all-pairs."""
+    base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.key")
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -------------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-candidate Jaccard via inverted shingle index: explode
+    shingles → self-join on shingle → pair intersection counts → filter.
+    Exact (no LSH miss) but O(Σ bucket²) — the baseline the LSH variants
+    are verified against on samples."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return inter.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    ).select("id_a", "id_b", "jaccard")

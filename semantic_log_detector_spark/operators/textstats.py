@@ -1,0 +1,84 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All Catalyst-native expressions (no UDFs): these run over the `documents`
+table in queries()/oracle_sql() and over transcripts in the clips suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import token_shingles, tokens
+
+# tiny seeded stopword lists — heuristic n-gram/stopword language ID
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: see `bpe_token_estimate`)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Rough BPE token estimate: word-piece regex splits on boundaries +
+    ~4 chars/token heuristic for long words. Deterministic, oracle-able."""
+    words = token_count(col)
+    chars = F.length(F.trim(col))
+    return F.greatest(words, F.ceil(chars / 4.0)).cast("long")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.when(F.array_contains(sw, t), 1).otherwise(0)
+    )
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_scores(col: Column) -> list[Column]:
+    return [stopword_ratio(col, lang).alias(f"score_{lang}") for lang in STOPWORDS]
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax stopword-hit-ratio over the language dictionaries; 'und'
+    (undetermined) when no stopwords hit at all."""
+    scores = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0.0, F.lit("und"))
+    for lang, s in scores.items():
+        expr = expr.when(s == best, F.lit(lang))
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality: length band + alpha ratio + stopword ratio +
+    mean-word-length band — the document-quality analog of the reference's
+    text cleaning heuristics (preprocessor.py:146-190)."""
+    t = F.trim(col)
+    n_chars = F.length(t).cast("double")
+    n_words = token_count(col).cast("double")
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, r"[^A-Za-z ]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    len_ok = F.when((n_words >= 5) & (n_words <= 100000), 1.0).otherwise(0.25)
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.5)
+    sw = stopword_ratio(col, "en")
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
+    return F.round(0.25 * len_ok + 0.25 * wlen_ok + 0.25 * sw_ok + 0.25 * alpha_ratio, 6)
+
+
+def doc_fingerprint(col: Column, shingle_n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over token shingles
+    (1-permutation MinHash) — stable under reordering-free edits."""
+    return F.array_min(F.transform(token_shingles(col, shingle_n), lambda s: F.xxhash64(s)))
