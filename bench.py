@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the full clips
+validation suite (the north metric: validated clips/sec, all checks
+enabled) on a materialized synthetic clip table. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "clips_per_sec": ..., "n_clips": ...}
+
+The clip table is materialized to a cache dir once (fixture generation is
+not engine time) and read back as parquet — the realistic input path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_nation_revenue",
+    "q06_distinct_parts",
+    "q08_sliding_avg",
+    "q12_zscore_window",
+    "q19_best_threshold",
+    "q22_ngram_jaccard",
+    "q23_embedding_topk",
+    "q25_textstats",
+    "q28_stats_profile",
+    "q33_minhash_pairs",
+]
+
+
+def materialize_clips(spark, n: int, seed: int = 42, cache_root: str = "/tmp/sld_bench_cache"):
+    from semantic_log_detector_spark.sources.synth import clips_table, transcripts_table
+
+    cdir = f"{cache_root}/clips_{n}_{seed}"
+    tdir = f"{cache_root}/transcripts_{n}_{seed}"
+    for path, builder in ((cdir, lambda: clips_table(spark, n, seed=seed)),
+                          (tdir, lambda: transcripts_table(spark, n, seed=seed))):
+        if not (os.path.isdir(path) and any(f.endswith("parquet") for f in os.listdir(path))):
+            builder().write.mode("overwrite").parquet(path)
+    return cdir, tdir
+
+
+def run_clips_suite(spark, cdir: str, tdir: str, out_dir: str) -> float:
+    from semantic_log_detector_spark.plans.runner import SuiteConfig, run_suite
+
+    clips = spark.read.parquet(cdir)
+    transcripts = spark.read.parquet(tdir)
+    t0 = time.time()
+    run_suite(spark, clips, transcripts, out_dir, SuiteConfig(),
+              input_fingerprint=cdir)
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", 20_000))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from semantic_log_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/readers once so q01 doesn't pay session startup
+    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        # noop sink materializes the full result without collect()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    cdir, tdir = materialize_clips(spark, n_clips)
+    out_dir = tempfile.mkdtemp(prefix="sld_bench_out_")
+    try:
+        suite_wall = run_clips_suite(spark, cdir, tdir, out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["clips_suite"] = round(suite_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query suite + full clips validation wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_clips": n_clips,
+        "clips_per_sec": round(n_clips / suite_wall, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -264,7 +264,11 @@ def drift_check(
     """Full drift + decode check. Returns verdicts per (part, rule) for
     R050/R051 (drift) and violations for R060/R061 (decode/duration)."""
     feats = decode_features(clips, ctx)
+    # eager materialization: downstream branches (violations, histogram,
+    # scores) all re-reference feats inside single jobs — without forcing
+    # the cache first, the decode pass runs once per branch
     feats.persist()
+    feats.count()
     try:
         viol_rows = decode_violations(feats, ctx)
         hist = histogram_partials(feats, ctx, bins)

@@ -63,15 +63,9 @@ def default_clip_rules(allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "
     ]
 
 
-def run_row_rules(df: DataFrame, rules: list[RowRule], ctx: RunContext) -> CheckResult:
-    """Evaluate all rules in one scan; emit violations + per-partition verdicts.
-
-    Rules whose column is absent from the input are skipped (metadata-only
-    runs omit `bytes`), mirroring the reference's intersection-fallback on
-    schema mismatch (data_loader.py:104-118).
-    """
-    rules = [r for r in rules if r.column in df.columns]
-    df = ensure_part_id(df, ctx)
+def violation_projection(df: DataFrame, rules: list[RowRule], ctx: RunContext) -> DataFrame:
+    """Compile N rules into ONE projection (array → compact → explode).
+    Stateless, so it runs identically on batch and streaming inputs."""
     structs = [
         F.when(
             r.violation,
@@ -87,20 +81,29 @@ def run_row_rules(df: DataFrame, rules: list[RowRule], ctx: RunContext) -> Check
         for r in rules
     ]
     hits = F.array_compact(F.array(*structs))  # drop non-violations (nulls)
-    violations = (
-        df.select("clip_id", ctx.part_col, F.explode(hits).alias("v"))
-        .select(
-            F.lit(ctx.run_id).alias("run_id"),
-            F.col(ctx.part_col).cast("int").alias("part_id"),
-            F.col("v.rule_id").alias("rule_id"),
-            "clip_id",
-            F.col("v.column").alias("column"),
-            F.col("v.observed").alias("observed"),
-            F.col("v.expected").alias("expected"),
-            F.col("v.severity").alias("severity"),
-            F.col("v.explanation").alias("explanation"),
-        )
+    return df.select("clip_id", ctx.part_col, F.explode(hits).alias("v")).select(
+        F.lit(ctx.run_id).alias("run_id"),
+        F.col(ctx.part_col).cast("int").alias("part_id"),
+        F.col("v.rule_id").alias("rule_id"),
+        "clip_id",
+        F.col("v.column").alias("column"),
+        F.col("v.observed").alias("observed"),
+        F.col("v.expected").alias("expected"),
+        F.col("v.severity").alias("severity"),
+        F.col("v.explanation").alias("explanation"),
     )
+
+
+def run_row_rules(df: DataFrame, rules: list[RowRule], ctx: RunContext) -> CheckResult:
+    """Evaluate all rules in one scan; emit violations + per-partition verdicts.
+
+    Rules whose column is absent from the input are skipped (metadata-only
+    runs omit `bytes`), mirroring the reference's intersection-fallback on
+    schema mismatch (data_loader.py:104-118).
+    """
+    rules = [r for r in rules if r.column in df.columns]
+    df = ensure_part_id(df, ctx)
+    violations = violation_projection(df, rules, ctx)
     part_counts = part_row_counts(df, ctx)
     verdicts = verdicts_from_violations(
         violations.withColumnRenamed("part_id", ctx.part_col),

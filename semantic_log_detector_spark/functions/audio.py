@@ -125,6 +125,38 @@ def mel_filterbank(sr_hz: int, n_fft: int, n_mels: int = 20) -> np.ndarray:
     return fb
 
 
+_FB_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+_WIN_CACHE: dict[int, np.ndarray] = {}
+
+
+def _cached_fb(sr_hz: int, n_fft: int, n_mels: int) -> np.ndarray:
+    key = (sr_hz, n_fft, n_mels)
+    if key not in _FB_CACHE:
+        _FB_CACHE[key] = mel_filterbank(sr_hz, n_fft, n_mels).T.astype(np.float32)
+    return _FB_CACHE[key]
+
+
+def _cached_win(frame: int) -> np.ndarray:
+    if frame not in _WIN_CACHE:
+        _WIN_CACHE[frame] = np.hanning(frame).astype(np.float32)
+    return _WIN_CACHE[frame]
+
+
+def _power_frames(pcm: np.ndarray, sr_hz: int, frame_ms: float, hop_ms: float):
+    """frames × (n_fft/2+1) power spectrum, float32 single-pass."""
+    frame = max(int(sr_hz * frame_ms / 1000.0), 2)
+    hop = max(int(sr_hz * hop_ms / 1000.0), 1)
+    pcm = np.asarray(pcm, dtype=np.float32)
+    if len(pcm) < frame:
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    n_frames = 1 + (len(pcm) - frame) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop][:n_frames]
+    frames = frames * _cached_win(frame)[None, :]
+    n_fft = 1 << (frame - 1).bit_length()
+    spec = np.fft.rfft(frames, n=n_fft, axis=1)
+    return (spec.real**2 + spec.imag**2), n_fft
+
+
 def log_mel_frames(
     pcm: np.ndarray,
     sr_hz: int,
@@ -133,17 +165,8 @@ def log_mel_frames(
     hop_ms: float = 10.0,
 ) -> np.ndarray:
     """frames × n_mels log-mel energies. Pure numpy (no scipy in container)."""
-    frame = max(int(sr_hz * frame_ms / 1000.0), 2)
-    hop = max(int(sr_hz * hop_ms / 1000.0), 1)
-    if len(pcm) < frame:
-        pcm = np.pad(pcm, (0, frame - len(pcm)))
-    n_frames = 1 + (len(pcm) - frame) // hop
-    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = pcm[idx] * np.hanning(frame)[None, :]
-    n_fft = 1 << (frame - 1).bit_length()
-    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
-    fb = mel_filterbank(sr_hz, n_fft, n_mels)
-    mel = spec @ fb.T
+    power, n_fft = _power_frames(pcm, sr_hz, frame_ms, hop_ms)
+    mel = power @ _cached_fb(sr_hz, n_fft, n_mels)
     return np.log(mel + 1e-10)
 
 
@@ -167,17 +190,22 @@ def mfcc(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13, n_mels: int = 20) -> np.
     return lm @ _dct_matrix(n_mels, n_mfcc).T
 
 
-def clip_features(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13) -> np.ndarray:
+def clip_features(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13,
+                  n_mels: int = 20) -> np.ndarray:
     """Per-clip feature vector: mean MFCC over frames + rms + spectral centroid.
 
     Replaces the reference's 384-d sentence embedding (pipeline.py:65-68) as
-    the drift-scored representation. Length = n_mfcc + 2.
+    the drift-scored representation. Length = n_mfcc + 2. Single framed-FFT
+    pass: log-mel/MFCC and the centroid share one power spectrum.
     """
-    m = mfcc(pcm, sr_hz, n_mfcc=n_mfcc).mean(axis=0)
-    rms = float(np.sqrt(np.mean(pcm**2) + 1e-12))
-    spec = np.abs(np.fft.rfft(pcm[: min(len(pcm), 1 << 15)])) ** 2 + 1e-12
-    freqs = np.fft.rfftfreq(min(len(pcm), 1 << 15), d=1.0 / sr_hz)
-    centroid = float((spec * freqs).sum() / spec.sum())
+    power, n_fft = _power_frames(pcm, sr_hz, 25.0, 10.0)
+    mel = power @ _cached_fb(sr_hz, n_fft, n_mels)
+    lm = np.log(mel + 1e-10)
+    m = (lm.mean(axis=0) @ _dct_matrix(n_mels, n_mfcc).T)
+    rms = float(np.sqrt(np.mean(np.asarray(pcm, dtype=np.float64) ** 2) + 1e-12))
+    mean_spec = power.mean(axis=0) + 1e-12
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr_hz)
+    centroid = float((mean_spec * freqs).sum() / mean_spec.sum())
     return np.concatenate([m, [rms, centroid]]).astype(np.float64)
 
 

@@ -25,13 +25,16 @@ LOG_LEVELS = ("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL", "FATAL", "WARN", 
 def extract_timestamp(col: Column) -> Column:
     """F1: coalesce over the reference's regex/strptime families
     (preprocessor.py:91-128): ISO-8601, syslog, unix seconds/millis."""
-    iso = F.to_timestamp(F.regexp_extract(col, f"({_TS_ISO})", 1))
+    # try_to_timestamp + nullif: ANSI mode raises on to_timestamp('')
+    iso = F.try_to_timestamp(
+        F.regexp_replace(F.nullif(F.regexp_extract(col, f"({_TS_ISO})", 1), F.lit("")), "T", " ")
+    )
     unix_ms = F.regexp_extract(col, r"\b(1[5-9]\d{11})\b", 1)
     unix_s = F.regexp_extract(col, r"\b(1[5-9]\d{8})\b", 1)
     return F.coalesce(
         iso,
-        F.to_timestamp(F.from_unixtime(F.nullif(unix_ms, F.lit("")).cast("long") / 1000)),
-        F.to_timestamp(F.from_unixtime(F.nullif(unix_s, F.lit("")).cast("long"))),
+        F.try_to_timestamp(F.from_unixtime(F.nullif(unix_ms, F.lit("")).cast("long") / 1000)),
+        F.try_to_timestamp(F.from_unixtime(F.nullif(unix_s, F.lit("")).cast("long"))),
     )
 
 

@@ -170,12 +170,16 @@ def run_suite(
                 else:
                     raise ValueError(f"unknown check {check!r}")
 
+                # persist verdicts around write + ledger-stats so the agg
+                # chain executes once, not twice
+                res.verdicts.persist()
                 _write_outputs(res, out_dir)
                 stats = (
                     res.verdicts.groupBy("part_id")
                     .agg(F.max("n_rows").alias("nr"), F.sum("n_violations").alias("nv"))
                     .collect()
                 )
+                res.verdicts.unpersist()
                 by_part = {r["part_id"]: (r["nr"], r["nv"]) for r in stats}
                 part_stats = [
                     (p, *(by_part.get(p, (0, 0)))) for p in pend

@@ -222,11 +222,18 @@ def clips_table(
     with_bytes: bool = True,
     drift_parts: tuple[int, ...] = (7, 21),
     num_partitions: int | None = None,
+    dur_min_ms: int = 200,
+    dur_max_ms: int = 2000,
 ) -> DataFrame:
     """Full synthetic clips table in the input_hint contract (+ idx, part_id)."""
-    meta = with_part_id(clips_meta(spark, n, seed=seed, num_partitions=num_partitions), num_parts)
+    meta = with_part_id(
+        clips_meta(spark, n, seed=seed, num_partitions=num_partitions,
+                   dur_min_ms=dur_min_ms, dur_max_ms=dur_max_ms),
+        num_parts,
+    )
     if with_bytes:
-        return with_audio(meta, seed=seed, drift_parts=drift_parts)
+        max_samples = max(1 << 17, 96_000 * dur_max_ms // 1000 + 1)
+        return with_audio(meta, seed=seed, drift_parts=drift_parts, max_samples=max_samples)
     return meta
 
 

