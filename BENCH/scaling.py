@@ -63,31 +63,44 @@ def run_level(cores: int, n: int) -> dict:
 
     cdir = f"/tmp/sld_bench_cache/clips_scaling_{n}"
     tdir = f"/tmp/sld_bench_cache/transcripts_scaling_{n}"
+    # pre-warm the page cache: this VM's disk reads ~65 MB/s cold, which
+    # would otherwise dominate whichever level runs first (measurement
+    # artifact, not engine behavior — production reads from a distributed
+    # store with its own locality story)
+    for d in (cdir, tdir):
+        for f in Path(d).glob("*.parquet"):
+            f.read_bytes()
     spark = get_spark(master=f"local[{cores}]", shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
     clips = spark.read.parquet(cdir)
     transcripts = spark.read.parquet(tdir)
 
+    import statistics
+
     suite_walls, drift_walls = [], []
-    for i in range(2):
+    for i in range(4):  # first = cold (discarded); median of the rest
         out = tempfile.mkdtemp(prefix=f"sld_scale_{cores}_")
         t0 = time.time()
         run_suite(spark, clips, transcripts, out, SuiteConfig(),
                   input_fingerprint=f"scale{i}")
         suite_walls.append(time.time() - t0)
-    for i in range(2):
+    for i in range(3):
         t0 = time.time()
         drift_check(clips, RunContext(run_id=f"d{i}"))
         drift_walls.append(time.time() - t0)
     spark.stop()
+    suite_med = statistics.median(suite_walls[1:])
+    drift_med = statistics.median(drift_walls[1:])
     return {
         "cores": cores,
         "n_clips": n,
         "suite_cold_s": round(suite_walls[0], 1),
-        "suite_warm_s": round(suite_walls[1], 1),
-        "drift_warm_s": round(drift_walls[1], 1),
-        "suite_clips_per_sec": round(n / suite_walls[1], 1),
-        "drift_clips_per_sec": round(n / drift_walls[1], 1),
+        "suite_warm_s": round(suite_med, 1),
+        "suite_all_s": [round(x, 1) for x in suite_walls],
+        "drift_warm_s": round(drift_med, 1),
+        "drift_all_s": [round(x, 1) for x in drift_walls],
+        "suite_clips_per_sec": round(n / suite_med, 1),
+        "drift_clips_per_sec": round(n / drift_med, 1),
     }
 
 
@@ -126,13 +139,13 @@ include one-time JVM/codegen/Python-worker startup.
 
 Efficiency = (thr_{LEVELS[1]} / thr_{LEVELS[0]}) / ({LEVELS[1]}/{LEVELS[0]}), per BASELINE.md §North metric.
 
-The drift path — PCM decode → MFCC/log-mel features → histogram partials —
-is the engine's compute; it carries ≥99% of the work at production scale
-(10^12 clips) and is the row that demonstrates scaling. The full-suite row
-additionally pays ~10-15 s of per-job scheduling latency from the six
-metadata checks — a fixed cost independent of cores and input size, which
-at sandbox input sizes dilutes measured efficiency but amortizes to noise
-at production row counts.
+The **full suite row is the north metric** ("validated clips/sec end-to-end
+with all checks enabled"). The drift row isolates the Arrow decode path
+(PCM → MFCC/log-mel → histogram partials) as a diagnostic. Measurement
+environment caveats (single shared VM): hypervisor steal-time spikes of up
+to ~25% CPU were observed, cold disk reads ~65 MB/s (page cache pre-warmed
+before each level), and run-to-run variance is ±20-30% — medians over 3
+warm runs are reported; all raw walls below.
 
 Raw results: {json.dumps(results)}
 """

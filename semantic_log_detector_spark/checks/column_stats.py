@@ -195,12 +195,14 @@ def stats_check(
                     ok.alias("passed"),
                     F.round(observed, 6).cast("string").alias("observed"),
                     F.lit(f"{c}.{field} {op} {thr}").alias("expected"),
+                    F.lit(c).alias("col_name"),
                 )
             )
+    exploded = per_part.select(
+        F.col(ctx.part_col), F.col("n_rows"), F.explode(F.array(*verdict_rows)).alias("v")
+    )
     verdicts = (
-        per_part.select(
-            F.col(ctx.part_col), F.col("n_rows"), F.explode(F.array(*verdict_rows)).alias("v")
-        )
+        exploded
         .select(
             F.lit(ctx.run_id).alias("run_id"),
             F.col(ctx.part_col).cast("int").alias("part_id"),
@@ -212,15 +214,15 @@ def stats_check(
             F.col("v.expected").alias("expected"),
         )
     )
-    violations = verdicts.filter(~F.col("passed")).select(
-        "run_id",
-        "part_id",
-        "rule_id",
+    violations = exploded.filter(~F.col("v.passed")).select(
+        F.lit(ctx.run_id).alias("run_id"),
+        F.col(ctx.part_col).cast("int").alias("part_id"),
+        F.col("v.rule_id").alias("rule_id"),
         F.lit(None).cast("string").alias("clip_id"),
-        F.split(F.col("rule_id"), "_").getItem(2).alias("column"),
-        "observed",
-        "expected",
+        F.col("v.col_name").alias("column"),
+        F.col("v.observed").alias("observed"),
+        F.col("v.expected").alias("expected"),
         severity_for_rate(F.lit(0.01)).alias("severity"),
-        F.concat(F.lit("partition stat out of bounds: observed="), F.col("observed")).alias("explanation"),
+        F.concat(F.lit("partition stat out of bounds: observed="), F.col("v.observed")).alias("explanation"),
     )
     return CheckResult("column_stats", verdicts, violations)

@@ -253,6 +253,50 @@ def drift_scores(hist: DataFrame, ctx: RunContext,
     )
 
 
+def calibrate_threshold(scored: DataFrame, score_col: str, label_col: str,
+                        objective: str = "f1") -> tuple[float, float]:
+    """Threshold calibration over labeled fixtures (SURVEY.md A10;
+    `src/ids/threshold_calibrator.py:50-124`): sweep every observed score as
+    a candidate threshold via a window cumulative sum (one pass, no
+    driver-side loop) and return (best_threshold, best_objective).
+
+    objective: 'f1' (max-F1) or 'youden' (max TPR−FPR).
+    """
+    from pyspark.sql import Window
+
+    by_v = (
+        scored.select(F.col(score_col).alias("v"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos"))
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_all"),
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        by_v.withColumn("tp", F.sum("npos").over(w))
+        .withColumn("pp", F.sum("n").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    tp = F.col("tp")
+    fp = F.col("pp") - tp
+    fn = F.col("pos_all") - tp
+    tn = F.col("n_all") - F.col("pp") - fn
+    if objective == "f1":
+        obj = 2 * tp / (2 * tp + fp + fn)
+    elif objective == "youden":
+        obj = tp / (tp + fn) - fp / (fp + tn)
+    else:
+        raise ValueError(objective)
+    best = (
+        s.select(F.col("v").alias("threshold"), obj.alias("objective"))
+        .orderBy(F.desc("objective"), F.asc("threshold"))
+        .first()
+    )
+    return float(best["threshold"]), float(best["objective"])
+
+
 def drift_check(
     clips: DataFrame,
     ctx: RunContext,

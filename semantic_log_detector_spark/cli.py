@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--waves", type=int, default=1)
     run.add_argument("--max-waves", type=int, default=None)
     run.add_argument("--checks", default=",".join(SuiteConfig().checks))
+    run.add_argument("--config", help="checks.yaml / checks.json (overrides other check flags)")
     run.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -51,11 +52,16 @@ def main(argv: list[str] | None = None) -> int:
             clips = clips_table(spark, args.n_clips, num_parts=args.num_parts)
             transcripts = transcripts_table(spark, args.n_clips)
             fingerprint = f"synth:{args.n_clips}"
-        cfg = SuiteConfig(
-            num_parts=args.num_parts,
-            waves=args.waves,
-            checks=tuple(args.checks.split(",")),
-        )
+        if args.config:
+            from .config import load_config
+
+            cfg = load_config(args.config)
+        else:
+            cfg = SuiteConfig(
+                num_parts=args.num_parts,
+                waves=args.waves,
+                checks=tuple(args.checks.split(",")),
+            )
         result = run_suite(
             spark, clips, transcripts, args.out, cfg,
             input_fingerprint=fingerprint, max_waves=args.max_waves,

@@ -62,21 +62,36 @@ def completed_parts(
     config_hash: str,
 ) -> set[int]:
     """part_ids already done for this (check, input, config) lineage."""
+    return completed_map(spark, ledger_path, input_fingerprint, config_hash).get(
+        check_id, set()
+    )
+
+
+def completed_map(
+    spark: SparkSession,
+    ledger_path: str,
+    input_fingerprint: str,
+    config_hash: str,
+) -> dict[str, set[int]]:
+    """check_id → completed part_ids, one ledger scan for the whole run
+    (the runner tracks its own appends in-memory on top of this)."""
     led = read(spark, ledger_path)
     if led is None:
-        return set()
+        return {}
     rows = (
         led.filter(
-            (F.col("check_id") == check_id)
-            & (F.col("status") == "done")
+            (F.col("status") == "done")
             & (F.col("input_fingerprint") == input_fingerprint)
             & (F.col("config_hash") == config_hash)
         )
-        .select("part_id")
+        .select("check_id", "part_id")
         .distinct()
         .collect()
     )
-    return {r["part_id"] for r in rows}
+    out: dict[str, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["check_id"], set()).add(r["part_id"])
+    return out
 
 
 def _exists(path: str) -> bool:

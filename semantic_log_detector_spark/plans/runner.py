@@ -96,17 +96,20 @@ def run_suite(
     clips = ensure_part_id(clips, ctx)
     result = RunResult(run_id=run_id, out_dir=out_dir, waves_run=0)
 
+    # one ledger scan for the whole run; our own appends tracked in-memory
+    done_map = ledger_mod.completed_map(
+        spark, ledger_path, input_fingerprint, ctx.config_hash)
+
     # schema check is plan-time + global — run once, outside the wave loop
     if "schema" in cfg.checks:
-        done = ledger_mod.completed_parts(
-            spark, ledger_path, "schema", input_fingerprint, ctx.config_hash)
-        if -1 not in done:
+        if -1 not in done_map.get("schema", set()):
             t0 = time.time()
             res = schema_check(clips, CLIPS_SCHEMA, ctx)
             _write_outputs(res, out_dir)
             ledger_mod.append(
                 spark, ledger_path, run_id, "schema", [(-1, 0, res.violations.count())],
                 (time.time() - t0) * 1000, input_fingerprint, ctx.config_hash)
+            done_map.setdefault("schema", set()).add(-1)
             result.checks_run.append("schema")
 
     wave_checks = [c for c in cfg.checks if c != "schema"]
@@ -115,12 +118,7 @@ def run_suite(
     for wave in range(n_waves):
         parts = _wave_parts(cfg, wave)
         pending_by_check = {
-            c: sorted(
-                set(parts)
-                - ledger_mod.completed_parts(
-                    spark, ledger_path, c, input_fingerprint, ctx.config_hash)
-            )
-            for c in wave_checks
+            c: sorted(set(parts) - done_map.get(c, set())) for c in wave_checks
         }
         if not any(pending_by_check.values()):
             result.waves_run += 1
@@ -187,6 +185,7 @@ def run_suite(
                 ledger_mod.append(
                     spark, ledger_path, run_id, check, part_stats,
                     (time.time() - t0) * 1000, input_fingerprint, ctx.config_hash)
+                done_map.setdefault(check, set()).update(pend)
                 if check not in result.checks_run:
                     result.checks_run.append(check)
         finally:

@@ -42,9 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # binary-heavy tables: the default 4096-row columnar batch holds
+        # ~1 GB of audio payload per task at 32 concurrent tasks → OOM.
+        # 256 rows × ~200 KB ≈ 50 MB per in-flight batch.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.python.worker.reuse", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Reused python workers degrade severely on repeated Arrow-heavy
+        # jobs (binary audio batches): measured 43s → 97s → 126s for the
+        # same decode job within one session with reuse on, stable ~28s
+        # with reuse off. Fresh workers pay ~0.5s import per task — cheap
+        # next to the leak.
+        .config("spark.python.worker.reuse", "false")
+        # local mode: driver IS the executor; size for 32 concurrent tasks
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
