@@ -56,17 +56,21 @@ def materialize(n: int) -> tuple[str, str]:
 
 
 def run_level(cores: int, n: int) -> dict:
-    from semantic_log_detector_spark.checks.base import RunContext
-    from semantic_log_detector_spark.checks.drift import drift_check
+    """ONE timed measurement in a fresh JVM: a warmup suite (codegen +
+    python-worker + page-cache warm; untimed) followed by one timed suite.
+
+    Fresh-JVM-per-measurement is deliberate: repeated Arrow-heavy jobs
+    degrade within a long-lived local-mode session (see session.py notes),
+    which would corrupt within-session medians. The orchestrator interleaves
+    levels (8,32,8,32,...) so hypervisor noise hits both levels equally.
+    """
     from semantic_log_detector_spark.plans.runner import SuiteConfig, run_suite
     from semantic_log_detector_spark.session import get_spark
 
     cdir = f"/tmp/sld_bench_cache/clips_scaling_{n}"
     tdir = f"/tmp/sld_bench_cache/transcripts_scaling_{n}"
-    # pre-warm the page cache: this VM's disk reads ~65 MB/s cold, which
-    # would otherwise dominate whichever level runs first (measurement
-    # artifact, not engine behavior — production reads from a distributed
-    # store with its own locality story)
+    # pre-warm the page cache: this VM's disk reads ~65 MB/s cold (artifact
+    # of the sandbox, not engine behavior)
     for d in (cdir, tdir):
         for f in Path(d).glob("*.parquet"):
             f.read_bytes()
@@ -75,32 +79,19 @@ def run_level(cores: int, n: int) -> dict:
     clips = spark.read.parquet(cdir)
     transcripts = spark.read.parquet(tdir)
 
-    import statistics
+    out = tempfile.mkdtemp(prefix=f"sld_warm_{cores}_")
+    run_suite(spark, clips, transcripts, out, SuiteConfig(), input_fingerprint="warm")
 
-    suite_walls, drift_walls = [], []
-    for i in range(4):  # first = cold (discarded); median of the rest
-        out = tempfile.mkdtemp(prefix=f"sld_scale_{cores}_")
-        t0 = time.time()
-        run_suite(spark, clips, transcripts, out, SuiteConfig(),
-                  input_fingerprint=f"scale{i}")
-        suite_walls.append(time.time() - t0)
-    for i in range(3):
-        t0 = time.time()
-        drift_check(clips, RunContext(run_id=f"d{i}"))
-        drift_walls.append(time.time() - t0)
+    out = tempfile.mkdtemp(prefix=f"sld_scale_{cores}_")
+    t0 = time.time()
+    run_suite(spark, clips, transcripts, out, SuiteConfig(), input_fingerprint="timed")
+    wall = time.time() - t0
     spark.stop()
-    suite_med = statistics.median(suite_walls[1:])
-    drift_med = statistics.median(drift_walls[1:])
     return {
         "cores": cores,
         "n_clips": n,
-        "suite_cold_s": round(suite_walls[0], 1),
-        "suite_warm_s": round(suite_med, 1),
-        "suite_all_s": [round(x, 1) for x in suite_walls],
-        "drift_warm_s": round(drift_med, 1),
-        "drift_all_s": [round(x, 1) for x in drift_walls],
-        "suite_clips_per_sec": round(n / suite_med, 1),
-        "drift_clips_per_sec": round(n / drift_med, 1),
+        "suite_s": round(wall, 1),
+        "suite_clips_per_sec": round(n / wall, 1),
     }
 
 
@@ -109,45 +100,53 @@ def main() -> None:
         print(json.dumps(run_level(int(sys.argv[2]), int(sys.argv[3]))))
         return
 
-    materialize(N_CLIPS)
-    results = {}
-    for cores in LEVELS:
-        out = subprocess.run(
-            [sys.executable, __file__, "level", str(cores), str(N_CLIPS)],
-            capture_output=True, text=True, timeout=3600,
-            cwd=str(Path(__file__).resolve().parents[1]),
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(results[cores])
+    import statistics
 
-    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
-    eff_suite = (hi["suite_clips_per_sec"] / lo["suite_clips_per_sec"]) / (LEVELS[1] / LEVELS[0])
-    eff_drift = (hi["drift_clips_per_sec"] / lo["drift_clips_per_sec"]) / (LEVELS[1] / LEVELS[0])
+    materialize(N_CLIPS)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", 3))
+    results: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for rep in range(reps):
+        for cores in LEVELS:  # interleaved so VM noise hits both levels
+            out = subprocess.run(
+                [sys.executable, __file__, "level", str(cores), str(N_CLIPS)],
+                capture_output=True, text=True, timeout=3600,
+                cwd=str(Path(__file__).resolve().parents[1]),
+            )
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"level {cores} rep {rep} failed:\n{out.stderr[-2000:]}")
+            results[cores].append(json.loads(lines[-1]))
+            print(rep, results[cores][-1], flush=True)
+
+    med = {
+        c: statistics.median(r["suite_clips_per_sec"] for r in results[c])
+        for c in LEVELS
+    }
+    walls = {c: statistics.median(r["suite_s"] for r in results[c]) for c in LEVELS}
+    eff = (med[LEVELS[1]] / med[LEVELS[0]]) / (LEVELS[1] / LEVELS[0])
 
     md = f"""# BENCH — scaling evidence (north_rule protocol)
 
-Identical job, identical input ({N_CLIPS:,} synthetic clips, durations
-{DUR[0]}–{DUR[1]} ms, WAV bytes materialized to parquet), run at two
-parallelism levels in separate JVMs. Warm (2nd) run reported; cold runs
-include one-time JVM/codegen/Python-worker startup.
+**North metric**: validated clips/sec end-to-end, all checks enabled
+(schema, row rules, stats, uniqueness, referential, frequency, drift with
+full PCM decode). No real cluster exists in this sandbox, so the N→4N
+criterion is evidenced by the identical job at two parallelism levels on
+the identical input ({N_CLIPS:,} synthetic clips, durations {DUR[0]}–{DUR[1]} ms,
+WAV payloads, materialized parquet).
 
-| run | local[{LEVELS[0]}] | local[{LEVELS[1]}] | speedup | efficiency (÷{LEVELS[1] // LEVELS[0]}) |
+Protocol: each measurement is a fresh JVM that runs one untimed warmup
+suite (codegen/worker/page-cache warm) then one timed suite; levels are
+interleaved {reps}× and medians reported (single shared VM shows
+hypervisor steal spikes up to ~25% and ±30% run variance).
+
+| | local[{LEVELS[0]}] | local[{LEVELS[1]}] | speedup | efficiency (÷{LEVELS[1] // LEVELS[0]}) |
 |---|---|---|---|---|
-| full suite (all checks) | {lo["suite_warm_s"]} s ({lo["suite_clips_per_sec"]} clips/s) | {hi["suite_warm_s"]} s ({hi["suite_clips_per_sec"]} clips/s) | {hi["suite_clips_per_sec"] / lo["suite_clips_per_sec"]:.2f}× | {eff_suite:.2f} |
-| drift check (decode-dominated) | {lo["drift_warm_s"]} s ({lo["drift_clips_per_sec"]} clips/s) | {hi["drift_warm_s"]} s ({hi["drift_clips_per_sec"]} clips/s) | {hi["drift_clips_per_sec"] / lo["drift_clips_per_sec"]:.2f}× | {eff_drift:.2f} |
+| full suite median wall | {walls[LEVELS[0]]:.1f} s | {walls[LEVELS[1]]:.1f} s | | |
+| validated clips/sec | {med[LEVELS[0]]:.1f} | {med[LEVELS[1]]:.1f} | {med[LEVELS[1]] / med[LEVELS[0]]:.2f}× | **{eff:.2f}** |
 
-Efficiency = (thr_{LEVELS[1]} / thr_{LEVELS[0]}) / ({LEVELS[1]}/{LEVELS[0]}), per BASELINE.md §North metric.
+Efficiency = (thr_{LEVELS[1]} / thr_{LEVELS[0]}) / ({LEVELS[1]}/{LEVELS[0]}).
 
-The **full suite row is the north metric** ("validated clips/sec end-to-end
-with all checks enabled"). The drift row isolates the Arrow decode path
-(PCM → MFCC/log-mel → histogram partials) as a diagnostic. Measurement
-environment caveats (single shared VM): hypervisor steal-time spikes of up
-to ~25% CPU were observed, cold disk reads ~65 MB/s (page cache pre-warmed
-before each level), and run-to-run variance is ±20-30% — medians over 3
-warm runs are reported; all raw walls below.
-
-Raw results: {json.dumps(results)}
+Raw per-rep results: {json.dumps(results)}
 """
     Path(__file__).parent.joinpath("BASELINE.md").write_text(md)
     print(md)

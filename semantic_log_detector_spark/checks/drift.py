@@ -79,48 +79,62 @@ DEFAULT_BINS: dict[str, BinSpec] = {
 
 def decode_features(df: DataFrame, ctx: RunContext) -> DataFrame:
     """Per-clip decode + feature extraction. Output: clip_id, part_id, ok,
-    err, sr_decoded, n_samples, features array<double> (len 15)."""
+    err, sr_decoded, n_samples, features array<double> (len 15).
+
+    mapInArrow, not mapInPandas: pandas would materialize every payload as
+    a Python bytes object (≈12 GB of allocator churn per 60k-clip pass);
+    Arrow binary columns are sliced as zero-copy memoryviews instead, and
+    the output is built directly as Arrow arrays.
+    """
     df = ensure_part_id(df, ctx)
     cols = ["clip_id", ctx.part_col, "bytes", "codec", "sr_hz", "dur_ms"]
     part_col = ctx.part_col
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            payloads = batch.column("bytes")
+            codecs = batch.column("codec").to_pylist()
             ok = np.zeros(n, dtype=bool)
-            err = np.empty(n, dtype=object)
+            err: list[str | None] = [None] * n
             srd = np.zeros(n, dtype=np.int64)
             nsamp = np.zeros(n, dtype=np.int64)
-            feats = np.empty(n, dtype=object)
-            for i, (buf, codec) in enumerate(zip(pdf["bytes"], pdf["codec"])):
+            feats: list[list[float] | None] = [None] * n
+            for i in range(n):
                 try:
-                    pcm, sr = decode_clip(bytes(buf) if buf is not None else None, codec)
+                    v = payloads[i]
+                    buf = None if not v.is_valid else memoryview(v.as_buffer())
+                    pcm, sr = decode_clip(buf, codecs[i])
                     fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
                     if not np.isfinite(fv).all():
                         raise ValueError("non-finite features")
-                    ok[i], srd[i], nsamp[i], feats[i] = True, sr, len(pcm), fv
+                    ok[i], srd[i], nsamp[i] = True, sr, len(pcm)
+                    feats[i] = fv.tolist()
                 except Exception as e:  # decode is allowed to fail per-row
                     err[i] = f"{type(e).__name__}: {e}"[:200]
-                    feats[i] = None
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    part_col: pdf[part_col],
-                    "declared_sr": pdf["sr_hz"],
-                    "declared_dur": pdf["dur_ms"],
-                    "ok": ok,
-                    "err": err,
-                    "sr_decoded": srd,
-                    "n_samples": nsamp,
-                    "features": feats,
-                }
+            yield pa.record_batch(
+                [
+                    batch.column("clip_id"),
+                    batch.column(part_col),
+                    batch.column("sr_hz"),
+                    batch.column("dur_ms"),
+                    pa.array(ok),
+                    pa.array(err, type=pa.string()),
+                    pa.array(srd),
+                    pa.array(nsamp),
+                    pa.array(feats, type=pa.list_(pa.float64())),
+                ],
+                names=["clip_id", part_col, "declared_sr", "declared_dur",
+                       "ok", "err", "sr_decoded", "n_samples", "features"],
             )
 
     schema = (
         f"clip_id string, {part_col} int, declared_sr int, declared_dur int, "
         "ok boolean, err string, sr_decoded long, n_samples long, features array<double>"
     )
-    return df.select(*cols).mapInPandas(gen, schema=schema)
+    return df.select(*cols).mapInArrow(gen, schema=schema)
 
 
 def decode_violations(feats: DataFrame, ctx: RunContext, dur_tol_ms: float = 20.0,
@@ -212,6 +226,45 @@ def histogram_partials(feats: DataFrame, ctx: RunContext,
 _ALPHA = 0.5
 
 
+def drift_scores_local(hist_rows: list, ctx: RunContext) -> list[tuple]:
+    """Driver-side PSI/KS on collected histogram rows [(part, feature, bin,
+    cnt)] — numpy, vectorized per (part, feature). SURVEY.md §4.4: PSI/KS
+    belong on the *collected tiny histogram tables* once they fit the
+    driver (parts × features × bins; ≈23k rows at P=64, ≈1.5M at P=4096).
+    Returns [(part_id, feature, psi, ks)]. Exact same math as the
+    Spark-side `drift_scores` (Laplace-smoothed PSI, fixed-bin KS).
+    """
+    import collections
+
+    by_feat: dict[str, dict] = collections.defaultdict(dict)
+    bins_by_feat: dict[str, set] = collections.defaultdict(set)
+    parts = set()
+    for part, feature, b, cnt in hist_rows:
+        by_feat[feature][(part, b)] = cnt
+        bins_by_feat[feature].add(b)
+        parts.add(part)
+    out = []
+    for feature, cells in by_feat.items():
+        bins = sorted(bins_by_feat[feature])
+        bidx = {b: i for i, b in enumerate(bins)}
+        plist = sorted(parts)
+        pidx = {p: i for i, p in enumerate(plist)}
+        mat = np.zeros((len(plist), len(bins)))
+        for (part, b), cnt in cells.items():
+            mat[pidx[part], bidx[b]] = cnt
+        base = mat.sum(axis=0)
+        nb = len(bins)
+        p = (mat + _ALPHA) / (mat.sum(axis=1, keepdims=True) + _ALPHA * nb)
+        q = (base + _ALPHA) / (base.sum() + _ALPHA * nb)
+        psi = ((p - q) * np.log(p / q)).sum(axis=1)
+        cdf_p = np.cumsum(mat, axis=1) / np.maximum(mat.sum(axis=1, keepdims=True), 1)
+        cdf_q = np.cumsum(base) / max(base.sum(), 1)
+        ks = np.abs(cdf_p - cdf_q).max(axis=1)
+        for i, part in enumerate(plist):
+            out.append((int(part), feature, float(psi[i]), float(ks[i])))
+    return out
+
+
 def drift_scores(hist: DataFrame, ctx: RunContext,
                  baseline: DataFrame | None = None) -> DataFrame:
     """Per (part_id, feature): PSI + fixed-bin KS vs baseline.
@@ -219,7 +272,9 @@ def drift_scores(hist: DataFrame, ctx: RunContext,
     `baseline` defaults to the global histogram (sum over partitions) — a
     self-baseline in the spirit of the reference's fit-on-normal pass
     (`src/detection/pipeline.py:124-134`); pass a stored baseline table
-    (feature, bin, cnt) for cross-run drift.
+    (feature, bin, cnt) for cross-run drift. For the default self-baseline
+    at modest partition counts, `drift_check` uses `drift_scores_local`
+    (one collect of the tiny histogram) instead of this three-shuffle plan.
     """
     part_col = ctx.part_col
     if baseline is None:
@@ -316,14 +371,33 @@ def drift_check(
     try:
         viol_rows = decode_violations(feats, ctx)
         hist = histogram_partials(feats, ctx, bins)
-        scores = drift_scores(hist, ctx, baseline)
 
         part_counts = part_row_counts(ensure_part_id(clips, ctx), ctx)
-        per_part = scores.groupBy(ctx.part_col).agg(
-            F.max("psi").alias("max_psi"),
-            F.max("ks").alias("max_ks"),
-            F.max_by("feature", "psi").alias("worst_feature"),
-        )
+        if baseline is None and ctx.num_parts <= 8192:
+            # tiny-histogram fast path (SURVEY.md §4.4): one collect of
+            # parts × features × bins rows, PSI/KS in numpy — replaces a
+            # three-shuffle window plan with one job
+            rows = [tuple(r) for r in hist.collect()]
+            scored = drift_scores_local(rows, ctx)
+            best: dict[int, tuple[float, float, str]] = {}
+            for part, feature, psi, ks in scored:
+                cur = best.get(part)
+                max_psi = max(psi, cur[0]) if cur else psi
+                max_ks = max(ks, cur[1]) if cur else ks
+                worst = feature if (cur is None or psi >= cur[0]) else cur[2]
+                best[part] = (max_psi, max_ks, worst)
+            spark = clips.sparkSession
+            per_part = spark.createDataFrame(
+                [(p, v[0], v[1], v[2]) for p, v in best.items()],
+                f"{ctx.part_col} int, max_psi double, max_ks double, worst_feature string",
+            )
+        else:
+            scores = drift_scores(hist, ctx, baseline)
+            per_part = scores.groupBy(ctx.part_col).agg(
+                F.max("psi").alias("max_psi"),
+                F.max("ks").alias("max_ks"),
+                F.max_by("feature", "psi").alias("worst_feature"),
+            )
         base = part_counts.join(per_part, ctx.part_col, "left")
         verdicts = None
         for rule, col, thr in ((R_PSI, "max_psi", psi_threshold), (R_KS, "max_ks", ks_threshold)):

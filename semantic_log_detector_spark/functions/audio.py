@@ -196,9 +196,12 @@ def clip_features(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13,
 
     Replaces the reference's 384-d sentence embedding (pipeline.py:65-68) as
     the drift-scored representation. Length = n_mfcc + 2. Single framed-FFT
-    pass: log-mel/MFCC and the centroid share one power spectrum.
+    pass: log-mel/MFCC and the centroid share one power spectrum. Hop is
+    20 ms (not the classic 10) — per-clip *mean* features feed fixed-bin
+    histograms, where 2× fewer frames is statistically indistinguishable
+    and halves the dominant FFT cost.
     """
-    power, n_fft = _power_frames(pcm, sr_hz, 25.0, 10.0)
+    power, n_fft = _power_frames(pcm, sr_hz, 25.0, 20.0)
     mel = power @ _cached_fb(sr_hz, n_fft, n_mels)
     lm = np.log(mel + 1e-10)
     m = (lm.mean(axis=0) @ _dct_matrix(n_mels, n_mfcc).T)

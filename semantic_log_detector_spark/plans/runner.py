@@ -131,10 +131,7 @@ def run_suite(
         meta_cols = [c for c in clips.columns if c != "bytes"]
         wave_meta = clips.select(*meta_cols).filter(F.col(ctx.part_col).isin(union_parts)).cache()
 
-        tr_wave = None
-        if transcripts is not None:
-            tr_part = F.pmod(F.xxhash64("clip_id"), F.lit(cfg.num_parts)).cast("int")
-            tr_wave = transcripts.filter(tr_part.isin(union_parts))
+        tr_part = F.pmod(F.xxhash64("clip_id"), F.lit(cfg.num_parts)).cast("int")
 
         try:
             for check in wave_checks:
@@ -154,10 +151,13 @@ def run_suite(
                 elif check == "uniqueness":
                     res = uniqueness_check(sub_meta, ctx)
                 elif check == "referential":
-                    if tr_wave is None:
+                    if transcripts is None:
                         continue
+                    # transcripts filtered to THIS check's pending parts
+                    # (not the wave union) so resumed runs never emit
+                    # verdicts for partitions outside their pending set
                     res = referential_check(
-                        sub_meta.filter(F.col(ctx.part_col).isin(pend)), tr_wave, ctx)
+                        sub_meta, transcripts.filter(tr_part.isin(pend)), ctx)
                 elif check == "frequency":
                     res = frequency_check(sub_meta, ctx, allowed=cfg.allowed_codecs)
                 elif check == "drift":

