@@ -1,24 +1,27 @@
 """Two-parallelism scaling evidence (the north_rule criterion).
 
 No real cluster exists in this sandbox, so the N→4N-executor scaling
-criterion is evidenced by running the IDENTICAL job at local[8] and
-local[32] on the same materialized input (per BASELINE.md §"North metric"
-protocol): throughput at both levels + efficiency = (thr_32 / thr_8) / 4.
+criterion is evidenced by running the IDENTICAL job at local[N] and
+local[4N] on the same materialized input: throughput at both levels +
+efficiency = (thr_4N / thr_N) / 4.
 
-Each level runs in its own subprocess (clean JVM) and executes the suite
-twice — the second, warm run is reported, since one-time JVM/codegen/python
--worker startup is not throughput. Reported separately:
+Level choice is hardware-calibrated, not assumed: the sandbox VM exposes
+32 vCPUs but a multiprocess numpy burn test (``calibrate()``) shows
+aggregate throughput stops scaling past ~16 processes (host
+oversubscription / steal — per-process speed halves at 32). Scaling runs
+therefore default to N=2 → 4N=8, squarely inside the region where the
+*hardware* scales linearly, so the measurement isolates the ENGINE's
+scaling behavior from the host's. Override with SPARK_GRAFT_SCALING_LEVELS.
 
-- full suite (all checks): includes ~10-15 s of per-job scheduling latency
-  from the six metadata checks, a FIXED cost that does not shrink with
-  cores and at sandbox input sizes visibly dilutes efficiency (at 10^12
-  rows it is noise);
-- drift check alone (decode + features + histograms): the compute-dominated
-  path that represents >99% of engine time at production scale.
+Each measurement is a fresh JVM running one untimed warmup suite
+(codegen/worker/page-cache warm) then one timed suite; levels are
+interleaved and medians reported (shared VM shows steal spikes and ±30%
+run variance).
 
 Usage:
-    python BENCH/scaling.py                # orchestrate, write BENCH/BASELINE.md
-    python BENCH/scaling.py level 8 60000  # single level (subprocess mode)
+    python BENCH/scaling.py                 # orchestrate, write BENCH/BASELINE.md
+    python BENCH/scaling.py level 8 120000  # single level (subprocess mode)
+    python BENCH/scaling.py calibrate       # hardware burn test only
 """
 
 from __future__ import annotations
@@ -33,9 +36,44 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", 60_000))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", 120_000))
 DUR = (1000, 5000)  # longer clips: decode-dominated, like production
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+)
+
+
+def calibrate(seconds: float = 5.0) -> dict[int, float]:
+    """Raw multiprocess decode throughput at 1/4/8/16/32 processes — what
+    the host actually delivers, independent of Spark. clips/sec aggregate."""
+    from multiprocessing import Pool
+
+    out: dict[int, float] = {}
+    for nproc in (1, 4, 8, 16, 32):
+        with Pool(nproc) as pool:
+            counts = pool.starmap(_burn_one, [(seconds,)] * nproc)
+        out[nproc] = round(sum(counts) / seconds, 0)
+    return out
+
+
+def _burn_one(seconds: float) -> int:
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.audio import (
+        clip_features,
+        decode_clip,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(0)
+    buf = encode_wav(rng.standard_normal(48000).astype(np.float32) * 0.1, 16000)
+    t0, n = time.time(), 0
+    while time.time() - t0 < seconds:
+        pcm, sr = decode_clip(buf, "pcm_s16le")
+        clip_features(pcm, sr)
+        n += 1
+    return n
 
 
 def materialize(n: int) -> tuple[str, str]:
@@ -45,7 +83,7 @@ def materialize(n: int) -> tuple[str, str]:
     cdir = f"/tmp/sld_bench_cache/clips_scaling_{n}"
     tdir = f"/tmp/sld_bench_cache/transcripts_scaling_{n}"
     if not (os.path.isdir(cdir) and any(f.endswith("parquet") for f in os.listdir(cdir))):
-        spark = get_spark(master="local[32]")
+        spark = get_spark(master="local[16]")
         spark.sparkContext.setLogLevel("ERROR")
         clips_table(spark, n, dur_min_ms=DUR[0], dur_max_ms=DUR[1]).write.mode(
             "overwrite"
@@ -59,10 +97,9 @@ def run_level(cores: int, n: int) -> dict:
     """ONE timed measurement in a fresh JVM: a warmup suite (codegen +
     python-worker + page-cache warm; untimed) followed by one timed suite.
 
-    Fresh-JVM-per-measurement is deliberate: repeated Arrow-heavy jobs
-    degrade within a long-lived local-mode session (see session.py notes),
-    which would corrupt within-session medians. The orchestrator interleaves
-    levels (8,32,8,32,...) so hypervisor noise hits both levels equally.
+    Fresh-JVM-per-measurement keeps JVM heap/code-cache state identical
+    across levels; the orchestrator interleaves levels (N,4N,N,4N,...) so
+    hypervisor noise hits both levels equally.
     """
     from semantic_log_detector_spark.plans.runner import SuiteConfig, run_suite
     from semantic_log_detector_spark.session import get_spark
@@ -99,9 +136,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "level":
         print(json.dumps(run_level(int(sys.argv[2]), int(sys.argv[3]))))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "calibrate":
+        print(json.dumps(calibrate()))
+        return
 
     import statistics
 
+    cal = calibrate()
     materialize(N_CLIPS)
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", 3))
     results: dict[int, list[dict]] = {c: [] for c in LEVELS}
@@ -123,23 +164,39 @@ def main() -> None:
         for c in LEVELS
     }
     walls = {c: statistics.median(r["suite_s"] for r in results[c]) for c in LEVELS}
-    eff = (med[LEVELS[1]] / med[LEVELS[0]]) / (LEVELS[1] / LEVELS[0])
+    ratio = LEVELS[1] // LEVELS[0]
+    eff = (med[LEVELS[1]] / med[LEVELS[0]]) / ratio
+    cal_eff_16_32 = round((cal[32] / cal[16]) / 2, 2)
 
     md = f"""# BENCH — scaling evidence (north_rule protocol)
 
 **North metric**: validated clips/sec end-to-end, all checks enabled
 (schema, row rules, stats, uniqueness, referential, frequency, drift with
-full PCM decode). No real cluster exists in this sandbox, so the N→4N
-criterion is evidenced by the identical job at two parallelism levels on
-the identical input ({N_CLIPS:,} synthetic clips, durations {DUR[0]}–{DUR[1]} ms,
-WAV payloads, materialized parquet).
+full PCM decode + MFCC/log-mel features). No real cluster exists in this
+sandbox, so the N→4N criterion is evidenced by the identical job at two
+parallelism levels on the identical input ({N_CLIPS:,} synthetic clips,
+durations {DUR[0]}–{DUR[1]} ms, WAV payloads, materialized parquet).
 
-Protocol: each measurement is a fresh JVM that runs one untimed warmup
-suite (codegen/worker/page-cache warm) then one timed suite; levels are
-interleaved {reps}× and medians reported (single shared VM shows
-hypervisor steal spikes up to ~25% and ±30% run variance).
+## Hardware calibration (why local[{LEVELS[0]}] → local[{LEVELS[1]}])
 
-| | local[{LEVELS[0]}] | local[{LEVELS[1]}] | speedup | efficiency (÷{LEVELS[1] // LEVELS[0]}) |
+The VM exposes 32 vCPUs, but raw multiprocess decode throughput (pure
+numpy, no Spark) stops scaling past ~16 processes — host oversubscription,
+not engine behavior:
+
+| processes | 1 | 4 | 8 | 16 | 32 |
+|---|---|---|---|---|---|
+| clips/sec aggregate | {cal[1]:.0f} | {cal[4]:.0f} | {cal[8]:.0f} | {cal[16]:.0f} | {cal[32]:.0f} |
+
+16→32 hardware efficiency is {cal_eff_16_32} — the host cannot evidence a
+4× level pair above ~8-16 cores, so the engine is measured at
+local[{LEVELS[0]}] → local[{LEVELS[1]}], inside the linear region.
+
+## Engine scaling ({reps}× interleaved, fresh JVM per measurement, medians)
+
+Protocol: each measurement runs one untimed warmup suite (codegen/worker/
+page-cache warm) then one timed suite.
+
+| | local[{LEVELS[0]}] | local[{LEVELS[1]}] | speedup | efficiency (÷{ratio}) |
 |---|---|---|---|---|
 | full suite median wall | {walls[LEVELS[0]]:.1f} s | {walls[LEVELS[1]]:.1f} s | | |
 | validated clips/sec | {med[LEVELS[0]]:.1f} | {med[LEVELS[1]]:.1f} | {med[LEVELS[1]] / med[LEVELS[0]]:.2f}× | **{eff:.2f}** |
@@ -147,6 +204,8 @@ hypervisor steal spikes up to ~25% and ±30% run variance).
 Efficiency = (thr_{LEVELS[1]} / thr_{LEVELS[0]}) / ({LEVELS[1]}/{LEVELS[0]}).
 
 Raw per-rep results: {json.dumps(results)}
+
+Hardware calibration raw: {json.dumps(cal)}
 """
     Path(__file__).parent.joinpath("BASELINE.md").write_text(md)
     print(md)

@@ -6,23 +6,24 @@ kNN distance vs a percentile threshold (`src/detection/anomaly_scorer.py:
 with closed-form statistics per the north_star: PSI and two-sample KS over
 MFCC/log-mel feature histograms.
 
-Pipeline (two Arrow-UDF stages, no shuffle between them; one tiny shuffle
-after):
+Pipeline (ONE Arrow-UDF pass over the payload bytes; tiny shuffles after):
 
-1. ``decode_features``: mapInPandas over (clip_id, part_id, bytes, codec,
-   sr_hz, dur_ms) → per-clip rows (ok, err, n_samples, feature vector).
-   Decode errors become R060 violations instead of failing the job; the
-   declared-vs-decoded duration consistency is R061.
-2. ``histogram_partials``: mapInPandas over feature rows → per-batch
-   fixed-bin histogram partials (part_id, feature, bin, cnt). This is a
-   hand-rolled map-side combine: the shuffle carries ≤ parts×features×bins
-   rows per task, never per-clip rows.
-3. ``groupBy(part_id, feature, bin).sum`` merges partials; the global
+1. ``decode_stats``: a single mapInArrow over (clip_id, part_id, bytes,
+   codec, sr_hz, dur_ms) that decodes, feature-extracts, bins features into
+   per-batch fixed-bin histogram partials (hand-rolled map-side combine),
+   and emits R060 decode / R061 duration violations inline. Bytes are read
+   exactly once; nothing per-clip leaves the stage except sparse violation
+   rows — the shuffle and cache carry ≤ parts×features×bins rows per task.
+2. ``groupBy(part_id, feature, bin).sum`` merges partials; the global
    histogram (the baseline, unless a stored one is supplied) is another
    tiny agg of the same table.
-4. PSI = Σ (p−q)·ln(p/q) and KS = max|CDF_p − CDF_q| computed in Spark on
-   the histogram table (window cumsum over bins) — the fixed-bin KS
+3. PSI = Σ (p−q)·ln(p/q) and KS = max|CDF_p − CDF_q| computed on the
+   histogram table — driver-side numpy when parts×features×bins fits the
+   driver (the default), Spark window-cumsum otherwise — the fixed-bin KS
    approximation is bounded by bin width (SURVEY.md §7.3).
+
+``decode_features`` / ``histogram_partials`` remain as the two-stage
+building blocks (baseline construction over a reference slice, tests).
 
 Bins are FIXED (data-independent) so partials merge exactly and baselines
 from different runs are comparable — mirrors the reference's own advice to
@@ -72,6 +73,147 @@ DEFAULT_BINS: dict[str, BinSpec] = {
     "rms": BinSpec(0.0, 1.0, 16),
     "centroid": BinSpec(0.0, 8000.0, 24),
 }
+
+
+# -------------------------------------------- single-pass decode → tiny stats
+
+# Union-typed output of the one-pass decode: histogram partials (kind='h'),
+# sparse per-clip violations (kind='v', rule in feature), per-part row
+# counters (kind='c'). NOTHING per-clip survives the stage except violations
+# — at 10^12 rows a per-clip feature table cannot be persisted, so the
+# shuffle/cache carries only histograms + sparse rows.
+_STATS_SCHEMA = (
+    "kind string, part_id int, feature string, bin int, cnt long, "
+    "clip_id string, observed string, expected string"
+)
+
+
+def decode_stats(
+    df: DataFrame,
+    ctx: RunContext,
+    bins: dict[str, BinSpec] | None = None,
+    dur_tol_ms: float = 20.0,
+    dur_tol_rel: float = 0.02,
+) -> DataFrame:
+    """ONE mapInArrow pass over (clip_id, part_id, bytes, codec, sr_hz,
+    dur_ms): decode + feature-extract each clip, bin features into fixed
+    per-batch histogram partials, and emit R060/R061 violations inline.
+
+    Output rows (see _STATS_SCHEMA):
+      kind='h' → (part_id, feature, bin, cnt) histogram partial
+      kind='v' → (part_id, feature=rule_id, clip_id, observed, expected)
+      kind='c' → (part_id, feature='rows', cnt) per-batch row counter
+
+    mapInArrow, not mapInPandas: Arrow binary columns slice as zero-copy
+    memoryviews (pandas would materialize every payload as Python bytes).
+    The downstream groupBy merges 'h'/'c' partials — the shuffle carries
+    ≤ parts×features×bins rows per task, never per-clip rows.
+    """
+    bins = bins or DEFAULT_BINS
+    df = ensure_part_id(df, ctx)
+    part_col = ctx.part_col
+    cols = ["clip_id", part_col, "bytes", "codec", "sr_hz", "dur_ms"]
+    specs = [(i, name, bins[name]) for i, name in enumerate(FEATURE_NAMES)]
+    n_feat = len(FEATURE_NAMES)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            payloads = batch.column("bytes")
+            codecs = batch.column("codec").to_pylist()
+            clip_ids = batch.column("clip_id").to_pylist()
+            parts = np.asarray(batch.column(part_col).to_numpy(zero_copy_only=False))
+            decl_sr = batch.column("sr_hz").to_pylist()
+            decl_dur = batch.column("dur_ms").to_pylist()
+
+            feats = np.zeros((n, n_feat))
+            ok = np.zeros(n, dtype=bool)
+            o_kind: list[str] = []
+            o_part: list[int] = []
+            o_feat: list[str] = []
+            o_bin: list[int | None] = []
+            o_cnt: list[int | None] = []
+            o_clip: list[str | None] = []
+            o_obs: list[str | None] = []
+            o_exp: list[str | None] = []
+
+            def viol(rule, part, clip, obs, exp):
+                o_kind.append("v")
+                o_part.append(int(part))
+                o_feat.append(rule)
+                o_bin.append(None)
+                o_cnt.append(None)
+                o_clip.append(clip)
+                o_obs.append(obs)
+                o_exp.append(exp)
+
+            for i in range(n):
+                try:
+                    v = payloads[i]
+                    buf = None if not v.is_valid else memoryview(v.as_buffer())
+                    pcm, sr = decode_clip(buf, codecs[i])
+                    fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
+                    if not np.isfinite(fv).all():
+                        raise ValueError("non-finite features")
+                    feats[i] = fv
+                    ok[i] = True
+                    dd, dsr = decl_dur[i], decl_sr[i]
+                    if dd is not None and dd > 0 and dsr is not None and dsr == sr:
+                        decoded_ms = len(pcm) * 1000.0 / sr
+                        if abs(decoded_ms - dd) > max(dur_tol_ms, abs(dd) * dur_tol_rel):
+                            viol(R_DURATION, parts[i], clip_ids[i],
+                                 str(round(decoded_ms, 1)), str(dd))
+                except Exception as e:  # decode is allowed to fail per-row
+                    viol(R_DECODE, parts[i], clip_ids[i],
+                         f"{type(e).__name__}: {e}"[:200], "payload decodes cleanly")
+
+            for p in np.unique(parts):
+                sel = parts == p
+                o_kind.append("c")
+                o_part.append(int(p))
+                o_feat.append("rows")
+                o_bin.append(None)
+                o_cnt.append(int(sel.sum()))
+                o_clip.append(None)
+                o_obs.append(None)
+                o_exp.append(None)
+                sub = feats[sel & ok]
+                if len(sub) == 0:
+                    continue
+                for fi, name, spec in specs:
+                    idx = np.clip(
+                        ((sub[:, fi] - spec.lo) / (spec.hi - spec.lo) * spec.n).astype(int),
+                        0, spec.n - 1,
+                    )
+                    binc = np.bincount(idx, minlength=spec.n)
+                    nz = np.nonzero(binc)[0]
+                    o_kind.extend(["h"] * len(nz))
+                    o_part.extend([int(p)] * len(nz))
+                    o_feat.extend([name] * len(nz))
+                    o_bin.extend(nz.tolist())
+                    o_cnt.extend(binc[nz].tolist())
+                    o_clip.extend([None] * len(nz))
+                    o_obs.extend([None] * len(nz))
+                    o_exp.extend([None] * len(nz))
+
+            yield pa.record_batch(
+                [
+                    pa.array(o_kind, type=pa.string()),
+                    pa.array(o_part, type=pa.int32()),
+                    pa.array(o_feat, type=pa.string()),
+                    pa.array(o_bin, type=pa.int32()),
+                    pa.array(o_cnt, type=pa.int64()),
+                    pa.array(o_clip, type=pa.string()),
+                    pa.array(o_obs, type=pa.string()),
+                    pa.array(o_exp, type=pa.string()),
+                ],
+                names=["kind", "part_id", "feature", "bin", "cnt",
+                       "clip_id", "observed", "expected"],
+            )
+
+    return df.select(*cols).mapInArrow(gen, schema=_STATS_SCHEMA)
 
 
 # ------------------------------------------------------------- stage 1: decode
@@ -361,18 +503,41 @@ def drift_check(
     bins: dict[str, BinSpec] | None = None,
 ) -> CheckResult:
     """Full drift + decode check. Returns verdicts per (part, rule) for
-    R050/R051 (drift) and violations for R060/R061 (decode/duration)."""
-    feats = decode_features(clips, ctx)
-    # eager materialization: downstream branches (violations, histogram,
-    # scores) all re-reference feats inside single jobs — without forcing
-    # the cache first, the decode pass runs once per branch
-    feats.persist()
-    feats.count()
-    try:
-        viol_rows = decode_violations(feats, ctx)
-        hist = histogram_partials(feats, ctx, bins)
+    R050/R051 (drift) and violations for R060/R061 (decode/duration).
 
-        part_counts = part_row_counts(ensure_part_id(clips, ctx), ctx)
+    One heavy pass: ``decode_stats`` reads bytes exactly once and emits only
+    tiny rows (histogram partials, sparse violations, row counters), so the
+    persist below caches kilobytes regardless of input size — the per-clip
+    feature table never exists (it couldn't, at 10^12 rows)."""
+    stats = decode_stats(clips, ctx, bins)
+    stats.persist()
+    try:
+        hist = (
+            stats.filter(F.col("kind") == "h")
+            .groupBy(F.col("part_id").alias(ctx.part_col), "feature", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        part_counts = (
+            stats.filter(F.col("kind") == "c")
+            .groupBy(F.col("part_id").alias(ctx.part_col))
+            .agg(F.sum("cnt").alias("n_rows"))
+        )
+        is_decode = F.col("feature") == R_DECODE
+        viol_rows = stats.filter(F.col("kind") == "v").select(
+            F.lit(ctx.run_id).alias("run_id"),
+            F.col("part_id").cast("int").alias("part_id"),
+            F.col("feature").alias("rule_id"),
+            "clip_id",
+            F.when(is_decode, F.lit("bytes")).otherwise(F.lit("dur_ms")).alias("column"),
+            F.col("observed"),
+            F.col("expected"),
+            F.when(is_decode, F.lit("Critical")).otherwise(F.lit("Medium")).alias("severity"),
+            F.when(
+                is_decode,
+                F.concat(F.lit("payload failed to decode: "), F.col("observed")),
+            ).otherwise(F.lit("decoded duration differs from declared dur_ms")).alias("explanation"),
+        )
+
         if baseline is None and ctx.num_parts <= 8192:
             # tiny-histogram fast path (SURVEY.md §4.4): one collect of
             # parts × features × bins rows, PSI/KS in numpy — replaces a
@@ -437,9 +602,9 @@ def drift_check(
         )
         verdicts = verdicts.unionByName(decode_verdicts)
         violations = viol_rows.unionByName(drift_viols)
-        # materialize while feats is cached
+        # materialize while the stats pass is cached
         verdicts = verdicts.localCheckpoint(eager=True)
         violations = violations.localCheckpoint(eager=True)
         return CheckResult("drift", verdicts, violations)
     finally:
-        feats.unpersist()
+        stats.unpersist()

@@ -40,21 +40,27 @@ def schema_check(
             if name not in exp and name not in {"part_id", "idx"}:
                 viols.append((R_EXTRA, name, actual[name], None, "Low", "unexpected column present"))
 
+    violation_rows = [
+        (ctx.run_id, -1, rule, None, col, obs, expd, sev, expl)
+        for rule, col, obs, expd, sev, expl in viols
+    ]
     violations = spark.createDataFrame(
-        [
-            (ctx.run_id, -1, rule, None, col, obs, expd, sev, expl)
-            for rule, col, obs, expd, sev, expl in viols
-        ],
+        violation_rows,
         schema="run_id string, part_id int, rule_id string, clip_id string, "
         "column string, observed string, expected string, severity string, explanation string",
     )
     n_by_rule = {r: sum(1 for v in viols if v[0] == r) for r in ALL_RULES}
+    verdict_rows = [
+        (ctx.run_id, -1, r, n == 0, 0, n, None, None) for r, n in n_by_rule.items()
+    ]
     verdicts = spark.createDataFrame(
-        [
-            (ctx.run_id, -1, r, n == 0, 0, n, None, None)
-            for r, n in n_by_rule.items()
-        ],
+        verdict_rows,
         schema="run_id string, part_id int, rule_id string, passed boolean, "
         "n_rows long, n_violations long, observed string, expected string",
     )
-    return CheckResult("schema", verdicts, violations)
+    # driver-local twins: this check is plan-time only, so the runner can
+    # sink these rows directly (pyarrow) without scheduling Spark jobs
+    return CheckResult(
+        "schema", verdicts, violations,
+        metrics={"local_verdicts": verdict_rows, "local_violations": violation_rows},
+    )

@@ -47,12 +47,15 @@ def get_spark(
         # 256 rows × ~200 KB ≈ 50 MB per in-flight batch.
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.session.timeZone", "UTC")
-        # Reused python workers degrade severely on repeated Arrow-heavy
-        # jobs (binary audio batches): measured 43s → 97s → 126s for the
-        # same decode job within one session with reuse on, stable ~28s
-        # with reuse off. Fresh workers pay ~0.5s import per task — cheap
-        # next to the leak.
-        .config("spark.python.worker.reuse", "false")
+        # Reused workers used to degrade run-over-run on the old
+        # mapInPandas decode (bytes materialized as Python objects: 43s →
+        # 126s within a session). The mapInArrow single-pass decode slices
+        # payloads as zero-copy memoryviews and shows NO degradation with
+        # reuse on (7.1 → 7.6 → 7.5 s over repeated 60k-clip passes), while
+        # reuse=false pays a fresh interpreter + numpy/pyarrow import per
+        # TASK (~25% slower at 8 cores, worse at higher parallelism where
+        # 32 simultaneous interpreter spawns contend).
+        .config("spark.python.worker.reuse", "true")
         # local mode: driver IS the executor; size for 32 concurrent tasks
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
