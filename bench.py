@@ -66,7 +66,7 @@ def run_clips_suite(spark, cdir: str, tdir: str, out_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", 20_000))
+    n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", 60_000))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
     from semantic_log_detector_spark.session import get_spark
@@ -87,6 +87,17 @@ def main() -> None:
         # noop sink materializes the full result without collect()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # untimed warmup suite on a small table: first-run codegen + python
+    # worker spawn + page-cache effects cost 3-5× the steady-state wall
+    # (measured 105s -> 40s -> 19.5s across reps at 32 cores); steady-state
+    # throughput is the metric, matching the BENCH/BASELINE.md protocol
+    wcdir, wtdir = materialize_clips(spark, 2000)
+    wout = tempfile.mkdtemp(prefix="sld_bench_warm_")
+    try:
+        run_clips_suite(spark, wcdir, wtdir, wout)
+    finally:
+        shutil.rmtree(wout, ignore_errors=True)
 
     cdir, tdir = materialize_clips(spark, n_clips)
     out_dir = tempfile.mkdtemp(prefix="sld_bench_out_")

@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,16 @@ def token_shingles(col: Column, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles as an array<long> of xxhash64 values.
+
+    Same shingle SET as ``token_shingles`` (64-bit collisions are
+    negligible at corpus scale: P≈k²/2⁶⁵); one extra interpreted
+    transform on top of it, after which every downstream pass (MinHash
+    permutations, joins, intersections) is numeric."""
+    return F.transform(token_shingles(col, n), lambda s: F.xxhash64(s))
 
 
 # ------------------------------------------------------------------ exact dup
@@ -65,13 +77,53 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """num_hashes-wide MinHash signature: min over shingles of seeded
-    xxhash64 — all JVM-side, no UDF."""
+    xxhash64 — all JVM-side, no UDF. Reference form; the LSH pipeline
+    below uses the vectorized ``_band_buckets_udf`` instead because
+    num_hashes interpreted higher-order passes dominate its runtime."""
     return F.array(
         *[
             F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _band_buckets_udf(num_hashes: int, bands: int):
+    """pandas UDF: array<long> shingle hashes → array<long> of per-band
+    bucket keys.
+
+    MinHash permutations are an (a·h + b) multiply-add family (seeded
+    a/b, products wrap mod 2⁶⁴ then reduce mod 2⁶¹−1 — not a strict
+    universal family, but a deterministic well-mixing one; recall vs the
+    exact-Jaccard baseline is what the tests gate). Evaluated as ONE
+    numpy broadcast per row (k-shingles × num_hashes multiply-add, min
+    over shingles) — memory-bandwidth speed instead of num_hashes
+    interpreted Catalyst passes. Band keys mix each signature slice with
+    fixed odd multipliers so key equality ⇔ slice equality (whp)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = num_hashes // bands
+    rng = np.random.default_rng(0xD5ED)
+    A = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64) | 1
+    B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    MIX = rng.integers(1, 1 << 62, size=rows_per_band, dtype=np.int64) | 1
+
+    @pandas_udf("array<long>")
+    def buckets(sh: pd.Series) -> pd.Series:
+        out = []
+        for h in sh:
+            hv = np.asarray(h, dtype=np.uint64)
+            prod = (hv[:, None] * A.astype(np.uint64)) % np.uint64(_MERSENNE)
+            sig = ((prod + B.astype(np.uint64)) % np.uint64(_MERSENNE)).min(axis=0)
+            sl = sig.reshape(bands, rows_per_band)
+            keys = (sl * MIX.astype(np.uint64)).sum(axis=1, dtype=np.uint64)
+            out.append(keys.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return buckets
 
 
 def minhash_lsh_pairs(
@@ -89,38 +141,22 @@ def minhash_lsh_pairs(
     Band width r = num_hashes/bands ⇒ candidate prob ≈ 1-(1-j^r)^bands.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    rows_per_band = num_hashes // bands
     base = (
         df.select(
             F.col(id_col).alias("id"),
-            token_shingles(F.col(text_col), shingle_n).alias("sh"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("bkeys", _band_buckets_udf(num_hashes, bands)(F.col("sh")))
+        # lazily checkpoint the (small: one row per doc) signature table:
+        # the bucket-size broadcast AND both sides of the candidate
+        # self-join consume it — without the checkpoint the shingle+UDF
+        # pipeline executes 3× (measured 17s of a 28s q33 at sf0.1)
+        .localCheckpoint(eager=False)
     )
     banded = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", "sh", F.posexplode("bkeys").alias("band", "bucket")
+    )
 
     # stop-word-bucket guard: degenerate buckets explode quadratically
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
@@ -201,7 +237,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k, using the 4-band pigeonhole
     trick (k<16 ⇒ some 16-bit band equal) to avoid all-pairs."""
-    base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    # lazy checkpoint: sizes-broadcast + both self-join sides consume it
+    base = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)
     banded = base.select(
         "id",
         "sh",
@@ -257,7 +296,16 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    # hash AFTER explode: the projection over the generator output runs in
+    # whole-stage codegen (hashing inside the higher-order transform would
+    # be interpreted), and the self-join keys become fixed-width longs.
+    # Lazy checkpoint: both sides of the self-join consume inv — without
+    # it the shingling executes twice.
+    inv = (
+        sh.select("id", "n_sh", F.explode("sh").alias("s_str"))
+        .select("id", "n_sh", F.xxhash64("s_str").alias("s"))
+        .localCheckpoint(eager=False)
+    )
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
