@@ -34,6 +34,20 @@ class CheckResult:
     verdicts: DataFrame
     violations: DataFrame
     metrics: dict = field(default_factory=dict)
+    # persisted DataFrames the verdict/violation plans still read from; the
+    # caller (runner) unpersists them AFTER its batched actions. Lets a heavy
+    # check hand back lazy plans over its cached intermediate instead of
+    # paying extra eager-materialization jobs (pure fixed cost per action
+    # that dilutes N→4N scaling efficiency).
+    resources: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self.resources:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.resources.clear()
 
 
 def ensure_part_id(df: DataFrame, ctx: RunContext, key: str = "clip_id") -> DataFrame:

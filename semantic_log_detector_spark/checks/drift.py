@@ -119,7 +119,11 @@ def decode_stats(
     def gen(batches):
         import pyarrow as pa
 
-        for batch in batches:
+        from semantic_log_detector_spark.functions.arrowio import prefetch_batches
+
+        # prefetch: overlap the JVM scan/serialize with decode (the socket
+        # buffer alone is far too small to pipeline ~100 MB batches)
+        for batch in prefetch_batches(batches):
             n = batch.num_rows
             payloads = batch.column("bytes")
             codecs = batch.column("codec").to_pylist()
@@ -235,7 +239,9 @@ def decode_features(df: DataFrame, ctx: RunContext) -> DataFrame:
     def gen(batches):
         import pyarrow as pa
 
-        for batch in batches:
+        from semantic_log_detector_spark.functions.arrowio import prefetch_batches
+
+        for batch in prefetch_batches(batches):
             n = batch.num_rows
             payloads = batch.column("bytes")
             codecs = batch.column("codec").to_pylist()
@@ -602,9 +608,11 @@ def drift_check(
         )
         verdicts = verdicts.unionByName(decode_verdicts)
         violations = viol_rows.unionByName(drift_viols)
-        # materialize while the stats pass is cached
-        verdicts = verdicts.localCheckpoint(eager=True)
-        violations = violations.localCheckpoint(eager=True)
-        return CheckResult("drift", verdicts, violations)
-    finally:
+        # verdict/violation plans stay LAZY over the cached stats pass — the
+        # caller's batched write/collect actions materialize them (and must
+        # call .release() after). Eager localCheckpoints here would cost two
+        # extra jobs per run, pure fixed cost against scaling efficiency.
+        return CheckResult("drift", verdicts, violations, resources=[stats])
+    except Exception:
         stats.unpersist()
+        raise

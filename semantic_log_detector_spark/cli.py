@@ -43,10 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     try:
         if args.input:
-            clips = spark.read.parquet(args.input)
+            from .sources.table import read_table
+
+            clips = read_table(spark, args.input)
             fingerprint = args.input
             transcripts = (
-                spark.read.parquet(args.transcripts) if args.transcripts else None
+                read_table(spark, args.transcripts) if args.transcripts else None
             )
         else:
             clips = clips_table(spark, args.n_clips, num_parts=args.num_parts)

@@ -67,6 +67,10 @@ class RunResult:
     checks_run: list[str] = field(default_factory=list)
     wall_s: float = 0.0
     n_rows: int = 0
+    # per-phase wall seconds (accumulated over waves): plan build per check,
+    # the batched collect, the two writes — the observability needed to keep
+    # fixed (non-scaling) cost honest. Populated by run_suite.
+    timings: dict = field(default_factory=dict)
 
 
 def _wave_parts(cfg: SuiteConfig, wave: int) -> list[int]:
@@ -138,6 +142,7 @@ def run_suite(
 
         tr_part = F.pmod(F.xxhash64("clip_id"), F.lit(cfg.num_parts)).cast("int")
 
+        built: list[tuple[str, list[int], CheckResult, float]] = []
         try:
             # Build every pending check's (lazy) plan first, tagged with its
             # check_id, then execute the whole wave with THREE actions: one
@@ -146,7 +151,6 @@ def run_suite(
             # collect each) are pure fixed scheduling cost that does not
             # shrink with cores — batching them is what keeps the N→4N
             # scaling efficiency honest at sandbox input sizes.
-            built: list[tuple[str, list[int], CheckResult, float]] = []
             for check in wave_checks:
                 pend = pending_by_check[check]
                 if not pend:
@@ -192,15 +196,23 @@ def run_suite(
                         res.violations if violations_all is None
                         else violations_all.unionByName(res.violations)
                     )
+                t0 = time.time()
                 verdicts_all.persist()
                 stats = (
                     verdicts_all.groupBy("__check", "part_id")
                     .agg(F.max("n_rows").alias("nr"), F.sum("n_violations").alias("nv"))
                     .collect()
                 )
+                t1 = time.time()
                 verdicts_all.drop("__check").write.mode("append").parquet(f"{out_dir}/verdicts")
+                t2 = time.time()
                 violations_all.write.mode("append").parquet(f"{out_dir}/violations")
+                t3 = time.time()
                 verdicts_all.unpersist()
+                tm = result.timings
+                tm["exec_collect_s"] = tm.get("exec_collect_s", 0.0) + (t1 - t0)
+                tm["write_verdicts_s"] = tm.get("write_verdicts_s", 0.0) + (t2 - t1)
+                tm["write_violations_s"] = tm.get("write_violations_s", 0.0) + (t3 - t2)
 
                 by_check: dict[str, dict[int, tuple[int, int]]] = {}
                 for r in stats:
@@ -212,9 +224,14 @@ def run_suite(
                         spark, ledger_path, run_id, check, part_stats,
                         build_s * 1000, input_fingerprint, ctx.config_hash)
                     done_map.setdefault(check, set()).update(pend)
+                    result.timings[f"plan_{check}_s"] = (
+                        result.timings.get(f"plan_{check}_s", 0.0) + build_s
+                    )
                     if check not in result.checks_run:
                         result.checks_run.append(check)
         finally:
+            for _, _, res, _ in built:
+                res.release()
             wave_meta.unpersist()
         result.waves_run += 1
 

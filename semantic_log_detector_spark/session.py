@@ -44,8 +44,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # binary-heavy tables: the default 4096-row columnar batch holds
         # ~1 GB of audio payload per task at 32 concurrent tasks → OOM.
-        # 256 rows × ~200 KB ≈ 50 MB per in-flight batch.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # 1024 rows × ~100-200 KB ≈ 100-200 MB per in-flight batch: measured
+        # 26% faster than 256 on the drift decode at local[8] (fewer
+        # per-batch socket round-trips on the Arrow feed), while 2048 is
+        # slower again (allocation spikes) — A/B on 120k×1-5s clips.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         # Reused workers used to degrade run-over-run on the old
         # mapInPandas decode (bytes materialized as Python objects: 43s →
