@@ -40,7 +40,7 @@ def main() -> None:
     try:
         t0 = time.time()
         run_suite(spark, clips, transcripts, out_dir, SuiteConfig(),
-                  input_fingerprint=cdir)
+                  input_fingerprint=cdir, clips_path=cdir)
         wall = time.time() - t0
         ledger = spark.read.parquet(f"{out_dir}/ledger")
         rows = (ledger.groupBy("check_id")

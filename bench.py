@@ -59,7 +59,7 @@ def run_clips_suite(spark, cdir: str, tdir: str, out_dir: str) -> float:
     transcripts = spark.read.parquet(tdir)
     t0 = time.time()
     run_suite(spark, clips, transcripts, out_dir, SuiteConfig(),
-              input_fingerprint=cdir)
+              input_fingerprint=cdir, clips_path=cdir)
     return time.time() - t0
 
 

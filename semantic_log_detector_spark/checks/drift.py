@@ -88,6 +88,115 @@ _STATS_SCHEMA = (
 )
 
 
+def stats_record_batch(
+    clip_ids: list,
+    parts,
+    payloads,
+    codecs: list,
+    decl_sr: list,
+    decl_dur: list,
+    specs: list,
+    n_feat: int,
+    dur_tol_ms: float = 20.0,
+    dur_tol_rel: float = 0.02,
+):
+    """Decode + featurize + bin ONE Arrow batch into _STATS_SCHEMA rows.
+
+    Shared kernel of the two payload readers: ``decode_stats`` (JVM scan →
+    mapInArrow) and ``sources/payload_scan.py`` (Python-native parquet
+    row-group reader). ``payloads`` is a pyarrow binary array (zero-copy
+    memoryview slicing); ``parts`` is an int ndarray aligned with rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(clip_ids)
+    feats = np.zeros((n, n_feat))
+    ok = np.zeros(n, dtype=bool)
+    o_kind: list[str] = []
+    o_part: list[int] = []
+    o_feat: list[str] = []
+    o_bin: list[int | None] = []
+    o_cnt: list[int | None] = []
+    o_clip: list[str | None] = []
+    o_obs: list[str | None] = []
+    o_exp: list[str | None] = []
+
+    def viol(rule, part, clip, obs, exp):
+        o_kind.append("v")
+        o_part.append(int(part))
+        o_feat.append(rule)
+        o_bin.append(None)
+        o_cnt.append(None)
+        o_clip.append(clip)
+        o_obs.append(obs)
+        o_exp.append(exp)
+
+    for i in range(n):
+        try:
+            v = payloads[i]
+            buf = None if not v.is_valid else memoryview(v.as_buffer())
+            pcm, sr = decode_clip(buf, codecs[i])
+            fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
+            if not np.isfinite(fv).all():
+                raise ValueError("non-finite features")
+            feats[i] = fv
+            ok[i] = True
+            dd, dsr = decl_dur[i], decl_sr[i]
+            if dd is not None and dd > 0 and dsr is not None and dsr == sr:
+                decoded_ms = len(pcm) * 1000.0 / sr
+                if abs(decoded_ms - dd) > max(dur_tol_ms, abs(dd) * dur_tol_rel):
+                    viol(R_DURATION, parts[i], clip_ids[i],
+                         str(round(decoded_ms, 1)), str(dd))
+        except Exception as e:  # decode is allowed to fail per-row
+            viol(R_DECODE, parts[i], clip_ids[i],
+                 f"{type(e).__name__}: {e}"[:200], "payload decodes cleanly")
+
+    for p in np.unique(parts):
+        sel = parts == p
+        o_kind.append("c")
+        o_part.append(int(p))
+        o_feat.append("rows")
+        o_bin.append(None)
+        o_cnt.append(int(sel.sum()))
+        o_clip.append(None)
+        o_obs.append(None)
+        o_exp.append(None)
+        sub = feats[sel & ok]
+        if len(sub) == 0:
+            continue
+        for fi, name, spec in specs:
+            idx = np.clip(
+                ((sub[:, fi] - spec.lo) / (spec.hi - spec.lo) * spec.n).astype(int),
+                0, spec.n - 1,
+            )
+            binc = np.bincount(idx, minlength=spec.n)
+            nz = np.nonzero(binc)[0]
+            o_kind.extend(["h"] * len(nz))
+            o_part.extend([int(p)] * len(nz))
+            o_feat.extend([name] * len(nz))
+            o_bin.extend(nz.tolist())
+            o_cnt.extend(binc[nz].tolist())
+            o_clip.extend([None] * len(nz))
+            o_obs.extend([None] * len(nz))
+            o_exp.extend([None] * len(nz))
+
+    return pa.record_batch(
+        [
+            pa.array(o_kind, type=pa.string()),
+            pa.array(o_part, type=pa.int32()),
+            pa.array(o_feat, type=pa.string()),
+            pa.array(o_bin, type=pa.int32()),
+            pa.array(o_cnt, type=pa.int64()),
+            pa.array(o_clip, type=pa.string()),
+            pa.array(o_obs, type=pa.string()),
+            pa.array(o_exp, type=pa.string()),
+        ],
+        names=["kind", "part_id", "feature", "bin", "cnt",
+               "clip_id", "observed", "expected"],
+    )
+
+
 def decode_stats(
     df: DataFrame,
     ctx: RunContext,
@@ -117,104 +226,20 @@ def decode_stats(
     n_feat = len(FEATURE_NAMES)
 
     def gen(batches):
-        import pyarrow as pa
-
+        from semantic_log_detector_spark.checks.drift import stats_record_batch
         from semantic_log_detector_spark.functions.arrowio import prefetch_batches
 
         # prefetch: overlap the JVM scan/serialize with decode (the socket
         # buffer alone is far too small to pipeline ~100 MB batches)
         for batch in prefetch_batches(batches):
-            n = batch.num_rows
-            payloads = batch.column("bytes")
-            codecs = batch.column("codec").to_pylist()
-            clip_ids = batch.column("clip_id").to_pylist()
-            parts = np.asarray(batch.column(part_col).to_numpy(zero_copy_only=False))
-            decl_sr = batch.column("sr_hz").to_pylist()
-            decl_dur = batch.column("dur_ms").to_pylist()
-
-            feats = np.zeros((n, n_feat))
-            ok = np.zeros(n, dtype=bool)
-            o_kind: list[str] = []
-            o_part: list[int] = []
-            o_feat: list[str] = []
-            o_bin: list[int | None] = []
-            o_cnt: list[int | None] = []
-            o_clip: list[str | None] = []
-            o_obs: list[str | None] = []
-            o_exp: list[str | None] = []
-
-            def viol(rule, part, clip, obs, exp):
-                o_kind.append("v")
-                o_part.append(int(part))
-                o_feat.append(rule)
-                o_bin.append(None)
-                o_cnt.append(None)
-                o_clip.append(clip)
-                o_obs.append(obs)
-                o_exp.append(exp)
-
-            for i in range(n):
-                try:
-                    v = payloads[i]
-                    buf = None if not v.is_valid else memoryview(v.as_buffer())
-                    pcm, sr = decode_clip(buf, codecs[i])
-                    fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
-                    if not np.isfinite(fv).all():
-                        raise ValueError("non-finite features")
-                    feats[i] = fv
-                    ok[i] = True
-                    dd, dsr = decl_dur[i], decl_sr[i]
-                    if dd is not None and dd > 0 and dsr is not None and dsr == sr:
-                        decoded_ms = len(pcm) * 1000.0 / sr
-                        if abs(decoded_ms - dd) > max(dur_tol_ms, abs(dd) * dur_tol_rel):
-                            viol(R_DURATION, parts[i], clip_ids[i],
-                                 str(round(decoded_ms, 1)), str(dd))
-                except Exception as e:  # decode is allowed to fail per-row
-                    viol(R_DECODE, parts[i], clip_ids[i],
-                         f"{type(e).__name__}: {e}"[:200], "payload decodes cleanly")
-
-            for p in np.unique(parts):
-                sel = parts == p
-                o_kind.append("c")
-                o_part.append(int(p))
-                o_feat.append("rows")
-                o_bin.append(None)
-                o_cnt.append(int(sel.sum()))
-                o_clip.append(None)
-                o_obs.append(None)
-                o_exp.append(None)
-                sub = feats[sel & ok]
-                if len(sub) == 0:
-                    continue
-                for fi, name, spec in specs:
-                    idx = np.clip(
-                        ((sub[:, fi] - spec.lo) / (spec.hi - spec.lo) * spec.n).astype(int),
-                        0, spec.n - 1,
-                    )
-                    binc = np.bincount(idx, minlength=spec.n)
-                    nz = np.nonzero(binc)[0]
-                    o_kind.extend(["h"] * len(nz))
-                    o_part.extend([int(p)] * len(nz))
-                    o_feat.extend([name] * len(nz))
-                    o_bin.extend(nz.tolist())
-                    o_cnt.extend(binc[nz].tolist())
-                    o_clip.extend([None] * len(nz))
-                    o_obs.extend([None] * len(nz))
-                    o_exp.extend([None] * len(nz))
-
-            yield pa.record_batch(
-                [
-                    pa.array(o_kind, type=pa.string()),
-                    pa.array(o_part, type=pa.int32()),
-                    pa.array(o_feat, type=pa.string()),
-                    pa.array(o_bin, type=pa.int32()),
-                    pa.array(o_cnt, type=pa.int64()),
-                    pa.array(o_clip, type=pa.string()),
-                    pa.array(o_obs, type=pa.string()),
-                    pa.array(o_exp, type=pa.string()),
-                ],
-                names=["kind", "part_id", "feature", "bin", "cnt",
-                       "clip_id", "observed", "expected"],
+            yield stats_record_batch(
+                batch.column("clip_id").to_pylist(),
+                np.asarray(batch.column(part_col).to_numpy(zero_copy_only=False)),
+                batch.column("bytes"),
+                batch.column("codec").to_pylist(),
+                batch.column("sr_hz").to_pylist(),
+                batch.column("dur_ms").to_pylist(),
+                specs, n_feat, dur_tol_ms, dur_tol_rel,
             )
 
     return df.select(*cols).mapInArrow(gen, schema=_STATS_SCHEMA)
@@ -507,6 +532,8 @@ def drift_check(
     ks_threshold: float = 0.2,
     baseline: DataFrame | None = None,
     bins: dict[str, BinSpec] | None = None,
+    payload_path: str | None = None,
+    pending_parts: list[int] | None = None,
 ) -> CheckResult:
     """Full drift + decode check. Returns verdicts per (part, rule) for
     R050/R051 (drift) and violations for R060/R061 (decode/duration).
@@ -514,8 +541,19 @@ def drift_check(
     One heavy pass: ``decode_stats`` reads bytes exactly once and emits only
     tiny rows (histogram partials, sparse violations, row counters), so the
     persist below caches kilobytes regardless of input size — the per-clip
-    feature table never exists (it couldn't, at 10^12 rows)."""
-    stats = decode_stats(clips, ctx, bins)
+    feature table never exists (it couldn't, at 10^12 rows).
+
+    When ``payload_path`` names the parquet table backing ``clips`` (pure
+    scan, no transformations), the heavy pass runs as the Python-native
+    row-group reader (sources/payload_scan.py): payload bytes never cross
+    the JVM→worker socket. ``pending_parts`` scopes it for wave resume."""
+    if payload_path is not None:
+        from ..sources.payload_scan import payload_stats_scan
+
+        stats = payload_stats_scan(
+            clips.sparkSession, payload_path, ctx, bins, pending_parts)
+    else:
+        stats = decode_stats(clips, ctx, bins)
     stats.persist()
     try:
         hist = (

@@ -86,11 +86,18 @@ def run_suite(
     run_id: str | None = None,
     input_fingerprint: str = "",
     max_waves: int | None = None,
+    clips_path: str | None = None,
 ) -> RunResult:
     """Execute the configured check suite; everything lands under out_dir:
     verdicts/ violations/ ledger/ report.json. Re-running with the same
     (input_fingerprint, config) resumes: completed (check, part) pairs are
-    skipped via the ledger anti-join."""
+    skipped via the ledger anti-join.
+
+    ``clips_path``: when ``clips`` is a pure parquet scan of that path,
+    the drift check's payload pass runs as the Python-native row-group
+    reader (bytes never cross the JVM→worker socket). Only pass it for an
+    untransformed scan — filters applied to ``clips`` do NOT reach the
+    raw-file reader."""
     run_id = run_id or uuid.uuid4().hex[:12]
     ctx = RunContext(run_id=run_id, num_parts=cfg.num_parts,
                      config_hash=cfg.config_hash())
@@ -181,7 +188,10 @@ def run_suite(
                     sub_full = clips.filter(F.col(ctx.part_col).isin(pend))
                     res = drift_check(sub_full, ctx,
                                       psi_threshold=cfg.psi_threshold,
-                                      ks_threshold=cfg.ks_threshold)
+                                      ks_threshold=cfg.ks_threshold,
+                                      payload_path=clips_path,
+                                      pending_parts=(
+                                          pend if len(pend) < cfg.num_parts else None))
                 else:
                     raise ValueError(f"unknown check {check!r}")
                 built.append((check, pend, res, time.time() - t0))
