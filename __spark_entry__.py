@@ -175,8 +175,10 @@ def _q11_temporal_features(spark, sf):
         "event_id",
         F.round(F.hour("ts") / 23.0, 6).alias("hour_norm"),
         F.round(((F.dayofweek("ts") + 5) % 7) / 6.0, 6).alias("dow_norm"),
-        F.round(F.sin(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6).alias("hour_sin"),
-        F.round(F.cos(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6).alias("hour_cos"),
+        # + 0.0 canonicalizes IEEE -0.0 to 0.0 (cos at hour 6/18 rounds to a
+        # signed zero in DuckDB but not Spark — bit-level hash divergence)
+        (F.round(F.sin(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6) + 0.0).alias("hour_sin"),
+        (F.round(F.cos(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6) + 0.0).alias("hour_cos"),
     )
 
 
@@ -494,12 +496,43 @@ def _q36_clips_suite(spark, sf):
 
 
 def _q37_media_features(spark, sf):
-    from semantic_log_detector_spark.operators.multimodal import (
-        extract_media_features,
-        synth_media,
+    """Multimodal plumbing (X2/X3): opaque binary payloads → mapInPandas
+    feature extraction. Payloads are the documents' utf-8 bytes so the
+    deterministic fake feature (sha256-derived) is DuckDB-reproducible:
+    this oracles the full Arrow-batch decode seam end-to-end. Features are
+    exploded to (feat_idx, feat_value) rows — hashable for the harness."""
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.multimodal import extract_media_features
+
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "ok",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    ).select(
+        "media_id",
+        "kind",
+        "ok",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        (F.round("feat_value", 6) + 0.0).alias("feat_value"),
     )
 
-    return extract_media_features(synth_media(spark, 500))
+
+def _q38_dim_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    from semantic_log_detector_spark.operators.knn import dim_stats
+
+    return dim_stats(emb)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -541,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_lsh_topk": _q35_lsh_topk,
         "q36_clips_suite": _q36_clips_suite,
         "q37_media_features": _q37_media_features,
+        "q38_dim_stats": _q38_dim_stats,
     }
 
 
@@ -614,8 +648,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    round(hour(ts) / 23.0, 6) AS hour_norm,
                    round(((dayofweek(ts) + 6) % 7) / 6.0, 6) AS dow_norm,
-                   round(sin(2 * 3.141592653589793 * hour(ts) / 24.0), 6) AS hour_sin,
-                   round(cos(2 * 3.141592653589793 * hour(ts) / 24.0), 6) AS hour_cos
+                   round(sin(2 * 3.141592653589793 * hour(ts) / 24.0), 6) + 0.0 AS hour_sin,
+                   round(cos(2 * 3.141592653589793 * hour(ts) / 24.0), 6) + 0.0 AS hour_cos
             FROM events
         """,
         "q12_zscore_window": """
@@ -817,6 +851,34 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id ASC) AS rank
               FROM events)
             WHERE rank <= 3 ORDER BY event_type, rank
+        """,
+        "q37_media_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE (doc_id % 3) WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'video'
+                                       ELSE 'audio' END AS kind,
+                     sha256(text) AS h
+              FROM documents)
+            SELECT media_id, kind, TRUE AS ok, i AS feat_idx,
+                   round((CAST(('0x' || substr(h, 8*i+1, 2)) AS INT)
+                        + CAST(('0x' || substr(h, 8*i+3, 2)) AS INT)
+                        + CAST(('0x' || substr(h, 8*i+5, 2)) AS INT)
+                        + CAST(('0x' || substr(h, 8*i+7, 2)) AS INT)) / 1020.0, 6) + 0.0 AS feat_value
+            FROM m, range(8) t(i)
+        """,
+        "q38_dim_stats": """
+            SELECT i AS dim, count(*) AS n,
+                   round(sum(v::DECIMAL(30,12))::DOUBLE / count(*), 6) + 0.0 AS mean,
+                   round(sqrt((sum((v * v)::DECIMAL(30,10))::DOUBLE
+                               - sum(v::DECIMAL(30,12))::DOUBLE
+                                 * sum(v::DECIMAL(30,12))::DOUBLE / count(*))
+                              / (count(*) - 1)), 6) + 0.0 AS std,
+                   round(min(v), 6) + 0.0 AS mn,
+                   round(max(v), 6) + 0.0 AS mx
+            FROM (SELECT i, embedding[i + 1]::DOUBLE AS v
+                  FROM embeddings, range(64) t(i))
+            GROUP BY 1 ORDER BY 1
         """,
     } | _long_oracles()
 

@@ -151,6 +151,35 @@ def embedding_dup_pairs(
     )
 
 
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension embedding stats (mean/std/min/max), one pass.
+
+    The reference computes per-dim mean/std over its n×768 embedding matrix
+    driver-side (`src/ids/drift_baseline.py:91-147`); at 10^12 rows that
+    becomes posexplode → groupBy(dim): hash aggregation with `dims` groups
+    partial-combines map-side, so the shuffle carries ≤ dims×tasks rows,
+    never the exploded table. Decimal-exact sums make mean/std independent
+    of summation order (same device as the stats profile)."""
+    e = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v")
+    )
+    s = F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(30,10)")).cast("double")
+    n = F.count("v")
+    var = (s2 - s * s / n) / (n - 1)
+    return (
+        e.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            n.alias("n"),
+            (F.round(s / n, 6) + 0.0).alias("mean"),
+            (F.round(F.sqrt(var), 6) + 0.0).alias("std"),
+            (F.round(F.min("v"), 6) + 0.0).alias("mn"),
+            (F.round(F.max("v"), 6) + 0.0).alias("mx"),
+        )
+        .orderBy("dim")
+    )
+
+
 def norm_stats(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
     """A15/F13: per-group embedding L2-norm stats — the reference's
     embedding-distribution baseline (drift_baseline.py:91-147)."""
