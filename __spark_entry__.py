@@ -459,24 +459,58 @@ def _q32_topk_per_group(spark, sf):
     )
 
 
-# ----------------------------------------------- rows-only (no SQL oracle)
+# ------------------------------------- approximate ladder, machine-checked
 
 
 def _q33_minhash_pairs(spark, sf):
+    """MinHash-LSH near-dup validation against the exact baseline: output
+    is the exact Jaccard pair set at the threshold, full-outer-joined with
+    the LSH pairs and annotated `lsh_found`. The DuckDB oracle produces the
+    exact pairs with lsh_found=TRUE, so an LSH miss flips a boolean (hash
+    mismatch) and an LSH false positive adds a row (rowcount mismatch) —
+    recall AND precision are machine-checked, per the subset-of-exact
+    scheme."""
     d = _t(spark, sf, "documents")
-    from semantic_log_detector_spark.operators.dedup import minhash_lsh_pairs
+    from semantic_log_detector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
-    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.2)
+    exact = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_df=None
+    )
+    lsh = minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.2).withColumn(
+        "found", F.lit(True)
+    )
+    return (
+        exact.alias("e")
+        .join(lsh.alias("l"), ["id_a", "id_b"], "full")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("e.jaccard"), F.col("l.jaccard")).alias("jaccard"),
+            F.coalesce("found", F.lit(False)).alias("lsh_found"),
+        )
+    )
 
 
 def _q34_simhash_pairs(spark, sf):
+    """Exact-complete Hamming-≤3 pair search over the md5-60-bit SimHash
+    (4-band pigeonhole ⇒ no LSH miss); the oracle recomputes the simhash
+    bit-for-bit in SQL."""
     d = _t(spark, sf, "documents")
-    from semantic_log_detector_spark.operators.dedup import simhash_pairs
+    from semantic_log_detector_spark.operators.dedup import simhash_hamming_pairs
 
-    return simhash_pairs(d, "text", "doc_id", max_hamming=16)
+    return simhash_hamming_pairs(d, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q35_lsh_topk(spark, sf):
+    """Hyperplane-LSH approximate top-k. The hyperplanes are deterministic
+    seeded literals, so the oracle replicates the WHOLE algorithm —
+    signatures, bucket join, exact in-bucket cosine ranking — bit-for-bit
+    in SQL (see _lsh_topk_oracle)."""
     emb = _t(spark, sf, "embeddings")
     from semantic_log_detector_spark.operators.knn import lsh_topk
 
@@ -852,6 +886,46 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rank <= 3 ORDER BY event_type, rank
         """,
+        "q33_minhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+              FROM toks WHERE len(t) >= 3),
+            inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard,
+                   TRUE AS lsh_found
+            FROM pairs WHERE inter / (na + nb - inter) >= 0.2
+        """,
+        "q34_simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+              FROM documents),
+            tok AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(unnest(t)), 1, 15)) AS BIGINT) AS h
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM tok, range(60) r(b) GROUP BY 1, 2),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS s
+              FROM bits GROUP BY 1)
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.s, b.s))::BIGINT AS hamming
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE hamming <= 3
+        """,
         "q37_media_features": """
             WITH m AS (
               SELECT CAST(doc_id AS VARCHAR) AS media_id,
@@ -921,4 +995,54 @@ def _long_oracles() -> dict[str, str]:
                {lang_case} AS lang_guess
         FROM base
     """
-    return {"q25_textstats": q25}
+    return {"q25_textstats": q25, "q35_lsh_topk": _lsh_topk_oracle()}
+
+
+def _lsh_topk_oracle() -> str:
+    """Bit-exact SQL twin of _q35_lsh_topk: the seeded hyperplanes are
+    regenerated and inlined as literals, signatures are explicit
+    left-associated dot-product sums (matching functions/arrays.py dot's
+    fold order), candidates are the OR-union of per-table bucket joins,
+    and ranking is exact cosine over rounded scores — the whole
+    approximate algorithm, reproduced in SQL."""
+    from semantic_log_detector_spark.operators.knn import _hyperplanes
+
+    n_planes, n_tables, seed, dim, k = 8, 4, 42, 64, 5
+
+    def dot_sql(plane: list[float]) -> str:
+        return " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({w!r})" for i, w in enumerate(plane)
+        )
+
+    sig_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        sig = " + ".join(
+            f"(CASE WHEN ({dot_sql(p)}) > 0 THEN {1 << h}::BIGINT ELSE 0::BIGINT END)"
+            for h, p in enumerate(planes)
+        )
+        sig_cols.append(f"({sig}) AS sig{t}")
+    sig_select = ",\n                 ".join(sig_cols)
+    or_join = " OR ".join(f"q.sig{t} = b.sig{t}" for t in range(n_tables))
+    return f"""
+        WITH sigs AS (
+          SELECT vec_id, embedding,
+                 {sig_select}
+          FROM embeddings),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS b_id,
+                 q.embedding AS qe, b.embedding AS be
+          FROM sigs q JOIN sigs b
+            ON q.vec_id != b.vec_id AND ({or_join})
+          WHERE q.vec_id < 10),
+        scored AS (
+          SELECT q_id, b_id,
+                 round(list_cosine_similarity(qe::DOUBLE[], be::DOUBLE[]), 6) AS score
+          FROM cand)
+        SELECT q_id, b_id, score, rank FROM (
+          SELECT q_id, b_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, b_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {k}
+    """

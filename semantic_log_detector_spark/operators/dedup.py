@@ -10,8 +10,16 @@ the per-row array work JVM-side.
 Scale notes:
 - Shingle/signature computation is a narrow map — no shuffle.
 - LSH banding shuffles (band_id, band_hash) key pairs; bucket sizes are the
-  skew risk, so buckets above `max_bucket` are dropped (and logged) —
-  standard "stop-word bucket" guard for near-dup at corpus scale.
+  skew risk, so buckets above `max_bucket` are dropped AND the drop is
+  surfaced: counted via one tiny action over the checkpointed signature
+  table, logged, and written into the caller's `drop_stats` dict —
+  "no silent caps" (SURVEY.md §7.3).
+- The exact inverted-index operator guards against stop-shingle quadratic
+  blowup with a max-document-frequency cutoff (`max_df`): shingles present
+  in more than max_df documents are removed from the shingle UNIVERSE
+  (both intersections and set sizes), so the result is still a true
+  Jaccard — of df-filtered shingle sets — and Σ df² is bounded by
+  total_postings × max_df.
 - Pair verification joins only within-bucket candidates, never all-pairs.
   Exact Jaccard verification re-joins the (small) candidate set against the
   shingle arrays by id — broadcastable when candidates are sparse.
@@ -19,10 +27,50 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+
+def _surface_bucket_drops(
+    sizes: DataFrame,
+    max_bucket: int,
+    op: str,
+    drop_stats: dict | None,
+) -> None:
+    """Count rows/buckets removed by the stop-bucket guard and surface them.
+
+    One action over the (checkpointed, tiny) per-bucket size table — the
+    expensive upstream pass is shared with the join that consumes it, so
+    this costs a small driver round-trip, not a recompute."""
+    row = (
+        sizes.filter(F.col("bsz") > max_bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("n_rows"),
+        )
+        .first()
+    )
+    stats = {
+        "dropped_buckets": int(row["n_buckets"]),
+        "dropped_bucket_rows": int(row["n_rows"]),
+        "max_bucket": max_bucket,
+    }
+    if drop_stats is not None:
+        drop_stats.update(stats)
+    if stats["dropped_buckets"]:
+        _LOG.warning(
+            "%s: stop-bucket guard dropped %d buckets (%d postings) over max_bucket=%d"
+            " — pairs within those buckets are NOT emitted",
+            op, stats["dropped_buckets"], stats["dropped_bucket_rows"], max_bucket,
+        )
+    else:
+        _LOG.info("%s: no buckets exceeded max_bucket=%d", op, max_bucket)
 
 
 def tokens(col: Column) -> Column:
@@ -56,9 +104,16 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
 # ------------------------------------------------------------------ exact dup
 
 
-def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str, max_dup_ids: int = 100
+) -> DataFrame:
     """Exact duplicate groups by content hash: one hash-partitioned groupBy.
-    Returns (content_hash, n_dups, keep_id, dup_ids) for groups with n>1."""
+
+    Returns (content_hash, n_dups, keep_id, dup_ids, dup_ids_truncated) for
+    groups with n>1. ``dup_ids`` is capped at ``max_dup_ids`` entries so a
+    degenerate mono-key input (one hash dominating a 10^12-row corpus)
+    cannot materialize an unbounded row; ``n_dups`` always carries the true
+    count and ``dup_ids_truncated`` flags the overflow."""
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]))
     return (
         df.withColumn("content_hash", h)
@@ -66,9 +121,12 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_dup_ids
+            ).alias("dup_ids"),
         )
         .filter(F.col("n_dups") > 1)
+        .withColumn("dup_ids_truncated", F.col("n_dups") > max_dup_ids)
     )
 
 
@@ -135,11 +193,16 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Band width r = num_hashes/bands ⇒ candidate prob ≈ 1-(1-j^r)^bands.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Over-sized LSH buckets (stop-word buckets) are dropped; the drop count
+    is logged and, when ``drop_stats`` is a dict, written into it
+    (dropped_buckets / dropped_bucket_rows) — never silent.
     """
     base = (
         df.select(
@@ -160,6 +223,7 @@ def minhash_lsh_pairs(
 
     # stop-word-bucket guard: degenerate buckets explode quadratically
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    _surface_bucket_drops(sizes, max_bucket, "minhash_lsh_pairs", drop_stats)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "bucket"], "left_anti"
     )
@@ -228,15 +292,106 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash60_md5(text_col: Column) -> Column:
+    """60-bit SimHash with an md5-derived token hash (first 15 hex chars →
+    long). Unlike xxhash64, md5 is available in ANSI-SQL engines, so this
+    variant is bit-reproducible by a DuckDB oracle — the machine-checkable
+    twin of ``simhash64``. Same bit-vote construction; 60 bits keep the
+    value positive (no sign-bit special case) and split into 4×15-bit
+    pigeonhole bands."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda vacc, h: vacc
+                + F.when(h.bitwiseAND(F.element_at(masks, b + 1)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.element_at(masks, b + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1_000_000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """EXACT Hamming-≤k pair search over the md5-60-bit SimHash, k < 4.
+
+    With 4 pigeonhole bands of 15 bits, any pair within k ≤ 3 Hamming must
+    agree on at least one whole band, so the banded self-join is COMPLETE —
+    the result is exactly every pair with hamming(simhash) ≤ k, which a SQL
+    oracle can reproduce bit-for-bit (no LSH miss to excuse). The bucket
+    guard defaults high because dropping buckets would break completeness;
+    drops, if any, are surfaced via log + ``drop_stats``.
+    Returns (id_a, id_b, hamming)."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash60_md5(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.key")
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    _surface_bucket_drops(sizes, max_bucket, "simhash_hamming_pairs", drop_stats)
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k, using the 4-band pigeonhole
-    trick (k<16 ⇒ some 16-bit band equal) to avoid all-pairs."""
+    trick (k<16 ⇒ some 16-bit band equal) to avoid all-pairs.
+
+    Over-sized buckets are dropped with the drop surfaced via log +
+    ``drop_stats`` (see ``minhash_lsh_pairs``)."""
     # lazy checkpoint: sizes-broadcast + both self-join sides consume it
     base = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
@@ -257,6 +412,7 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    _surface_bucket_drops(sizes, max_bucket, "simhash_pairs", drop_stats)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
     )
@@ -287,11 +443,23 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Exact all-candidate Jaccard via inverted shingle index: explode
     shingles → self-join on shingle → pair intersection counts → filter.
-    Exact (no LSH miss) but O(Σ bucket²) — the baseline the LSH variants
-    are verified against on samples."""
+    Exact (no LSH miss) — the baseline the LSH variants are verified
+    against on samples.
+
+    ``max_df`` is the stop-shingle guard: shingles present in more than
+    max_df documents are removed from the shingle UNIVERSE — both the
+    intersections and the per-document set sizes — so the output is still
+    a true Jaccard (of df-filtered sets) and the self-join's per-shingle
+    bucket is bounded: O(Σ df²) ≤ total_postings × max_df instead of
+    quadratic on a corpus-scale stop-shingle. Dropped-shingle counts are
+    logged and written to ``drop_stats`` when provided. ``max_df=None``
+    disables the guard (pure exact baseline for verification at sample
+    scale)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -299,13 +467,48 @@ def ngram_jaccard_pairs(
     # hash AFTER explode: the projection over the generator output runs in
     # whole-stage codegen (hashing inside the higher-order transform would
     # be interpreted), and the self-join keys become fixed-width longs.
-    # Lazy checkpoint: both sides of the self-join consume inv — without
-    # it the shingling executes twice.
+    # Lazy checkpoint: both sides of the self-join (and the df guard)
+    # consume inv — without it the shingling executes once per consumer.
     inv = (
         sh.select("id", "n_sh", F.explode("sh").alias("s_str"))
         .select("id", "n_sh", F.xxhash64("s_str").alias("s"))
         .localCheckpoint(eager=False)
     )
+    if max_df is not None:
+        stop = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("s_df"))
+            .filter(F.col("s_df") > max_df)
+        )
+        srow = stop.agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("s_df"), F.lit(0)).alias("n_postings"),
+        ).first()
+        stats = {
+            "dropped_shingles": int(srow["n_shingles"]),
+            "dropped_postings": int(srow["n_postings"]),
+            "max_df": max_df,
+        }
+        if drop_stats is not None:
+            drop_stats.update(stats)
+        if stats["dropped_shingles"]:
+            _LOG.warning(
+                "ngram_jaccard_pairs: df guard removed %d stop-shingles "
+                "(%d postings) with document frequency > %d from the "
+                "shingle universe",
+                stats["dropped_shingles"], stats["dropped_postings"], max_df,
+            )
+        else:
+            _LOG.info("ngram_jaccard_pairs: no shingle exceeded max_df=%d", max_df)
+        if stats["dropped_shingles"]:
+            # rebuild postings + set sizes over the filtered universe; the
+            # broadcast anti-join keeps this a narrow pass over the
+            # checkpointed postings (stop-shingle lists are tiny by nature)
+            filtered = inv.join(
+                F.broadcast(stop.select("s")), "s", "left_anti"
+            ).drop("n_sh")
+            sizes = filtered.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+            inv = filtered.join(sizes, "id").localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
