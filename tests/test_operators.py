@@ -161,3 +161,124 @@ def test_media_real_decode_raises(spark):
     media = synth_media(spark, 5)
     with pytest.raises(Exception, match="NotImplementedError|no in-container decoder"):
         extract_media_features(media, fake_decode=False).collect()
+
+
+# ------------------------------------------- guard surfacing ("no silent caps")
+
+
+def test_minhash_bucket_drop_is_surfaced(spark):
+    # 60 docs sharing one text → every band bucket holds all 60 rows; with
+    # max_bucket=10 the guard must drop them AND report the drop
+    df = spark.createDataFrame(
+        [(i, "the same stop text repeated for every document here") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    stats: dict = {}
+    out = minhash_lsh_pairs(
+        df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10, drop_stats=stats
+    )
+    assert out.count() == 0  # all candidate buckets dropped
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_bucket_rows"] >= 60
+    assert stats["max_bucket"] == 10
+
+
+def test_simhash_bucket_drop_is_surfaced(spark):
+    df = spark.createDataFrame(
+        [(i, "another identical stop document body for the bucket guard") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    stats: dict = {}
+    out = simhash_pairs(df, "text", "doc_id", max_hamming=3, max_bucket=5, drop_stats=stats)
+    assert out.count() == 0
+    assert stats["dropped_buckets"] > 0
+
+
+def test_ngram_jaccard_df_guard(spark):
+    # every doc shares the stop-shingle "a a a"; distinct tails pair nobody.
+    # With max_df=5 the stop shingle leaves the universe: zero pairs, and
+    # the drop is reported. Unguarded, 50 docs × shared shingle → 1225 pairs.
+    docs = [(i, f"a a a tail{i} x{i} y{i}") for i in range(50)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    unguarded = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01, max_df=None)
+    assert unguarded.count() == 50 * 49 // 2
+    stats: dict = {}
+    guarded = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.01, max_df=5, drop_stats=stats
+    )
+    assert guarded.count() == 0
+    assert stats["dropped_shingles"] >= 1
+    assert stats["dropped_postings"] >= 50
+
+
+def test_ngram_jaccard_df_guard_filtered_universe_semantics(spark):
+    # two docs: shared stop-shingle + one genuinely shared rare shingle.
+    # Post-filter jaccard must be computed over the FILTERED universe
+    # (sizes shrink too), not just a dropped intersection term.
+    docs = [
+        (1, "s s s p q r"),   # shingles: {s s s, s s p, s p q, p q r}
+        (2, "s s s p q z"),   # shingles: {s s s, s s p, s p q, p q z}
+        (3, "s s s m n o"),
+        (4, "s s s m n w"),
+        (5, "s s s d e f"),
+        (6, "s s s d e g"),
+        (7, "s s s h i j"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1, max_df=6).collect()}
+    # "s s s" df=7 > 6 → dropped; docs 1,2 still share {s s p, s p q}:
+    # jaccard = 2 / (3 + 3 - 2) = 0.5 over the filtered universe
+    assert out[(1, 2)] == 0.5
+
+
+def test_exact_dedup_dup_ids_capped(spark):
+    df = spark.createDataFrame(
+        [(i, "identical") for i in range(30)], ["doc_id", "text"]
+    )
+    r = exact_dedup(df, ["text"], "doc_id", max_dup_ids=10).first()
+    assert r["n_dups"] == 30
+    assert len(r["dup_ids"]) == 10
+    assert r["dup_ids_truncated"] is True
+    r2 = exact_dedup(df, ["text"], "doc_id", max_dup_ids=100).first()
+    assert len(r2["dup_ids"]) == 30 and r2["dup_ids_truncated"] is False
+
+
+# ------------------------------------- exact-complete simhash hamming search
+
+
+def test_simhash_hamming_pairs_complete_vs_brute_force(spark, docs):
+    from semantic_log_detector_spark.operators.dedup import (
+        simhash60_md5,
+        simhash_hamming_pairs,
+    )
+
+    sh = {r["doc_id"]: r["sh"] for r in
+          docs.select("doc_id", simhash60_md5(F.col("text")).alias("sh")).collect()}
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh for b in sh if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_hamming_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
+    assert got == want  # pigeonhole banding is complete, not approximate
+    assert (1, 4) in got and got[(1, 4)] == 0
+
+
+def test_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    from semantic_log_detector_spark.operators.knn import dim_stats
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    rows = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert len(rows) == 4
+    for d in range(4):
+        assert rows[d]["n"] == 50
+        assert abs(rows[d]["mean"] - round(float(mat[:, d].mean()), 6)) < 1e-6
+        assert abs(rows[d]["std"] - round(float(mat[:, d].std(ddof=1)), 6)) < 1e-6
+        assert rows[d]["mn"] == round(float(mat[:, d].min()), 6)
