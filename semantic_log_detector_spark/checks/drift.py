@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.audio import clip_features, decode_clip
+from ..functions.audio import clip_features, decode_clip, decode_clip_ex
 from .base import (
     CheckResult,
     RunContext,
@@ -51,6 +51,7 @@ from .base import (
 
 R_DECODE = "R060_decode"
 R_DURATION = "R061_duration_consistency"
+R_CODEC = "R062_codec_fidelity"
 R_PSI = "R050_drift_psi"
 R_KS = "R051_drift_ks"
 
@@ -99,8 +100,15 @@ def stats_record_batch(
     n_feat: int,
     dur_tol_ms: float = 20.0,
     dur_tol_rel: float = 0.02,
+    strict_codecs: bool = False,
 ):
     """Decode + featurize + bin ONE Arrow batch into _STATS_SCHEMA rows.
+
+    Fake decodes (codec label without a registered real decoder; see
+    functions/audio.py::decode_clip_ex) are never silent: each partition
+    emits a kind='c' feature='fake_decodes' counter row, and with
+    ``strict_codecs`` the clip instead becomes an R062 violation and is
+    excluded from the histograms.
 
     Shared kernel of the two payload readers: ``decode_stats`` (JVM scan →
     mapInArrow) and ``sources/payload_scan.py`` (Python-native parquet
@@ -113,6 +121,7 @@ def stats_record_batch(
     n = len(clip_ids)
     feats = np.zeros((n, n_feat))
     ok = np.zeros(n, dtype=bool)
+    fake = np.zeros(n, dtype=bool)
     o_kind: list[str] = []
     o_part: list[int] = []
     o_feat: list[str] = []
@@ -136,7 +145,14 @@ def stats_record_batch(
         try:
             v = payloads[i]
             buf = None if not v.is_valid else memoryview(v.as_buffer())
-            pcm, sr = decode_clip(buf, codecs[i])
+            pcm, sr, is_fake = decode_clip_ex(buf, codecs[i])
+            if is_fake:
+                fake[i] = True
+                if strict_codecs:
+                    viol(R_CODEC, parts[i], clip_ids[i],
+                         f"codec {codecs[i]!r} fake-decoded (no real decoder)",
+                         "registered decoder for declared codec")
+                    continue
             fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
             if not np.isfinite(fv).all():
                 raise ValueError("non-finite features")
@@ -162,6 +178,16 @@ def stats_record_batch(
         o_clip.append(None)
         o_obs.append(None)
         o_exp.append(None)
+        n_fake = int((sel & fake).sum())
+        if n_fake:  # surfaced fake-decode counter — never silent
+            o_kind.append("c")
+            o_part.append(int(p))
+            o_feat.append("fake_decodes")
+            o_bin.append(None)
+            o_cnt.append(n_fake)
+            o_clip.append(None)
+            o_obs.append(None)
+            o_exp.append(None)
         sub = feats[sel & ok]
         if len(sub) == 0:
             continue
@@ -203,6 +229,7 @@ def decode_stats(
     bins: dict[str, BinSpec] | None = None,
     dur_tol_ms: float = 20.0,
     dur_tol_rel: float = 0.02,
+    strict_codecs: bool = False,
 ) -> DataFrame:
     """ONE mapInArrow pass over (clip_id, part_id, bytes, codec, sr_hz,
     dur_ms): decode + feature-extract each clip, bin features into fixed
@@ -239,7 +266,7 @@ def decode_stats(
                 batch.column("codec").to_pylist(),
                 batch.column("sr_hz").to_pylist(),
                 batch.column("dur_ms").to_pylist(),
-                specs, n_feat, dur_tol_ms, dur_tol_rel,
+                specs, n_feat, dur_tol_ms, dur_tol_rel, strict_codecs,
             )
 
     return df.select(*cols).mapInArrow(gen, schema=_STATS_SCHEMA)
@@ -534,6 +561,7 @@ def drift_check(
     bins: dict[str, BinSpec] | None = None,
     payload_path: str | None = None,
     pending_parts: list[int] | None = None,
+    strict_codecs: bool = False,
 ) -> CheckResult:
     """Full drift + decode check. Returns verdicts per (part, rule) for
     R050/R051 (drift) and violations for R060/R061 (decode/duration).
@@ -551,9 +579,10 @@ def drift_check(
         from ..sources.payload_scan import payload_stats_scan
 
         stats = payload_stats_scan(
-            clips.sparkSession, payload_path, ctx, bins, pending_parts)
+            clips.sparkSession, payload_path, ctx, bins, pending_parts,
+            strict_codecs=strict_codecs)
     else:
-        stats = decode_stats(clips, ctx, bins)
+        stats = decode_stats(clips, ctx, bins, strict_codecs=strict_codecs)
     stats.persist()
     try:
         hist = (
@@ -562,23 +591,36 @@ def drift_check(
             .agg(F.sum("cnt").alias("cnt"))
         )
         part_counts = (
-            stats.filter(F.col("kind") == "c")
+            stats.filter((F.col("kind") == "c") & (F.col("feature") == "rows"))
             .groupBy(F.col("part_id").alias(ctx.part_col))
             .agg(F.sum("cnt").alias("n_rows"))
         )
+        fake_counts = (
+            stats.filter((F.col("kind") == "c") & (F.col("feature") == "fake_decodes"))
+            .groupBy(F.col("part_id").alias(ctx.part_col))
+            .agg(F.sum("cnt").alias("n_fake"))
+        )
         is_decode = F.col("feature") == R_DECODE
+        is_codec = F.col("feature") == R_CODEC
         viol_rows = stats.filter(F.col("kind") == "v").select(
             F.lit(ctx.run_id).alias("run_id"),
             F.col("part_id").cast("int").alias("part_id"),
             F.col("feature").alias("rule_id"),
             "clip_id",
-            F.when(is_decode, F.lit("bytes")).otherwise(F.lit("dur_ms")).alias("column"),
+            F.when(is_codec, F.lit("codec"))
+            .when(is_decode, F.lit("bytes"))
+            .otherwise(F.lit("dur_ms")).alias("column"),
             F.col("observed"),
             F.col("expected"),
-            F.when(is_decode, F.lit("Critical")).otherwise(F.lit("Medium")).alias("severity"),
+            F.when(is_decode, F.lit("Critical"))
+            .when(is_codec, F.lit("High"))
+            .otherwise(F.lit("Medium")).alias("severity"),
             F.when(
                 is_decode,
                 F.concat(F.lit("payload failed to decode: "), F.col("observed")),
+            ).when(
+                is_codec,
+                F.lit("declared codec has no registered decoder (strict_codecs)"),
             ).otherwise(F.lit("decoded duration differs from declared dur_ms")).alias("explanation"),
         )
 
@@ -638,13 +680,30 @@ def drift_check(
                 F.col("worst_feature"), F.lit(")"),
             ).alias("explanation"),
         )
+        decode_rules = [R_DECODE, R_DURATION] + ([R_CODEC] if strict_codecs else [])
         decode_verdicts = verdicts_from_violations(
             viol_rows.withColumnRenamed("part_id", ctx.part_col),
             part_counts,
             ctx,
-            [R_DECODE, R_DURATION],
+            decode_rules,
         )
         verdicts = verdicts.unionByName(decode_verdicts)
+        if not strict_codecs:
+            # lenient mode: fake decodes pass but are REPORTED per partition
+            # in the R062 verdict row — the no-silent-fake contract
+            codec_verdicts = part_counts.join(fake_counts, ctx.part_col, "left").select(
+                F.lit(ctx.run_id).alias("run_id"),
+                F.col(ctx.part_col).cast("int").alias("part_id"),
+                F.lit(R_CODEC).alias("rule_id"),
+                F.lit(True).alias("passed"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.lit(0).cast("long").alias("n_violations"),
+                F.concat(
+                    F.lit("n_fake_decoded="), F.coalesce(F.col("n_fake"), F.lit(0))
+                ).alias("observed"),
+                F.lit("real decoder registered for every declared codec").alias("expected"),
+            )
+            verdicts = verdicts.unionByName(codec_verdicts)
         violations = viol_rows.unionByName(drift_viols)
         # verdict/violation plans stay LAZY over the cached stats pass — the
         # caller's batched write/collect actions materialize them (and must

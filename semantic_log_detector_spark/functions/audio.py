@@ -85,14 +85,54 @@ def _decode_fake(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
 
 KNOWN_CODECS = ("pcm_s16le", "flac", "opus", "mp3")
 
+# Real-decoder registry: codec → fn(bytes) -> (pcm float32, sr_hz). Only WAV
+# PCM ships in-container; a production build registers flac/opus/mp3 here
+# (register_decoder) and the fake path below stops being reachable for them.
+DECODERS: dict[str, object] = {"pcm_s16le": decode_wav}
+
+# container magic for the codecs we claim to know but cannot really decode —
+# used to refuse honestly instead of mis-parsing real compressed payloads
+_CONTAINER_MAGIC = ((b"fLaC", "flac"), (b"OggS", "opus"), (b"ID3", "mp3"), (b"\xff\xfb", "mp3"))
+
+
+def register_decoder(codec: str, fn) -> None:
+    """Register a real decoder fn(bytes) -> (pcm float32, sr_hz)."""
+    DECODERS[codec] = fn
+
+
+def decode_clip_ex(buf: bytes, codec: str | None) -> tuple[np.ndarray, int, bool]:
+    """Dispatch decode by codec label → (pcm, sr_hz, fake).
+
+    ``fake=True`` marks a payload whose codec label has no registered real
+    decoder but whose bytes are RIFF/WAVE-framed (the deterministic
+    synthetic source's shape) — the WAV parse stands in for the codec, and
+    the caller MUST surface the substitution (drift check counts these as
+    ``fake_decodes``; strict mode turns them into violations). A payload
+    that actually carries flac/ogg/mp3 magic raises NotImplementedError —
+    never a silent wrong parse. ValueError on unknown codec/bad payload.
+    """
+    if codec is None:
+        return (*decode_wav(buf), False)
+    dec = DECODERS.get(codec)
+    if dec is not None:
+        return (*dec(buf), False)
+    if codec in KNOWN_CODECS:
+        head = bytes(buf[:4]) if buf is not None and len(buf) >= 4 else b""
+        for magic, _name in _CONTAINER_MAGIC:
+            if head.startswith(magic):
+                raise NotImplementedError(
+                    f"payload is real {codec!r} (container magic {magic!r}) and no "
+                    "decoder is registered in this build; register one via "
+                    "register_decoder()"
+                )
+        return (*_decode_fake(buf, codec), True)
+    raise ValueError(f"unknown codec {codec!r}")
+
 
 def decode_clip(buf: bytes, codec: str | None) -> tuple[np.ndarray, int]:
-    """Dispatch decode by codec label. ValueError on unknown codec/bad payload."""
-    if codec == "pcm_s16le" or codec is None:
-        return decode_wav(buf)
-    if codec in KNOWN_CODECS:
-        return _decode_fake(buf, codec)
-    raise ValueError(f"unknown codec {codec!r}")
+    """Back-compat decode: (pcm, sr_hz); see decode_clip_ex for the fake flag."""
+    pcm, sr, _fake = decode_clip_ex(buf, codec)
+    return pcm, sr
 
 
 # ------------------------------------------------------- spectral feature path

@@ -48,6 +48,10 @@ class SuiteConfig:
     dur_range: tuple[int, int] = (1, 12 * 3600 * 1000)
     psi_threshold: float = 0.2
     ks_threshold: float = 0.2
+    # strict: clips whose declared codec has no REGISTERED real decoder are
+    # violations; lenient (default): fake decodes pass but are counted and
+    # reported per partition in the R062 verdict (never silent)
+    strict_codecs: bool = False
     waves: int = 1
     stats_expectations: tuple = tuple(
         (c, tuple(exps)) for c, exps in DEFAULT_EXPECTATIONS.items()
@@ -189,6 +193,7 @@ def run_suite(
                     res = drift_check(sub_full, ctx,
                                       psi_threshold=cfg.psi_threshold,
                                       ks_threshold=cfg.ks_threshold,
+                                      strict_codecs=cfg.strict_codecs,
                                       payload_path=clips_path,
                                       pending_parts=(
                                           pend if len(pend) < cfg.num_parts else None))

@@ -67,6 +67,7 @@ def payload_stats_scan(
     dur_tol_ms: float = 20.0,
     dur_tol_rel: float = 0.02,
     batch_rows: int = 1024,
+    strict_codecs: bool = False,
 ) -> DataFrame:
     """decode_stats-equivalent DataFrame, read Python-side from ``path``.
 
@@ -124,7 +125,7 @@ def payload_stats_scan(
                             parts = parts[keep]
                     yield stats_record_batch(
                         clip_ids, parts, payloads, codecs, decl_sr, decl_dur,
-                        specs, n_feat, dur_tol_ms, dur_tol_rel,
+                        specs, n_feat, dur_tol_ms, dur_tol_rel, strict_codecs,
                     )
 
     return desc.mapInArrow(gen, schema=_STATS_SCHEMA)
