@@ -101,8 +101,16 @@ def stats_record_batch(
     dur_tol_ms: float = 20.0,
     dur_tol_rel: float = 0.02,
     strict_codecs: bool = False,
+    noise: tuple[float, int] | None = None,
 ):
     """Decode + featurize + bin ONE Arrow batch into _STATS_SCHEMA rows.
+
+    ``noise=(level, seed)`` injects deterministic per-clip Gaussian noise
+    into the decoded PCM at ``level`` × clip RMS before featurization — the
+    robustness harness's perturbation point (the graft of the reference's
+    feature-noise injection, src/ids/robustness.py:20-41, onto the audio
+    seam). Keyed by xxhash64(clip_id) ^ seed so the perturbation is
+    identical at any parallelism/partitioning.
 
     Fake decodes (codec label without a registered real decoder; see
     functions/audio.py::decode_clip_ex) are never silent: each partition
@@ -153,6 +161,15 @@ def stats_record_batch(
                          f"codec {codecs[i]!r} fake-decoded (no real decoder)",
                          "registered decoder for declared codec")
                     continue
+            if noise is not None and noise[0] > 0:
+                from semantic_log_detector_spark.functions.sparkhash import xxhash64
+
+                key = xxhash64(str(clip_ids[i]).encode("utf-8")) ^ (noise[1] & 0xFFFFFFFF)
+                rng = np.random.Generator(np.random.Philox(key=key & 0x7FFFFFFFFFFFFFFF))
+                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2) + 1e-12))
+                pcm = pcm + (noise[0] * rms) * rng.standard_normal(
+                    len(pcm)
+                ).astype(np.float32)
             fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
             if not np.isfinite(fv).all():
                 raise ValueError("non-finite features")
@@ -230,6 +247,7 @@ def decode_stats(
     dur_tol_ms: float = 20.0,
     dur_tol_rel: float = 0.02,
     strict_codecs: bool = False,
+    noise: tuple[float, int] | None = None,
 ) -> DataFrame:
     """ONE mapInArrow pass over (clip_id, part_id, bytes, codec, sr_hz,
     dur_ms): decode + feature-extract each clip, bin features into fixed
@@ -266,7 +284,7 @@ def decode_stats(
                 batch.column("codec").to_pylist(),
                 batch.column("sr_hz").to_pylist(),
                 batch.column("dur_ms").to_pylist(),
-                specs, n_feat, dur_tol_ms, dur_tol_rel, strict_codecs,
+                specs, n_feat, dur_tol_ms, dur_tol_rel, strict_codecs, noise,
             )
 
     return df.select(*cols).mapInArrow(gen, schema=_STATS_SCHEMA)
@@ -562,6 +580,7 @@ def drift_check(
     payload_path: str | None = None,
     pending_parts: list[int] | None = None,
     strict_codecs: bool = False,
+    noise: tuple[float, int] | None = None,
 ) -> CheckResult:
     """Full drift + decode check. Returns verdicts per (part, rule) for
     R050/R051 (drift) and violations for R060/R061 (decode/duration).
@@ -580,9 +599,10 @@ def drift_check(
 
         stats = payload_stats_scan(
             clips.sparkSession, payload_path, ctx, bins, pending_parts,
-            strict_codecs=strict_codecs)
+            strict_codecs=strict_codecs, noise=noise)
     else:
-        stats = decode_stats(clips, ctx, bins, strict_codecs=strict_codecs)
+        stats = decode_stats(clips, ctx, bins, strict_codecs=strict_codecs,
+                             noise=noise)
     stats.persist()
     try:
         hist = (
