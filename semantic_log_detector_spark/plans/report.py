@@ -1,18 +1,24 @@
 """Run report: aggregate verdicts into run-level metric rows + markdown.
 
 Recasts the reference's evaluator/report family (`src/ids/evaluator.py:
-243-263`, `src/ids/report_generator.py:16-287`): per-rule pass rates and
-violation totals from the verdicts table, a partition-level summary, and a
-human-readable markdown block — all computed with Spark aggs, collected
-only at the (tiny) rule/partition-summary granularity.
+243-263`, `src/ids/report_generator.py:16-287` — dataset stats, results
+tables, per-class detail, benchmark and robustness sections, observations)
+for the validation engine: per-rule pass rates, severity rollup, worst
+partitions, violation examples, per-check ledger timings, and the
+robustness section when a robustness_report.json is present — all computed
+with Spark aggs, collected only at rule/partition-summary granularity.
 """
 
 from __future__ import annotations
 
 import json
+import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
+
+_N_WORST = 10
+_N_EXAMPLES = 3
 
 
 def summarize(spark: SparkSession, out_dir: str) -> dict:
@@ -35,7 +41,27 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
         .limit(1000)
         .collect()
     )
+    # dataset shape: distinct partitions and the row counts they carry
+    # (part_id -1 is the plan-time schema check's global verdict, not data)
+    ds = (
+        verdicts.filter(F.col("part_id") >= 0)
+        .groupBy("part_id")
+        .agg(F.max("n_rows").alias("n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_rows").alias("n_rows_total"),
+            F.min("n_rows").alias("min_part_rows"),
+            F.max("n_rows").alias("max_part_rows"),
+        )
+        .first()
+    )
     report = {
+        "dataset": {
+            "n_parts": ds["n_parts"],
+            "n_rows_total": int(ds["n_rows_total"] or 0),
+            "min_part_rows": int(ds["min_part_rows"] or 0),
+            "max_part_rows": int(ds["max_part_rows"] or 0),
+        },
         "rules": [
             {
                 "rule_id": r["rule_id"],
@@ -52,15 +78,77 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
         ],
         "overall_passed": all(r["n_passed"] == r["n_partitions"] for r in by_rule),
     }
+
+    viol_path = f"{out_dir}/violations"
+    if _has_parquet(viol_path):
+        violations = spark.read.parquet(viol_path)
+        report["severity"] = {
+            r["severity"]: r["n"]
+            for r in violations.groupBy("severity")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        report["worst_partitions"] = [
+            {"part_id": r["part_id"], "violations": r["n"]}
+            for r in violations.groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("part_id"))
+            .limit(_N_WORST)
+            .collect()
+        ]
+        # deterministic example rows per rule (min clip_id per rule first)
+        ex = (
+            violations.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("rule_id")
+                    .orderBy(F.asc_nulls_last("clip_id"), "part_id")
+                ),
+            )
+            .filter(F.col("rn") <= _N_EXAMPLES)
+            .select("rule_id", "clip_id", "column", "observed", "expected", "explanation")
+            .orderBy("rule_id", "clip_id")
+            .collect()
+        )
+        report["examples"] = [
+            {k: r[k] for k in ("rule_id", "clip_id", "column", "observed", "expected")}
+            for r in ex
+        ]
+
+    ledger_path = f"{out_dir}/ledger"
+    if _has_parquet(ledger_path):
+        led = spark.read.parquet(ledger_path)
+        report["timings_ms"] = {
+            r["check_id"]: round(r["ms"], 1)
+            for r in led.groupBy("check_id")
+            .agg(F.max("wall_ms").alias("ms"))
+            .collect()
+        }
+
+    rob_path = f"{out_dir}/robustness_report.json"
+    if os.path.exists(rob_path):
+        with open(rob_path) as f:
+            report["robustness"] = json.load(f)
     return report
 
 
-def write_report(spark: SparkSession, out_dir: str) -> dict:
-    report = summarize(spark, out_dir)
-    with open(f"{out_dir}/report.json", "w") as f:
-        json.dump(report, f, indent=2)
-    lines = [
-        "# Validation run report",
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def _md(report: dict) -> str:
+    lines = ["# Validation run report", ""]
+    ds = report.get("dataset", {})
+    lines += [
+        "## 1. Dataset",
+        "",
+        f"- partitions: **{ds.get('n_parts', 0)}**",
+        f"- rows validated: **{ds.get('n_rows_total', 0):,}**"
+        f" (per-partition {ds.get('min_part_rows', 0):,}–{ds.get('max_part_rows', 0):,})",
+        "",
+        "## 2. Rule results",
         "",
         "| rule | partitions | passed | pass rate | violations |",
         "|---|---|---|---|---|",
@@ -70,8 +158,67 @@ def write_report(spark: SparkSession, out_dir: str) -> dict:
             f"| {r['rule_id']} | {r['partitions']} | {r['passed']} "
             f"| {r['pass_rate']:.4f} | {r['violations']} |"
         )
+    if report.get("severity"):
+        lines += ["", "## 3. Violations by severity", ""]
+        lines += ["| severity | count |", "|---|---|"]
+        for sev in ("Critical", "High", "Medium", "Low"):
+            if sev in report["severity"]:
+                lines.append(f"| {sev} | {report['severity'][sev]} |")
+    if report.get("worst_partitions"):
+        lines += ["", "## 4. Worst partitions", ""]
+        lines += ["| part_id | violations |", "|---|---|"]
+        for w in report["worst_partitions"]:
+            lines.append(f"| {w['part_id']} | {w['violations']} |")
+    if report.get("examples"):
+        lines += ["", "## 5. Example violations", ""]
+        lines += ["| rule | clip | column | observed | expected |", "|---|---|---|---|---|"]
+        for e in report["examples"]:
+            obs = str(e["observed"])[:60] if e["observed"] is not None else ""
+            lines.append(
+                f"| {e['rule_id']} | {e['clip_id']} | {e['column']} "
+                f"| {obs} | {str(e['expected'])[:40]} |"
+            )
+    if report.get("timings_ms"):
+        lines += ["", "## 6. Check timings", ""]
+        lines += ["| check | plan+exec ms |", "|---|---|"]
+        for check, ms in sorted(report["timings_ms"].items()):
+            lines.append(f"| {check} | {ms:.0f} |")
+    rob = report.get("robustness")
+    if rob:
+        lines += [
+            "",
+            "## 7. Robustness",
+            "",
+            f"- overall robustness score: **{rob.get('overall_robustness_score')}**",
+            "",
+            "| noise level | mean stability | detection retention |",
+            "|---|---|---|",
+        ]
+        for t in rob.get("noise_tests", []):
+            s = t.get("summary", {})
+            lines.append(
+                f"| {t['noise_level']} | {s.get('mean_stability')} "
+                f"| {s.get('detection_retention')} |"
+            )
+    # observations — the reference report always closes with findings
+    lines += ["", "## Observations", ""]
+    failed_rules = [r for r in report["rules"] if r["passed"] < r["partitions"]]
+    if not failed_rules:
+        lines.append("- all rules passed on every partition")
+    for r in failed_rules:
+        lines.append(
+            f"- **{r['rule_id']}** failed on {r['partitions'] - r['passed']} "
+            f"partition(s) with {r['violations']} violation(s)"
+        )
     lines.append("")
     lines.append(f"**Overall: {'PASS' if report['overall_passed'] else 'FAIL'}**")
+    return "\n".join(lines) + "\n"
+
+
+def write_report(spark: SparkSession, out_dir: str) -> dict:
+    report = summarize(spark, out_dir)
+    with open(f"{out_dir}/report.json", "w") as f:
+        json.dump(report, f, indent=2)
     with open(f"{out_dir}/report.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(_md(report))
     return report
