@@ -41,22 +41,47 @@ def prefetch_batches(batches: Iterable, depth: int = 2) -> Iterator:
         return
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a plain
+        q.put would block forever on GeneratorExit with the queue full,
+        leaking the reader thread (and, with worker reuse, the task's
+        input stream) into the next task."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _reader() -> None:
         try:
             for b in batches:
-                q.put(b)
-            q.put(_END)
+                if not _put(b):
+                    return
+            _put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=_reader, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer done or abandoned (GeneratorExit / task interruption):
+        # signal the reader, drain so it can observe the signal, and join
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=10)

@@ -105,6 +105,17 @@ def run_suite(
     run_id = run_id or uuid.uuid4().hex[:12]
     ctx = RunContext(run_id=run_id, num_parts=cfg.num_parts,
                      config_hash=cfg.config_hash())
+    if clips_path is not None:
+        from ..sources.payload_scan import validate_payload_path
+
+        reason = validate_payload_path(clips_path, cfg.num_parts)
+        if reason is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "payload scan path %r rejected (%s); drift falls back to the "
+                "JVM-fed decode pass", clips_path, reason)
+            clips_path = None
     ledger_path = f"{out_dir}/ledger"
     t_start = time.time()
 

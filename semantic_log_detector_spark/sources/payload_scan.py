@@ -41,21 +41,105 @@ from ..checks.drift import DEFAULT_BINS, FEATURE_NAMES, _STATS_SCHEMA, BinSpec
 _COLS = ["clip_id", "bytes", "codec", "sr_hz", "dur_ms"]
 
 
-def list_row_groups(path: str) -> list[tuple[str, int]]:
-    """(file, row_group_index) descriptors for a parquet directory/file."""
-    import pyarrow.parquet as pq
-
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f) for f in os.listdir(path)
+def _list_parquet_files(path: str) -> list[str]:
+    """All *.parquet files under ``path``, recursively — nested /
+    hive-partitioned (key=value subdir) layouts included, matching what
+    spark.read.parquet would pick up. Hidden/_-prefixed entries skipped."""
+    if not os.path.isdir(path):
+        return [path]
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.join(root, f) for f in files
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
+    return sorted(out)
+
+
+# above this many files, footer listing runs as a Spark job instead of
+# driver threads — at a 100 TB table the footer metadata alone is a
+# distributed workload
+_DISTRIBUTED_LISTING_THRESHOLD = 64
+
+
+def list_row_groups(path: str, spark: SparkSession | None = None) -> list[tuple[str, int]]:
+    """(file, row_group_index) descriptors for a parquet directory/file.
+
+    Footer reads are parallelized: a driver thread pool for small file
+    counts, a distributed mapInArrow job over the file list when it is
+    large (pyarrow releases the GIL on I/O, and at cluster scale the
+    driver must not serially open 10^6 footers)."""
+    import pyarrow.parquet as pq
+
+    files = _list_parquet_files(path)
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+
+    if spark is not None and len(files) > _DISTRIBUTED_LISTING_THRESHOLD:
+        desc = spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        ).repartition(min(len(files), 256))
+
+        def gen(batches):
+            import pyarrow as pa
+            import pyarrow.parquet as pq_w
+
+            for b in batches:
+                fs = b.column("file").to_pylist()
+                ns = [pq_w.ParquetFile(f).metadata.num_row_groups for f in fs]
+                yield pa.record_batch(
+                    [pa.array(fs, type=pa.string()), pa.array(ns, type=pa.int32())],
+                    names=["file", "n"],
+                )
+
+        counts = {
+            r["file"]: r["n"]
+            for r in desc.mapInArrow(gen, "file string, n int").collect()
+        }
     else:
-        files = [path]
-    out: list[tuple[str, int]] = []
-    for f in files:
-        out.extend((f, g) for g in range(pq.ParquetFile(f).metadata.num_row_groups))
-    return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(files), 1))) as pool:
+            ns = list(pool.map(lambda f: pq.ParquetFile(f).metadata.num_row_groups, files))
+        counts = dict(zip(files, ns))
+    return [(f, g) for f in files for g in range(counts[f])]
+
+
+def validate_payload_path(path: str, num_parts: int) -> str | None:
+    """Cheap preflight for the Python-native payload path; returns a human
+    reason string when the path must NOT be used (caller falls back to the
+    JVM-fed decode_stats), else None.
+
+    Guards two silent-wrongness cases: (a) a file schema missing payload
+    columns (e.g. partition-directory columns the raw reader cannot see),
+    and (b) a stored part_id computed under a different num_parts /
+    formula than pmod(xxhash64(clip_id), num_parts) — wave resume and
+    drift verdicts would silently diverge from the other checks."""
+    import pyarrow.parquet as pq
+
+    files = _list_parquet_files(path)
+    if not files:
+        return "no parquet files"
+    pf = pq.ParquetFile(files[0])
+    names = set(pf.schema_arrow.names)
+    missing = sorted(set(_COLS) - names)
+    if missing:
+        return f"file schema missing columns {missing}"
+    if "part_id" in names:
+        from ..functions.sparkhash import xxhash64
+
+        rb = next(pf.iter_batches(batch_size=256, columns=["clip_id", "part_id"]))
+        for cid, pid in zip(rb.column("clip_id").to_pylist(),
+                            rb.column("part_id").to_pylist()):
+            if cid is None or pid is None:
+                continue
+            if xxhash64(str(cid).encode("utf-8")) % num_parts != pid:
+                return (
+                    "stored part_id does not match pmod(xxhash64(clip_id), "
+                    f"{num_parts}) — table was partitioned differently"
+                )
+    return None
 
 
 def payload_stats_scan(
@@ -83,7 +167,7 @@ def payload_stats_scan(
     num_parts = ctx.num_parts
     pend = sorted(pending_parts) if pending_parts is not None else None
 
-    groups = list_row_groups(path)
+    groups = list_row_groups(path, spark)
     if not groups:
         raise ValueError(f"no parquet row groups under {path!r}")
     desc = spark.createDataFrame(groups, "file string, row_group int").repartition(

@@ -51,7 +51,17 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     parquet dir. Raises the underlying AnalysisException on a bad ref."""
     if not _is_path(ref):
         return spark.read.table(ref)
-    if _is_iceberg_dir(ref) and iceberg_available(spark):
+    if _is_iceberg_dir(ref):
+        if not iceberg_available(spark):
+            # reading the warehouse dir as raw parquet would surface rows
+            # from old snapshots and rows logically removed via delete
+            # files — silently wrong contents, so refuse instead
+            raise RuntimeError(
+                f"{ref!r} is an Iceberg table directory but no Iceberg "
+                "runtime is on the classpath; add "
+                "iceberg-spark-runtime to spark.jars.packages (reading the "
+                "data files as plain parquet would include stale/deleted rows)"
+            )
         return spark.read.format("iceberg").load(ref)
     return spark.read.parquet(ref)
 

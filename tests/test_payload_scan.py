@@ -92,3 +92,63 @@ def test_list_row_groups(clips_parquet):
     groups = list_row_groups(clips_parquet)
     assert len(groups) >= 1
     assert all(g >= 0 and f.endswith(".parquet") for f, g in groups)
+
+
+def test_list_row_groups_recursive_nested_layout(clips_parquet, tmp_path):
+    """Hive-style key=value subdirectories must be walked, not ignored."""
+    import shutil
+
+    nested = tmp_path / "nested"
+    (nested / "day=1").mkdir(parents=True)
+    (nested / "day=2").mkdir(parents=True)
+    files = [f for f, _ in list_row_groups(clips_parquet)]
+    shutil.copy(files[0], nested / "day=1" / "part-0.parquet")
+    shutil.copy(files[0], nested / "day=2" / "part-0.parquet")
+    groups = list_row_groups(str(nested))
+    assert len(groups) == 2 * len({g for f, g in list_row_groups(files[0])})
+    assert {f.split("/")[-2] for f, _ in groups} == {"day=1", "day=2"}
+
+
+def test_list_row_groups_distributed_listing(spark, clips_parquet, monkeypatch):
+    import semantic_log_detector_spark.sources.payload_scan as ps
+
+    serial = list_row_groups(clips_parquet)
+    monkeypatch.setattr(ps, "_DISTRIBUTED_LISTING_THRESHOLD", 0)
+    distributed = ps.list_row_groups(clips_parquet, spark)
+    assert distributed == serial
+
+
+def test_validate_payload_path_guards(clips_parquet, tmp_path):
+    from semantic_log_detector_spark.sources.payload_scan import validate_payload_path
+
+    # matching num_parts → usable
+    assert validate_payload_path(clips_parquet, 16) is None
+    # stored part_id was computed at P=16; asking for P=64 must refuse
+    reason = validate_payload_path(clips_parquet, 64)
+    assert reason is not None and "part_id" in reason
+    # schema missing payload columns → refuse
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(pa.table({"clip_id": ["a"]}), bad / "f.parquet")
+    reason = validate_payload_path(str(bad), 16)
+    assert reason is not None and "missing columns" in reason
+
+
+def test_runner_falls_back_on_part_id_mismatch(spark, clips_2k, clips_parquet, tmp_path):
+    """run_suite with num_parts=64 over a table materialized at P=16 must
+    not silently use the payload scan (ADVICE r1): verdicts must match the
+    general path's ensure_part_id semantics."""
+    from semantic_log_detector_spark.plans.runner import SuiteConfig, run_suite
+
+    cfg = SuiteConfig(num_parts=64, checks=("drift",))
+    out = str(tmp_path / "fallback")
+    run_suite(spark, spark.read.parquet(clips_parquet).drop("part_id"),
+              None, out, cfg, input_fingerprint="fb", clips_path=clips_parquet)
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    # with the stored P=16 part_id rejected, part ids come from
+    # ensure_part_id at P=64 → ids range over [0, 64)
+    parts = {r["part_id"] for r in verdicts.select("part_id").distinct().collect()}
+    assert max(parts) >= 16  # P=16 ids would all be < 16

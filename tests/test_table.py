@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from semantic_log_detector_spark.sources.table import (
     iceberg_available,
     read_table,
@@ -25,11 +27,13 @@ def test_identifier_resolves_via_catalog(spark):
     assert read_table(spark, "seam_view").count() == 7
 
 
-def test_iceberg_dir_detection_falls_back_without_runtime(spark, tmp_path):
-    # A directory with a metadata/ subdir looks like an Iceberg table; with
-    # no runtime jar present it must fall back to the parquet reader.
+def test_iceberg_dir_without_runtime_refuses(spark, tmp_path):
+    # A directory with a metadata/ subdir is an Iceberg table; with no
+    # runtime jar, reading its data files as plain parquet would surface
+    # rows from old snapshots / delete files — must refuse, not mis-read.
     path = str(tmp_path / "icetbl")
     spark.range(5).write.parquet(path)
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     if not iceberg_available(spark):
-        assert read_table(spark, path).count() == 5
+        with pytest.raises(RuntimeError, match="Iceberg table directory"):
+            read_table(spark, path)
