@@ -44,12 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     try:
         if args.input:
-            from .sources.table import read_table
+            from .sources.files import read_file
 
-            clips = read_table(spark, args.input)
+            clips = read_file(spark, args.input)
             fingerprint = args.input
             transcripts = (
-                read_table(spark, args.transcripts) if args.transcripts else None
+                read_file(spark, args.transcripts) if args.transcripts else None
             )
         else:
             clips = clips_table(spark, args.n_clips, num_parts=args.num_parts)

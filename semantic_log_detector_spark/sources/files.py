@@ -1,0 +1,38 @@
+"""Extension-dispatch file source (SURVEY.md S8).
+
+The reference loads user-supplied tables by extension — CSV via pandas,
+.jsonl/.json with a line-delimited-then-standard fallback
+(`test_custom_data.py:13-24`). Spark-first restatement: csv → header +
+schema inference; json → native JSON-Lines reader, falling back to
+``multiLine`` for standard JSON documents/arrays (the reader signals the
+wrong mode with an all-``_corrupt_record`` schema, mirroring the
+reference's ValueError retry); parquet / directories → the storage seam
+(sources/table.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import read_table
+
+
+def read_file(spark: SparkSession, path: str) -> DataFrame:
+    """Load ``path`` by extension: .csv / .json / .jsonl / .parquet or a
+    table directory. ValueError on an unsupported extension."""
+    lower = path.lower()
+    if lower.endswith(".csv"):
+        return spark.read.csv(path, header=True, inferSchema=True)
+    if lower.endswith((".json", ".jsonl")):
+        df = spark.read.json(path)
+        if df.columns in ([], ["_corrupt_record"]):
+            # not line-delimited → standard JSON document/array
+            df = spark.read.option("multiLine", True).json(path)
+        return df
+    if lower.endswith(".parquet") or os.path.isdir(path) or "/" not in path:
+        return read_table(spark, path)
+    raise ValueError(
+        f"unsupported file format {path!r}: use .csv, .json/.jsonl, or parquet"
+    )
