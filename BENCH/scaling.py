@@ -172,6 +172,18 @@ def main() -> None:
     best = {c: max(r["suite_clips_per_sec"] for r in results[c]) for c in LEVELS}
     best_walls = {c: min(r["suite_s"] for r in results[c]) for c in LEVELS}
     ratio = LEVELS[1] // LEVELS[0]
+    # PAIRED per-rep efficiencies (ADVICE r1): each interleaved rep i gives
+    # one efficiency sample eff_i = (thr_4N_i / thr_N_i) / ratio — both
+    # measurements of a pair ran back-to-back under the same host
+    # conditions, so the ratio is honest; the headline is the MEDIAN of the
+    # per-rep efficiencies (min/max reported alongside), not a ratio of
+    # independently-selected minima (which is biased upward).
+    pair_effs = [
+        (results[LEVELS[1]][i]["suite_clips_per_sec"]
+         / results[LEVELS[0]][i]["suite_clips_per_sec"]) / ratio
+        for i in range(reps)
+    ]
+    eff_paired = statistics.median(pair_effs)
     eff_med = (med[LEVELS[1]] / med[LEVELS[0]]) / ratio
     eff = (best[LEVELS[1]] / best[LEVELS[0]]) / ratio
     cal_eff_16_32 = round((cal[32] / cal[16]) / 2, 2)
@@ -204,17 +216,21 @@ local[{LEVELS[0]}] → local[{LEVELS[1]}], inside the linear region.
 Protocol: each measurement is a fresh JVM running one untimed sampled
 warmup suite (~5% of clips: codegen/worker/page-cache warm) then one timed
 full suite. Levels are interleaved (N,4N,N,4N,...) so host noise hits both
-equally. **Efficiency is computed from best-of-{reps}** (equivalently
-min wall): the shared-VM noise here is strictly additive — hypervisor
-steal spikes to ~25% and kernel-time inflation were measured to vary
-run-to-run by up to 4× with constant user-CPU work — so the minimum over
-repetitions estimates the uncontended cost, the same estimator
-`python -m timeit` uses. Medians are reported alongside.
+equally. **The headline efficiency is the MEDIAN of paired per-rep
+efficiencies**: each interleaved rep i yields one sample
+eff_i = (thr_{LEVELS[1]},i / thr_{LEVELS[0]},i) / {ratio} measured
+back-to-back under the same host conditions — no cross-rep ratio of
+independently-selected minima (that estimator is biased upward). Best-of
+and median-of-throughput ratios are reported alongside for context.
+
+**Headline paired efficiency: {eff_paired:.2f}** (per-rep samples:
+{[round(e, 2) for e in pair_effs]}, min {min(pair_effs):.2f},
+max {max(pair_effs):.2f})
 
 | | local[{LEVELS[0]}] | local[{LEVELS[1]}] | speedup | efficiency (÷{ratio}) |
 |---|---|---|---|---|
 | full suite best wall | {best_walls[LEVELS[0]]:.1f} s | {best_walls[LEVELS[1]]:.1f} s | | |
-| validated clips/sec (best) | {best[LEVELS[0]]:.1f} | {best[LEVELS[1]]:.1f} | {best[LEVELS[1]] / best[LEVELS[0]]:.2f}× | **{eff:.2f}** |
+| validated clips/sec (best) | {best[LEVELS[0]]:.1f} | {best[LEVELS[1]]:.1f} | {best[LEVELS[1]] / best[LEVELS[0]]:.2f}× | {eff:.2f} |
 | full suite median wall | {walls[LEVELS[0]]:.1f} s | {walls[LEVELS[1]]:.1f} s | | |
 | validated clips/sec (median) | {med[LEVELS[0]]:.1f} | {med[LEVELS[1]]:.1f} | {med[LEVELS[1]] / med[LEVELS[0]]:.2f}× | {eff_med:.2f} |
 
@@ -224,7 +240,8 @@ Raw per-rep results: {json.dumps(results)}
 
 Hardware calibration raw: {json.dumps(cal)}
 """
-    Path(__file__).parent.joinpath("BASELINE.md").write_text(md)
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BASELINE.md")
+    Path(__file__).parent.joinpath(out_name).write_text(md)
     print(md)
 
 
