@@ -1,14 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 One queries()/oracle_sql() pair per operator family from SURVEY.md §2,
-exercised over the driver-generated testdata tables. Engine-specific
-operators over the synthetic clips table (no oracle view exists for it)
-are registered as rows-only checks (no oracle_sql entry), as are the
-approximate operators (MinHash/SimHash/LSH) whose outputs are not
-SQL-reproducible.
+exercised over the driver-generated testdata tables. Every query is
+DuckDB-oracled except q36 (the full clips validation suite — decode+MFCC
+over a synthetic table, genuinely non-SQL; rows-only). The approximate
+ladder is machine-checked three different ways:
 
-All float outputs are rounded identically on both sides; every computed
-column is aliased identically on both sides.
+- q33 MinHash-LSH: output = exact pair set ⊕ lsh_found — a recall miss
+  flips a boolean (hash mismatch), a precision miss adds a row.
+- q34 SimHash: md5-60-bit simhash with 4×15-bit pigeonhole bands is a
+  COMPLETE hamming-≤3 search; the oracle recomputes the simhash in SQL.
+- q35 hyperplane LSH top-k: the oracle regenerates the seeded hyperplanes
+  as literals and replicates signatures → bucket join → in-bucket exact
+  ranking bit-for-bit.
+
+All float outputs are rounded identically on both sides (+ 0.0 where a
+signed zero could differ); every computed column is aliased identically
+on both sides.
 """
 
 from __future__ import annotations

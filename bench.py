@@ -11,6 +11,11 @@ enabled) on a materialized synthetic clip table. Prints ONE JSON line:
 
 The clip table is materialized to a cache dir once (fixture generation is
 not engine time) and read back as parquet — the realistic input path.
+
+NB (round 2): q33_minhash_pairs now times the VALIDATED near-dup query —
+MinHash-LSH plus the exact-Jaccard baseline it is checked against — so its
+wall is exact + LSH, not LSH alone (roughly q22 + old-q33). The north
+metric (validated clips/sec) is unaffected.
 """
 
 from __future__ import annotations
