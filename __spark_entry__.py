@@ -577,6 +577,16 @@ def _q38_dim_stats(spark, sf):
     return dim_stats(emb)
 
 
+def _q39_embedding_dups(spark, sf):
+    """Embedding-cosine near-dup pairs (dedup ladder, LSH-bucketed candidate
+    generation + exact cosine filter). Deterministic seeded hyperplanes →
+    the oracle replicates buckets + cosine filter bit-for-bit in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    from semantic_log_detector_spark.operators.knn import embedding_dup_pairs
+
+    return embedding_dup_pairs(emb, threshold=0.35, dim=64, n_planes=6, n_tables=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -617,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_clips_suite": _q36_clips_suite,
         "q37_media_features": _q37_media_features,
         "q38_dim_stats": _q38_dim_stats,
+        "q39_embedding_dups": _q39_embedding_dups,
     }
 
 
@@ -1003,7 +1014,52 @@ def _long_oracles() -> dict[str, str]:
                {lang_case} AS lang_guess
         FROM base
     """
-    return {"q25_textstats": q25, "q35_lsh_topk": _lsh_topk_oracle()}
+    return {
+        "q25_textstats": q25,
+        "q35_lsh_topk": _lsh_topk_oracle(),
+        "q39_embedding_dups": _embedding_dups_oracle(),
+    }
+
+
+def _embedding_dups_oracle() -> str:
+    """Bit-exact SQL twin of _q39_embedding_dups (same technique as the
+    q35 oracle: seeded hyperplanes inlined as literals, explicit
+    left-associated dot sums, OR-union of per-table bucket self-joins,
+    exact cosine threshold)."""
+    from semantic_log_detector_spark.operators.knn import _hyperplanes
+
+    n_planes, n_tables, dim, threshold = 6, 6, 64, 0.35
+
+    def dot_sql(plane: list[float]) -> str:
+        return " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({w!r})" for i, w in enumerate(plane)
+        )
+
+    sig_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, 137 + 1000 * t)
+        sig = " + ".join(
+            f"(CASE WHEN ({dot_sql(p)}) > 0 THEN {1 << h}::BIGINT ELSE 0::BIGINT END)"
+            for h, p in enumerate(planes)
+        )
+        sig_cols.append(f"({sig}) AS sig{t}")
+    sig_select = ",\n                 ".join(sig_cols)
+    or_join = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(n_tables))
+    return f"""
+        WITH sigs AS (
+          SELECT vec_id, embedding,
+                 {sig_select}
+          FROM embeddings),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS va, b.embedding AS vb
+          FROM sigs a JOIN sigs b
+            ON a.vec_id < b.vec_id AND ({or_join}))
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va::DOUBLE[], vb::DOUBLE[]), 6) AS cosine
+        FROM cand
+        WHERE round(list_cosine_similarity(va::DOUBLE[], vb::DOUBLE[]), 6) >= {threshold}
+    """
 
 
 def _lsh_topk_oracle() -> str:
