@@ -38,7 +38,23 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--checks", default=",".join(SuiteConfig().checks))
     run.add_argument("--config", help="checks.yaml / checks.json (overrides other check flags)")
     run.add_argument("--master", default=None)
+    rob = sub.add_parser(
+        "robustness",
+        help="noise grid × seeds → drift-verdict stability report "
+             "(reference src/ids/robustness.py stage)",
+    )
+    rob.add_argument("--input", help="clips table path; omit to synthesize")
+    rob.add_argument("--n-clips", type=int, default=20_000)
+    rob.add_argument("--out", required=True)
+    rob.add_argument("--num-parts", type=int, default=64)
+    rob.add_argument("--noise-levels", default="0.01,0.05,0.1")
+    rob.add_argument("--perturbations", type=int, default=3)
+    rob.add_argument("--seed", type=int, default=42)
+    rob.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "robustness":
+        return _run_robustness(args)
 
     spark = get_spark(master=args.master)
     spark.sparkContext.setLogLevel("WARN")
@@ -80,6 +96,36 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"run={result.run_id} waves={result.waves_run} checks={result.checks_run} "
             f"wall={result.wall_s:.1f}s overall={'PASS' if report['overall_passed'] else 'FAIL'}"
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_robustness(args) -> int:
+    from .checks.base import RunContext
+    from .plans.robustness import run_robustness
+
+    spark = get_spark(master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.input:
+            from .sources.files import read_file
+
+            clips = read_file(spark, args.input)
+        else:
+            clips = clips_table(spark, args.n_clips, num_parts=args.num_parts)
+        ctx = RunContext(run_id="robustness", num_parts=args.num_parts)
+        res = run_robustness(
+            clips, ctx,
+            noise_levels=tuple(float(x) for x in args.noise_levels.split(",")),
+            num_perturbations=args.perturbations,
+            base_seed=args.seed,
+            out_dir=args.out,
+        )
+        print(
+            f"overall_robustness_score={res['overall_robustness_score']} "
+            f"report={args.out}/robustness_report.json"
         )
         return 0
     finally:

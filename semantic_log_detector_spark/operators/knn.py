@@ -117,6 +117,87 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    base_id: str = "b_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + nprobe cell search —
+    the direct analog of the reference's IndexIVFFlat
+    (`src/detection/vector_db.py:87-96`: train coarse cells, search only
+    nprobe matching cells, exact-rank within).
+
+    Train: pyspark.ml KMeans on (a sample of) the base vectors (seeded,
+    deterministic). Assign: each base vector joins its nearest centroid
+    cell (centroids are driver-side literals — the assignment is a narrow
+    JVM-side projection, no shuffle). Search: each query probes its
+    ``nprobe`` nearest cells; candidates are cell-matched via hash join,
+    then exact-cosine ranked. ``nprobe == n_cells`` degrades gracefully to
+    exact brute force — the correctness crosscheck in tests.
+
+    At 10^12 base vectors the cell assignment is a narrow map over the
+    stored table (precomputable and persistable as a column), and each
+    query touches ~nprobe/n_cells of the base via the cell equi-join."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    b = base.select(F.col(base_id).alias("__bid"), F.col(vec_col).cast("array<double>").alias("__bv"))
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).cast("array<double>").alias("__qv"))
+
+    train = b if sample_fraction >= 1.0 else b.sample(sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(train.select(array_to_vector("__bv").alias("__feat")))
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    def _cell_dists(vec: Column) -> Column:
+        """array of squared L2 distances to each centroid — literals, so the
+        projection stays JVM-side whole-stage codegen."""
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b2: (a - b2) * (a - b2)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+
+    def _argmin_cells(dists: Column, n: int) -> Column:
+        """indices of the n smallest distances (deterministic ties by idx)."""
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.transform(
+            idx, lambda i: F.struct(F.element_at(dists, i + 1).alias("d"), i.alias("i"))
+        )
+        return F.slice(F.transform(F.array_sort(pairs), lambda s: s["i"]), 1, n)
+
+    bs = b.withColumn("__cell", _argmin_cells(_cell_dists(F.col("__bv")), 1)[0])
+    qs = q.withColumn(
+        "__probe", F.explode(_argmin_cells(_cell_dists(F.col("__qv")), nprobe))
+    )
+    cand = (
+        qs.join(bs, qs["__probe"] == bs["__cell"])
+        .filter(F.col("__qid") != F.col("__bid"))
+        .drop("__probe", "__cell")
+        .dropDuplicates(["__qid", "__bid"])
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__bid"))
+    return (
+        cand.withColumn("score", F.round(cosine_similarity("__qv", "__bv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id), F.col("__bid").alias(base_id), "score", "rank")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

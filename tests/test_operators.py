@@ -282,3 +282,32 @@ def test_dim_stats_matches_numpy(spark):
         assert abs(rows[d]["mean"] - round(float(mat[:, d].mean()), 6)) < 1e-6
         assert abs(rows[d]["std"] - round(float(mat[:, d].std(ddof=1)), 6)) < 1e-6
         assert rows[d]["mn"] == round(float(mat[:, d].min()), 6)
+
+
+def test_ivf_topk_recall_and_exact_degradation(spark):
+    import numpy as np
+
+    from semantic_log_detector_spark.operators.knn import ivf_topk
+
+    rng = np.random.default_rng(7)
+    # 4 well-separated clusters of 50 vectors each
+    centers = rng.standard_normal((4, 64)) * 10
+    base = np.vstack([c + rng.standard_normal((50, 64)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    q = df.filter("vec_id < 8").select(F.col("vec_id").alias("q_id"), "embedding")
+    b = df.select(F.col("vec_id").alias("b_id"), "embedding")
+
+    exact = {(r["q_id"], r["b_id"]) for r in brute_force_topk(q, b, k=3).collect()}
+
+    # nprobe = n_cells → candidate set is the full base → exactly brute force
+    full = {(r["q_id"], r["b_id"])
+            for r in ivf_topk(q, b, k=3, n_cells=4, nprobe=4).collect()}
+    assert full == exact
+
+    # nprobe=1 on well-separated clusters: neighbors live in the query's own
+    # cell → high recall at 1/4 of the search cost
+    probe1 = {(r["q_id"], r["b_id"])
+              for r in ivf_topk(q, b, k=3, n_cells=4, nprobe=1).collect()}
+    assert len(probe1 & exact) / len(exact) >= 0.9
