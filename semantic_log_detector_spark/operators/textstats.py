@@ -38,9 +38,7 @@ def bpe_token_estimate(col: Column) -> Column:
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     toks = tokens(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.when(F.array_contains(sw, t), 1).otherwise(0)
-    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -50,13 +48,35 @@ def lang_scores(col: Column) -> list[Column]:
 
 def lang_id(col: Column) -> Column:
     """Argmax stopword-hit-ratio over the language dictionaries; 'und'
-    (undetermined) when no stopwords hit at all."""
-    scores = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
-    best = F.greatest(*scores.values())
-    expr = F.when(best <= 0.0, F.lit("und"))
-    for lang, s in scores.items():
-        expr = expr.when(s == best, F.lit(lang))
-    return expr
+    (undetermined) when no stopwords hit at all.
+
+    Built as ONE pass over a nested stopword-array literal (transform →
+    filter) instead of per-language repeated subtrees: the naive
+    greatest()+CASE form repeats each ratio ~6× and the token split with
+    it, which blew the expression tree up enough that Catalyst
+    optimization + codegen dominated small-batch walls (~1.5 s per
+    action). Ties resolve to the FIRST language in STOPWORDS order
+    (array_position), identical to the previous WHEN-chain semantics."""
+    langs = list(STOPWORDS)
+    toks = tokens(col)
+    sw_nested = F.array(
+        *[F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs]
+    )
+    n = F.size(toks)
+    ratios = F.transform(
+        sw_nested,
+        lambda sw: F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / n,
+        ).otherwise(F.lit(0.0)),
+    )
+    best = F.array_max(ratios)
+    return F.when(best <= 0.0, F.lit("und")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(lang) for lang in langs]),
+            F.array_position(ratios, best).cast("int"),
+        )
+    )
 
 
 def quality_score(col: Column) -> Column:

@@ -32,11 +32,13 @@ from ..checks.frequency import frequency_check
 from ..checks.referential import referential_check
 from ..checks.row_rules import default_clip_rules, run_row_rules
 from ..checks.schema_check import schema_check
+from ..checks.transcript_quality import transcript_quality_check
 from ..checks.uniqueness import uniqueness_check
 from ..schema import CLIPS_SCHEMA
 from . import ledger as ledger_mod
 
-ALL_CHECKS = ("schema", "row_rules", "stats", "uniqueness", "referential", "frequency", "drift")
+ALL_CHECKS = ("schema", "row_rules", "stats", "uniqueness", "referential",
+              "frequency", "transcript_quality", "drift")
 
 
 @dataclass(frozen=True)
@@ -199,6 +201,8 @@ def run_suite(
                         sub_meta, transcripts.filter(tr_part.isin(pend)), ctx)
                 elif check == "frequency":
                     res = frequency_check(sub_meta, ctx, allowed=cfg.allowed_codecs)
+                elif check == "transcript_quality":
+                    res = transcript_quality_check(sub_meta, ctx)
                 elif check == "drift":
                     sub_full = clips.filter(F.col(ctx.part_col).isin(pend))
                     res = drift_check(sub_full, ctx,
