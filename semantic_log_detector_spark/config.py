@@ -64,8 +64,9 @@ def from_dict(raw: dict) -> SuiteConfig:
             for col, exps in dict(kw["stats_expectations"]).items()
         )
     cfg = SuiteConfig(**kw)
-    bad = set(cfg.checks) - set(("schema", "row_rules", "stats", "uniqueness",
-                                 "referential", "frequency", "drift"))
+    from .plans.runner import ALL_CHECKS
+
+    bad = set(cfg.checks) - set(ALL_CHECKS)
     if bad:
         raise ValueError(f"unknown checks: {sorted(bad)}")
     if cfg.waves < 1 or cfg.num_parts < 1:
