@@ -587,6 +587,49 @@ def _q39_embedding_dups(spark, sf):
     return embedding_dup_pairs(emb, threshold=0.35, dim=64, n_planes=6, n_tables=6)
 
 
+def _q40_dup_clusters(spark, sf):
+    """Connected components over the exact near-dup pair graph (q22 params)
+    → duplicate clusters with canonical keep ids. The DuckDB oracle walks
+    the same graph with a recursive CTE, so cluster membership, sizes and
+    canonicals are all machine-checked."""
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.03)
+    return dup_clusters(pairs).orderBy("id")
+
+
+def _q41_ivf_topk(spark, sf):
+    """IVF top-k at full probe (nprobe == n_cells): the partition-pruned
+    search must degrade EXACTLY to brute force regardless of the learned
+    centroids, so the oracle is the exact cosine top-k in SQL — this
+    machine-checks the cell-assignment + probe plumbing end-to-end."""
+    emb = _t(spark, sf, "embeddings")
+    from semantic_log_detector_spark.operators.knn import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    b = emb.select(F.col("vec_id").alias("b_id"), "embedding")
+    return ivf_topk(q, b, k=5, n_cells=8, nprobe=8)
+
+
+def _q42_stratified_split(spark, sf):
+    """Deterministic hash split (md5-bucket) × language stratification
+    audit: per-(split, lang) counts. The oracle recomputes the md5 bucket
+    bit-for-bit in SQL."""
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.splits import hash_split
+
+    split = hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        d.groupBy(split.alias("split"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -628,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_media_features": _q37_media_features,
         "q38_dim_stats": _q38_dim_stats,
         "q39_embedding_dups": _q39_embedding_dups,
+        "q40_dup_clusters": _q40_dup_clusters,
+        "q41_ivf_topk": _q41_ivf_topk,
+        "q42_stratified_split": _q42_stratified_split,
     }
 
 
@@ -972,6 +1018,61 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT i, embedding[i + 1]::DOUBLE AS v
                   FROM embeddings, range(64) t(i))
             GROUP BY 1 ORDER BY 1
+        """,
+        "q40_dup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+              FROM toks WHERE len(t) >= 3),
+            inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            jac AS (
+              SELECT id_a, id_b FROM pr
+              WHERE round(inter / (na + nb - inter), 6) >= 0.03),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM jac
+              UNION SELECT id_b, id_a FROM jac),
+            reach(id, r) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+            lab AS (
+              SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+            siz AS (
+              SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+            SELECT id, cluster_id, cluster_size,
+                   id = cluster_id AS is_canonical
+            FROM lab JOIN siz USING (cluster_id)
+            ORDER BY id
+        """,
+        "q41_ivf_topk": """
+            SELECT q_id, b_id, score, rank FROM (
+              SELECT q_id, b_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, b_id ASC) AS rank
+              FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+                FROM embeddings q JOIN embeddings b ON q.vec_id != b.vec_id
+                WHERE q.vec_id < 10))
+            WHERE rank <= 5
+        """,
+        "q42_stratified_split": """
+            SELECT CASE WHEN h < 8000 THEN 'train'
+                        WHEN h < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n
+            FROM (SELECT lang,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS h
+                  FROM documents)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     } | _long_oracles()
 

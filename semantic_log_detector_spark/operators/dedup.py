@@ -434,6 +434,97 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------------- duplicate clustering
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    clusters with a canonical keep id (the last rung of the dedup ladder:
+    pairs alone over-delete — A~B and B~C must collapse to ONE kept doc,
+    not two independent pair-wise removals; the reference's
+    `drop_duplicates` at `src/ids/data_loader.py:189-194` has no analog
+    for transitive near-dups).
+
+    Iterative min-label propagation: label(v) ← min(label(v),
+    min(label(neighbors))) until fixpoint. Converges in ≤ graph-diameter
+    iterations — near-dup clusters are shallow (dense blobs around a
+    template), so the loop is short in practice. Each iteration is one
+    hash join + map-side-combined groupBy on the EDGE list only (the
+    full corpus never enters the loop); labels are lazily checkpointed
+    per iteration so lineage stays flat at 10^12-row scale.
+
+    Returns (id, cluster_id, cluster_size, is_canonical) for every node
+    that appears in ``pairs``; cluster_id = min id of the component,
+    is_canonical marks the kept representative. Raises RuntimeError if
+    not converged within ``max_iters`` (never silently truncates a
+    component); iteration count is surfaced via ``drop_stats``/log.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    converged = False
+    iters_used = 0
+    for i in range(max_iters):
+        iters_used = i + 1
+        nb_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.select("id", F.col("label").alias("old_label")), "id")
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    if drop_stats is not None:
+        drop_stats.update({"cc_iterations": iters_used, "cc_converged": converged})
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge within "
+            f"{max_iters} iterations — component diameter exceeds the cap"
+        )
+    _LOG.info("dup_clusters: converged in %d iterations", iters_used)
+    sizes = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    # plain equi-join (not a forced broadcast): cluster count is unbounded
+    # at corpus scale — AQE promotes it to broadcast when it is small
+    return (
+        labels.select("id", F.col("label").alias("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
 # -------------------------------------------------------------- n-gram Jaccard
 
 

@@ -1,0 +1,48 @@
+"""Deterministic stratified splitting for training-data pipelines.
+
+The reference's stratified train/val/test split (`src/ids/data_loader.py:
+236-268` via sklearn ``train_test_split(stratify=…)``) is row-order- and
+library-dependent; at 10^12 rows a split must instead be a pure function
+of each row's id so it is reproducible across runs, engines and
+partitionings, and requires no shuffle at all — assignment is a narrow
+JVM-side projection.
+
+``hash_split`` buckets ``md5(id)`` (the first 15 hex chars → a 60-bit
+non-negative long, reproducible in any ANSI-SQL engine — same device as
+``dedup.simhash60_md5``) into ``granularity`` slots and maps cumulative
+fraction ranges to split names. md5 is uniform, so each split's size
+converges to its fraction and, because assignment is independent of any
+feature, every stratum is split in the same proportions in expectation —
+the hash-at-scale answer to sklearn's exact-but-centralized stratify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_split(
+    id_col: Column, fractions: dict[str, float], granularity: int = 10_000
+) -> Column:
+    """Split-name column from a deterministic md5 bucket of ``id_col``.
+
+    ``fractions`` maps split name → fraction; fractions must sum to 1
+    (the last split absorbs rounding). Example:
+    ``hash_split(F.col("doc_id"), {"train": .8, "val": .1, "test": .1})``.
+    """
+    if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-empty and sum to 1")
+    h = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
+        % granularity
+    )
+    items = list(fractions.items())
+    expr = None
+    cum = 0
+    for name, frac in items[:-1]:
+        cum += int(round(frac * granularity))
+        cond = h < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last_name = items[-1][0]
+    return expr.otherwise(last_name) if expr is not None else F.lit(last_name)

@@ -311,3 +311,61 @@ def test_ivf_topk_recall_and_exact_degradation(spark):
     probe1 = {(r["q_id"], r["b_id"])
               for r in ivf_topk(q, b, k=3, n_cells=4, nprobe=1).collect()}
     assert len(probe1 & exact) / len(exact) >= 0.9
+
+
+def test_dup_clusters_transitive_merge(spark):
+    from semantic_log_detector_spark.operators.dedup import dup_clusters
+
+    # chain 1-2-3 must collapse to ONE cluster; 7-8 is a separate pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    stats = {}
+    rows = {r["id"]: r for r in dup_clusters(pairs, drop_stats=stats).collect()}
+    assert {r["cluster_id"] for r in rows.values()} == {1, 7}
+    assert rows[1]["cluster_size"] == 3 and rows[7]["cluster_size"] == 2
+    assert rows[1]["is_canonical"] and rows[7]["is_canonical"]
+    assert not rows[2]["is_canonical"] and not rows[8]["is_canonical"]
+    assert stats["cc_converged"] and stats["cc_iterations"] <= 4
+
+
+def test_dup_clusters_non_convergence_raises(spark):
+    import pytest as _pytest
+
+    from semantic_log_detector_spark.operators.dedup import dup_clusters
+
+    # path graph of diameter 6 cannot converge in 1 iteration
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iters=1)
+
+
+def test_hash_split_deterministic_and_stratified(spark):
+    from semantic_log_detector_spark.operators.splits import hash_split
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    split = hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r["split"]: r["n"]
+        for r in df.groupBy(split.alias("split")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # pure function of the id: identical assignment on re-evaluation
+    again = {
+        r["split"]: r["n"]
+        for r in df.groupBy(split.alias("split")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == again
+
+
+def test_hash_split_bad_fractions(spark):
+    import pytest as _pytest
+
+    from semantic_log_detector_spark.operators.splits import hash_split
+
+    with _pytest.raises(ValueError):
+        hash_split(F.col("doc_id"), {"train": 0.5, "val": 0.1})
