@@ -630,6 +630,24 @@ def _q42_stratified_split(spark, sf):
     )
 
 
+def _q43_training_selection(spark, sf):
+    """Capstone: the end-to-end training-set curation pass — near-dup
+    canonicalization (exact pair graph, q22/q40 params) + language filter +
+    quality floor, reduced to the one-row token accounting a data-mixing
+    decision reads. The oracle composes the q25 stats SQL with the q40
+    recursive cluster walk."""
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.curate import (
+        curate_documents,
+        curation_summary,
+    )
+
+    kept = curate_documents(
+        d, langs=("en",), min_quality=0.5, jaccard_threshold=0.03, exact_pairs=True
+    )
+    return curation_summary(kept)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -674,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_dup_clusters": _q40_dup_clusters,
         "q41_ivf_topk": _q41_ivf_topk,
         "q42_stratified_split": _q42_stratified_split,
+        "q43_training_selection": _q43_training_selection,
     }
 
 
@@ -1097,12 +1116,11 @@ def _long_oracles() -> dict[str, str]:
         f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in sw
     ) + " END"
     en = scores["en"]
-    q25 = rf"""
-        WITH base AS (
+    base_cte = r"""base AS (
           SELECT doc_id, trim(text) AS tt,
                  string_split_regex(trim(lower(text)), '\s+') AS t
-          FROM documents)
-        SELECT doc_id,
+          FROM documents)"""
+    stats_select = rf"""SELECT doc_id,
                (CASE WHEN length(tt) = 0 THEN 0 ELSE len(t) END)::BIGINT AS n_tokens,
                round(
                  0.25 * (CASE WHEN len(t) >= 5 AND len(t) <= 100000 THEN 1.0 ELSE 0.25 END)
@@ -1113,12 +1131,49 @@ def _long_oracles() -> dict[str, str]:
                                 THEN length(regexp_replace(tt, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(tt)
                                 ELSE 0.0 END), 6) AS quality,
                {lang_case} AS lang_guess
-        FROM base
+        FROM base"""
+    q25 = f"WITH {base_cte}\n        {stats_select}"
+    # q43: q25's per-doc stats × q40's recursive duplicate-cluster walk →
+    # the curated-set accounting row (same thresholds as the Spark side)
+    q43 = rf"""
+        WITH RECURSIVE {base_cte},
+        stats AS ({stats_select}),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+          FROM base WHERE len(t) >= 3),
+        inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                 count(*) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        jac AS (
+          SELECT id_a, id_b FROM pr
+          WHERE round(inter / (na + nb - inter), 6) >= 0.03),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+        reach(id, r) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        lab AS (
+          SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+        nonca AS (SELECT id FROM lab WHERE id != cluster_id)
+        SELECT count(*) AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               round(avg(n_tokens), 6) AS avg_tokens,
+               round(avg(quality), 6) AS avg_quality
+        FROM stats
+        WHERE doc_id NOT IN (SELECT id FROM nonca)
+          AND lang_guess = 'en' AND quality >= 0.5
     """
     return {
         "q25_textstats": q25,
         "q35_lsh_topk": _lsh_topk_oracle(),
         "q39_embedding_dups": _embedding_dups_oracle(),
+        "q43_training_selection": q43,
     }
 
 

@@ -369,3 +369,32 @@ def test_hash_split_bad_fractions(spark):
 
     with _pytest.raises(ValueError):
         hash_split(F.col("doc_id"), {"train": 0.5, "val": 0.1})
+
+
+def test_curate_documents_end_to_end(spark, docs):
+    from semantic_log_detector_spark.operators.curate import (
+        curate_documents,
+        curation_summary,
+    )
+
+    stats = {}
+    kept = curate_documents(
+        docs, langs=(), min_quality=0.0, jaccard_threshold=0.5,
+        exact_pairs=True, drop_stats=stats,
+    )
+    ids = {r["id"] for r in kept.collect()}
+    # docs 1/2/4 are a near-dup cluster (jaccard ≥ 0.5) → only min id kept
+    assert 1 in ids and 2 not in ids and 4 not in ids
+    assert 3 in ids and 5 in ids and 6 in ids
+    assert stats["cc_converged"]
+
+    # language + quality filters narrow the kept set, never widen it
+    en_only = {r["id"] for r in curate_documents(
+        docs, langs=("en",), min_quality=0.0, jaccard_threshold=0.5,
+        exact_pairs=True).collect()}
+    assert en_only <= ids
+    assert 5 not in en_only and 6 not in en_only  # de / fr docs
+
+    row = curation_summary(kept).collect()[0]
+    assert row["n_docs"] == len(ids)
+    assert row["total_tokens"] > 0 and 0.0 <= row["avg_quality"] <= 1.0
