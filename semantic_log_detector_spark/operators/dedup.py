@@ -169,16 +169,44 @@ def _band_buckets_udf(num_hashes: int, bands: int):
     B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
     MIX = rng.integers(1, 1 << 62, size=rows_per_band, dtype=np.int64) | 1
 
+    Au, Bu = A.astype(np.uint64), B.astype(np.uint64)
+    Mx, Mm = MIX.astype(np.uint64), np.uint64(_MERSENNE)
+    # cap the (Σ shingles × num_hashes) product matrix per vectorized chunk
+    # (~32 MB of uint64 at the default): whole-batch concatenation at
+    # 10k-row Arrow batches × O(100) shingles would allocate ~0.5 GB
+    MAX_ELEMS = 4_000_000
+
     @pandas_udf("array<long>")
     def buckets(sh: pd.Series) -> pd.Series:
-        out = []
-        for h in sh:
-            hv = np.asarray(h, dtype=np.uint64)
-            prod = (hv[:, None] * A.astype(np.uint64)) % np.uint64(_MERSENNE)
-            sig = ((prod + B.astype(np.uint64)) % np.uint64(_MERSENNE)).min(axis=0)
-            sl = sig.reshape(bands, rows_per_band)
-            keys = (sl * MIX.astype(np.uint64)).sum(axis=1, dtype=np.uint64)
-            out.append(keys.astype(np.int64).tolist())
+        # vectorized across rows: one multiply-add over the concatenated
+        # shingle hashes per chunk, per-row mins via minimum.reduceat —
+        # bit-identical to the per-row form, ~an order of magnitude less
+        # Python/numpy dispatch overhead
+        lists = sh.to_list()
+        n = len(lists)
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+        if (lens == 0).any():
+            raise ValueError("minhash banding requires non-empty shingle sets")
+        out: list[list[int] | None] = [None] * n
+        i = 0
+        while i < n:
+            j, tot = i, 0
+            while j < n and (tot == 0 or (tot + lens[j]) * num_hashes <= MAX_ELEMS):
+                tot += lens[j]
+                j += 1
+            flat = np.concatenate(
+                [np.asarray(lists[t], dtype=np.uint64) for t in range(i, j)]
+            )
+            sigs = ((flat[:, None] * Au) % Mm + Bu) % Mm
+            offs = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(lens[i : j - 1], out=offs[1:])
+            mins = np.minimum.reduceat(sigs, offs, axis=0)
+            keys = (mins.reshape(j - i, bands, rows_per_band) * Mx).sum(
+                axis=2, dtype=np.uint64
+            ).astype(np.int64)
+            for t in range(i, j):
+                out[t] = keys[t - i].tolist()
+            i = j
         return pd.Series(out)
 
     return buckets
