@@ -560,11 +560,13 @@ def _q37_media_features(spark, sf):
         "media_id",
         "kind",
         "ok",
+        "real",
         F.posexplode("features").alias("feat_idx", "feat_value"),
     ).select(
         "media_id",
         "kind",
         "ok",
+        "real",
         F.col("feat_idx").cast("long").alias("feat_idx"),
         (F.round("feat_value", 6) + 0.0).alias("feat_value"),
     )
@@ -1018,7 +1020,7 @@ def oracle_sql() -> dict[str, str]:
                                        ELSE 'audio' END AS kind,
                      sha256(text) AS h
               FROM documents)
-            SELECT media_id, kind, TRUE AS ok, i AS feat_idx,
+            SELECT media_id, kind, TRUE AS ok, FALSE AS real, i AS feat_idx,
                    round((CAST(('0x' || substr(h, 8*i+1, 2)) AS INT)
                         + CAST(('0x' || substr(h, 8*i+3, 2)) AS INT)
                         + CAST(('0x' || substr(h, 8*i+5, 2)) AS INT)

@@ -36,6 +36,30 @@ def _fake_feature(payload: bytes) -> np.ndarray:
             / 1020.0).astype(np.float64)
 
 
+def _audio_feature(payload: bytes) -> np.ndarray:
+    """REAL audio decode → 8 features: duration_s, rms, peak, zero-crossing
+    rate, and 4 geometric-band spectral energy fractions. This is the live
+    end of the X2/X3 model-predict seam for the modality this engine owns
+    (WAV via functions/audio.py); image/video stay stubbed."""
+    from ..functions.audio import decode_wav
+
+    pcm, sr = decode_wav(payload)
+    if pcm.size == 0:
+        raise ValueError("empty pcm")
+    pcm = pcm.astype(np.float64)
+    dur = pcm.size / sr
+    rms = float(np.sqrt(np.mean(pcm * pcm)))
+    peak = float(np.max(np.abs(pcm)))
+    zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+    power = np.abs(np.fft.rfft(pcm)) ** 2
+    total = float(power.sum()) or 1.0
+    # 4 geometric bands over the positive spectrum (edges at n/8, n/4, n/2)
+    n = power.size
+    edges = (0, max(1, n // 8), max(2, n // 4), max(3, n // 2), n)
+    bands = [float(power[edges[i]:edges[i + 1]].sum()) / total for i in range(4)]
+    return np.array([dur, rms, peak, zcr, *bands], dtype=np.float64)
+
+
 def extract_media_features(
     df: DataFrame,
     kind_col: str = "kind",
@@ -43,14 +67,16 @@ def extract_media_features(
     id_col: str = "media_id",
     fake_decode: bool = True,
 ) -> DataFrame:
-    """mapInPandas: (id, kind, payload) → (id, kind, ok, err, features).
+    """mapInPandas: (id, kind, payload) → (id, kind, ok, real, err, features).
 
-    Real implementation drops in at the NotImplementedError: decode the
-    payload per `kind` (image: Pillow → resize → channel stats; video:
-    frame-sample → per-frame features), keeping this exact signature and
-    batch shape. Partitioning/pruning behavior matches the audio path:
-    callers select only the columns they need, payloads stream through
-    Arrow batches and are never cached.
+    kind='audio' with a RIFF/WAV payload is decoded FOR REAL
+    (functions/audio.py) and featurized — `real=True` marks those rows, so
+    fake-featured rows are never silently indistinguishable (same honesty
+    contract as the codec registry). Image/video decode drops in at the
+    NotImplementedError (Pillow/ffmpeg are not in this container), keeping
+    this exact signature and batch shape. Partitioning/pruning behavior
+    matches the audio path: callers select only the columns they need,
+    payloads stream through Arrow batches and are never cached.
     """
     cols = [id_col, kind_col, payload_col]
 
@@ -58,18 +84,24 @@ def extract_media_features(
         for pdf in batches:
             n = len(pdf)
             ok = np.zeros(n, dtype=bool)
+            real = np.zeros(n, dtype=bool)
             err = np.empty(n, dtype=object)
             feats = np.empty(n, dtype=object)
             for i, (payload, kind) in enumerate(zip(pdf[payload_col], pdf[kind_col])):
                 try:
                     if payload is None:
                         raise ValueError("null payload")
+                    buf = bytes(payload)
+                    if kind == "audio" and buf[:4] == b"RIFF":
+                        feats[i] = _audio_feature(buf)
+                        ok[i] = real[i] = True
+                        continue
                     if not fake_decode:
                         raise NotImplementedError(
                             f"no in-container decoder for kind={kind!r}; "
                             "swap _fake_feature for a real decode here"
                         )
-                    feats[i] = _fake_feature(bytes(payload))
+                    feats[i] = _fake_feature(buf)
                     ok[i] = True
                 except NotImplementedError:
                     raise
@@ -80,6 +112,7 @@ def extract_media_features(
                     id_col: pdf[id_col],
                     kind_col: pdf[kind_col],
                     "ok": ok,
+                    "real": real,
                     "err": err,
                     "features": feats,
                 }
@@ -87,8 +120,8 @@ def extract_media_features(
 
     return df.select(*cols).mapInPandas(
         gen,
-        schema=f"{id_col} string, {kind_col} string, ok boolean, err string, "
-        "features array<double>",
+        schema=f"{id_col} string, {kind_col} string, ok boolean, real boolean, "
+        "err string, features array<double>",
     )
 
 

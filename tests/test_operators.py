@@ -398,3 +398,32 @@ def test_curate_documents_end_to_end(spark, docs):
     row = curation_summary(kept).collect()[0]
     assert row["n_docs"] == len(ids)
     assert row["total_tokens"] > 0 and 0.0 <= row["avg_quality"] <= 1.0
+
+
+def test_media_audio_real_decode(spark):
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.audio import encode_wav
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    wav = encode_wav(pcm, sr)
+    df = spark.createDataFrame(
+        [
+            ("a1", "audio", bytearray(wav)),
+            ("a2", "audio", bytearray(b"not a wav")),
+            ("i1", "image", bytearray(b"img")),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert rows["a1"]["ok"] and rows["a1"]["real"]
+    f = rows["a1"]["features"]
+    assert abs(f[0] - 1.0) < 1e-6           # duration: 1 s of samples
+    assert abs(f[1] - 0.5 / 2 ** 0.5) < 0.01  # rms of a 0.5-amplitude sine
+    assert abs(f[2] - 0.5) < 0.01           # peak
+    assert abs(sum(f[4:8]) - 1.0) < 1e-9    # band fractions sum to 1
+    # non-RIFF audio payload and image both take the (marked) fake path
+    assert rows["a2"]["ok"] and not rows["a2"]["real"]
+    assert rows["i1"]["ok"] and not rows["i1"]["real"]
