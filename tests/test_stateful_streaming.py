@@ -95,3 +95,44 @@ def test_rolling_drift_multi_key_isolation(spark, tmp_path):
     second = {r["part_id"]: r for r in rows if r["total_rows"] == 600}
     assert second[0]["flagged"] is False  # key 0 stayed stable
     assert second[1]["flagged"] is True   # key 1 drifted; state is per-key
+
+
+def test_rolling_drift_restart_from_checkpoint(spark, tmp_path):
+    """The accumulated per-key prior must survive a full query restart via
+    the state-store checkpoint (streaming analog of the ledger resume):
+    run 1 sees only the normal batch; run 2 is a NEW query on the same
+    checkpoint that sees a shifted batch — it must compare against the
+    RESTORED 400-row prior, not start empty."""
+    src = str(tmp_path / "src3")
+    ckpt = str(tmp_path / "ckpt3")
+    rng = np.random.default_rng(2)
+
+    sink = str(tmp_path / "sink3")
+    _write_batch(spark, src, [(0, int(d)) for d in rng.normal(1000, 100, 400)])
+    stream = lambda: (
+        spark.readStream.schema("part_id int, dur_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # memory sink cannot recover from a checkpoint; the file sink is the
+    # fault-tolerant path and is what production uses
+    run = lambda: (
+        stream_rolling_drift(stream(), psi_threshold=0.2)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q1 = run()
+    q1.awaitTermination(120)
+    rows1 = spark.read.parquet(sink).collect()
+    assert len(rows1) == 1 and rows1[0]["total_rows"] == 400
+
+    time.sleep(1.1)
+    _write_batch(spark, src, [(0, int(d)) for d in rng.normal(6000, 200, 400)])
+    q2 = run()
+    q2.awaitTermination(120)
+    rows = sorted(spark.read.parquet(sink).collect(), key=lambda r: r["total_rows"])
+    assert len(rows) == 2  # only the new file is processed after restart
+    assert rows[1]["total_rows"] == 800  # 400 restored prior + 400 new
+    assert rows[1]["flagged"] is True and rows[1]["psi"] > 1.0
