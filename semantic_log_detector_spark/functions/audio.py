@@ -155,11 +155,18 @@ def mel_filterbank(sr_hz: int, n_fft: int, n_mels: int = 20) -> np.ndarray:
     bins = np.floor((n_fft + 1) * hz / sr_hz).astype(int)
     fb = np.zeros((n_mels, n_bins))
     for m in range(1, n_mels + 1):
-        lo, mid, hi = bins[m - 1], bins[m], bins[m + 1]
-        if mid == lo:
-            mid += 1
-        if hi == mid:
-            hi += 1
+        lo, mid, hi = int(bins[m - 1]), int(bins[m]), int(bins[m + 1])
+        # enforce strictly increasing edges: floor() collapses adjacent mel
+        # points at low n_fft / high sr, and the old pairwise nudge could
+        # leave hi < mid (hypothesis-found: sr=44100, n_fft=256, n_mels=31
+        # produced an all-zero mel band). Identical output when edges are
+        # already distinct and in range.
+        mid = max(mid, lo + 1)
+        hi = max(hi, mid + 1)
+        if hi > n_bins:  # collision nudges ran past the spectrum top
+            hi = n_bins
+            mid = min(mid, hi - 1)
+            lo = min(lo, mid - 1)
         fb[m - 1, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
         fb[m - 1, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
     return fb
