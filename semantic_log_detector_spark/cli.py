@@ -24,6 +24,15 @@ from .session import get_spark
 from .sources.synth import clips_table, transcripts_table
 
 
+def _session(master):
+    """(spark, owned): only stop sessions this process created — embedding
+    callers (tests, notebooks) keep theirs."""
+    from pyspark.sql import SparkSession
+
+    owned = SparkSession.getActiveSession() is None
+    return get_spark(master=master), owned
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="semantic_log_detector_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -51,12 +60,30 @@ def main(argv: list[str] | None = None) -> int:
     rob.add_argument("--perturbations", type=int, default=3)
     rob.add_argument("--seed", type=int, default=42)
     rob.add_argument("--master", default=None)
+    cur = sub.add_parser(
+        "curate",
+        help="training-set curation: near-dup canonicalization + language "
+             "filter + quality floor over a documents table",
+    )
+    cur.add_argument("--input", required=True, help="documents table (parquet/csv/json)")
+    cur.add_argument("--out", required=True)
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--langs", default="en", help="comma list; empty = keep all")
+    cur.add_argument("--min-quality", type=float, default=0.5)
+    cur.add_argument("--jaccard-threshold", type=float, default=0.7)
+    cur.add_argument("--exact-pairs", action="store_true",
+                     help="exact inverted-index pair graph (small corpora); "
+                          "default MinHash-LSH")
+    cur.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     if args.cmd == "robustness":
         return _run_robustness(args)
+    if args.cmd == "curate":
+        return _run_curate(args)
 
-    spark = get_spark(master=args.master)
+    spark, owned = _session(args.master)
     spark.sparkContext.setLogLevel("WARN")
     try:
         if args.input:
@@ -99,14 +126,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
 
 
 def _run_robustness(args) -> int:
     from .checks.base import RunContext
     from .plans.robustness import run_robustness
 
-    spark = get_spark(master=args.master)
+    spark, owned = _session(args.master)
     spark.sparkContext.setLogLevel("WARN")
     try:
         if args.input:
@@ -129,7 +157,46 @@ def _run_robustness(args) -> int:
         )
         return 0
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
+
+
+def _run_curate(args) -> int:
+    import json
+
+    from .operators.curate import curate_documents, curation_summary
+    from .sources.files import read_file
+
+    spark, owned = _session(args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        docs = read_file(spark, args.input)
+        langs = tuple(x for x in args.langs.split(",") if x)
+        drop_stats: dict = {}
+        kept = curate_documents(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            langs=langs,
+            min_quality=args.min_quality,
+            jaccard_threshold=args.jaccard_threshold,
+            exact_pairs=args.exact_pairs,
+            drop_stats=drop_stats,
+        )
+        kept.write.mode("overwrite").parquet(f"{args.out}/kept")
+        summary = curation_summary(spark.read.parquet(f"{args.out}/kept")).first().asDict()
+        summary["drop_stats"] = drop_stats
+        os.makedirs(args.out, exist_ok=True)
+        with open(f"{args.out}/curation_summary.json", "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        print(
+            f"kept={summary['n_docs']} total_tokens={summary['total_tokens']} "
+            f"avg_quality={summary['avg_quality']} out={args.out}/kept"
+        )
+        return 0
+    finally:
+        if owned:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -44,3 +44,32 @@ def test_unsupported_extension(spark, tmp_path):
     p.write_text("nope")
     with pytest.raises(ValueError, match="unsupported file format"):
         read_file(spark, str(p))
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """cli curate over a documents parquet writes the kept set + summary
+    (get_spark getOrCreate reuses the test session)."""
+    import json as _json
+
+    from semantic_log_detector_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the field"),
+            (2, "the quick brown fox jumps over the lazy dog in the field"),
+            (3, "a completely different sentence about the engine and the tests"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main([
+        "curate", "--input", src, "--out", out,
+        "--exact-pairs", "--jaccard-threshold", "0.5", "--min-quality", "0.0",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(f"{out}/kept")
+    ids = {r["id"] for r in kept.collect()}
+    assert ids == {1, 3}  # doc 2 is the non-canonical exact dup
+    summary = _json.loads((tmp_path / "out" / "curation_summary.json").read_text())
+    assert summary["n_docs"] == 2 and summary["drop_stats"]["cc_converged"]
