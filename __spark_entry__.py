@@ -324,9 +324,12 @@ def _q22_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     from semantic_log_detector_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.03).orderBy(
-        "id_a", "id_b"
-    )
+    # max_df=None: the oracle computes Jaccard over the UNFILTERED shingle
+    # universe, so the stop-shingle guard must be off for the exact baseline
+    # (at larger corpora a df>max_df shingle would otherwise diverge)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.03, max_df=None
+    ).orderBy("id_a", "id_b")
 
 
 def _q23_embedding_topk(spark, sf):
@@ -600,7 +603,9 @@ def _q40_dup_clusters(spark, sf):
         ngram_jaccard_pairs,
     )
 
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.03)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.03, max_df=None
+    )
     return dup_clusters(pairs).orderBy("id")
 
 
@@ -645,7 +650,8 @@ def _q43_training_selection(spark, sf):
     )
 
     kept = curate_documents(
-        d, langs=("en",), min_quality=0.5, jaccard_threshold=0.03, exact_pairs=True
+        d, langs=("en",), min_quality=0.5, jaccard_threshold=0.03,
+        exact_pairs=True, max_df=None,
     )
     return curation_summary(kept)
 
@@ -1086,7 +1092,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "q42_stratified_split": """
-            SELECT CASE WHEN h < 8000 THEN 'train'
+            SELECT CASE WHEN h IS NULL THEN NULL
+                        WHEN h < 8000 THEN 'train'
                         WHEN h < 9000 THEN 'val'
                         ELSE 'test' END AS split,
                    lang, count(*) AS n

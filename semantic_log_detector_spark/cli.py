@@ -29,7 +29,12 @@ def _session(master):
     callers (tests, notebooks) keep theirs."""
     from pyspark.sql import SparkSession
 
-    owned = SparkSession.getActiveSession() is None
+    # getActiveSession is thread-local; _instantiatedSession is process-wide
+    # — a session created on another thread must not be stopped either
+    owned = (
+        SparkSession.getActiveSession() is None
+        and SparkSession._instantiatedSession is None
+    )
     return get_spark(master=master), owned
 
 
@@ -186,7 +191,6 @@ def _run_curate(args) -> int:
         kept.write.mode("overwrite").parquet(f"{args.out}/kept")
         summary = curation_summary(spark.read.parquet(f"{args.out}/kept")).first().asDict()
         summary["drop_stats"] = drop_stats
-        os.makedirs(args.out, exist_ok=True)
         with open(f"{args.out}/curation_summary.json", "w") as f:
             json.dump(summary, f, indent=2, default=str)
         print(

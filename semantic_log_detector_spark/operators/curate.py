@@ -36,6 +36,7 @@ def curate_documents(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.7,
     exact_pairs: bool = False,
+    max_df: int | None = 1000,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """Curated document set: per-doc stats + near-dup canonicalization.
@@ -59,7 +60,8 @@ def curate_documents(
     pairs = pair_fn(
         df, text_col, id_col,
         **(
-            {"threshold": jaccard_threshold, "drop_stats": drop_stats}
+            {"threshold": jaccard_threshold, "max_df": max_df,
+             "drop_stats": drop_stats}
             if exact_pairs
             else {"jaccard_threshold": jaccard_threshold, "drop_stats": drop_stats}
         ),

@@ -50,7 +50,11 @@ def _audio_feature(payload: bytes) -> np.ndarray:
     dur = pcm.size / sr
     rms = float(np.sqrt(np.mean(pcm * pcm)))
     peak = float(np.max(np.abs(pcm)))
-    zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+    # single-sample clip: no transitions to rate (mean of empty → NaN)
+    zcr = (
+        float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        if pcm.size > 1 else 0.0
+    )
     power = np.abs(np.fft.rfft(pcm)) ** 2
     total = float(power.sum()) or 1.0
     # 4 geometric bands over the positive spectrum (edges at n/8, n/4, n/2)

@@ -30,6 +30,10 @@ def hash_split(
     ``fractions`` maps split name → fraction; fractions must sum to 1
     (the last split absorbs rounding). Example:
     ``hash_split(F.col("doc_id"), {"train": .8, "val": .1, "test": .1})``.
+
+    A NULL id yields a NULL split (surfaced for the caller to count or
+    reject) — silently routing null-key rows into the catch-all split
+    would concentrate them all in one split unnoticed.
     """
     if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
         raise ValueError("fractions must be non-empty and sum to 1")
@@ -45,4 +49,5 @@ def hash_split(
         cond = h < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last_name = items[-1][0]
-    return expr.otherwise(last_name) if expr is not None else F.lit(last_name)
+    tail = expr.otherwise(last_name) if expr is not None else F.lit(last_name)
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(tail)

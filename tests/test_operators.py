@@ -427,3 +427,28 @@ def test_media_audio_real_decode(spark):
     # non-RIFF audio payload and image both take the (marked) fake path
     assert rows["a2"]["ok"] and not rows["a2"]["real"]
     assert rows["i1"]["ok"] and not rows["i1"]["real"]
+
+
+def test_hash_split_null_id_surfaces_as_null(spark):
+    from semantic_log_detector_spark.operators.splits import hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    split = hash_split(F.col("doc_id"), {"train": 0.9, "test": 0.1})
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    assert rows[1] in ("train", "test")
+    assert rows[None] is None  # never silently bucketed into the last split
+
+
+def test_media_single_sample_wav_no_nan(spark):
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.audio import encode_wav
+
+    wav = encode_wav(np.array([0.25], dtype=np.float32), 8000)
+    df = spark.createDataFrame(
+        [("s1", "audio", bytearray(wav))], "media_id string, kind string, payload binary"
+    )
+    r = extract_media_features(df).collect()[0]
+    assert r["ok"] and r["real"]
+    assert all(v == v for v in r["features"])  # no NaN
+    assert r["features"][3] == 0.0  # zcr of a single sample
