@@ -42,6 +42,7 @@ HEADLINE = [
     "q25_textstats",
     "q28_stats_profile",
     "q33_minhash_pairs",
+    "q43_training_selection",
 ]
 
 
