@@ -879,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
               FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2, 3, 4)
             SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
-            FROM pairs WHERE inter / (na + nb - inter) >= 0.03
+            FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.03
             ORDER BY id_a, id_b
         """,
         "q23_embedding_topk": """
@@ -994,7 +994,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3, 4)
             SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard,
                    TRUE AS lsh_found
-            FROM pairs WHERE inter / (na + nb - inter) >= 0.2
+            FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.2
         """,
         "q34_simhash_pairs": r"""
             WITH toks AS (

@@ -11,9 +11,10 @@ Scale notes:
 - Shingle/signature computation is a narrow map — no shuffle.
 - LSH banding shuffles (band_id, band_hash) key pairs; bucket sizes are the
   skew risk, so buckets above `max_bucket` are dropped AND the drop is
-  surfaced: counted via one tiny action over the checkpointed signature
-  table, logged, and written into the caller's `drop_stats` dict —
-  "no silent caps" (SURVEY.md §7.3).
+  surfaced — "no silent caps" (SURVEY.md §7.3). Pass a `drop_stats` dict
+  for eager build-time counts (one tiny action + log); without it the
+  builders stay pure plan constructors and the counts are attached as
+  named observed metrics collected during the eventual action.
 - The exact inverted-index operator guards against stop-shingle quadratic
   blowup with a max-document-frequency cutoff (`max_df`): shingles present
   in more than max_df documents are removed from the shingle UNIVERSE
@@ -27,6 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import itertools
 import logging
 
 import numpy as np
@@ -37,40 +39,60 @@ from pyspark.sql import functions as F
 _LOG = logging.getLogger(__name__)
 
 
+_OBS_SEQ = itertools.count()
+
+
 def _surface_bucket_drops(
     sizes: DataFrame,
     max_bucket: int,
     op: str,
     drop_stats: dict | None,
-) -> None:
-    """Count rows/buckets removed by the stop-bucket guard and surface them.
+) -> DataFrame:
+    """Surface rows/buckets removed by the stop-bucket guard; returns the
+    (possibly instrumented) sizes table to filter against.
 
-    One action over the (checkpointed, tiny) per-bucket size table — the
-    expensive upstream pass is shared with the join that consumes it, so
-    this costs a small driver round-trip, not a recompute."""
-    row = (
-        sizes.filter(F.col("bsz") > max_bucket)
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.coalesce(F.sum("bsz"), F.lit(0)).alias("n_rows"),
-        )
-        .first()
-    )
-    stats = {
-        "dropped_buckets": int(row["n_buckets"]),
-        "dropped_bucket_rows": int(row["n_rows"]),
-        "max_bucket": max_bucket,
-    }
+    Two modes, so pair builders stay pure plan constructors by default:
+
+    - ``drop_stats`` is a dict → the caller explicitly asked for counts at
+      build time: one tiny eager action over the (checkpointed, shared)
+      per-bucket size table fills the dict and logs. Costs a driver
+      round-trip against a subtree the consuming join re-uses.
+    - ``drop_stats`` is None → NO Spark job runs here. The drop counts are
+      attached as named observed metrics (``<op>_drops_<n>``:
+      dropped_buckets / dropped_bucket_rows) on the sizes subtree, so they
+      materialize for free during whatever action eventually evaluates the
+      returned plan (Spark UI SQL tab / QueryExecutionListener) — the cap
+      is still accounted for, just lazily."""
     if drop_stats is not None:
-        drop_stats.update(stats)
-    if stats["dropped_buckets"]:
-        _LOG.warning(
-            "%s: stop-bucket guard dropped %d buckets (%d postings) over max_bucket=%d"
-            " — pairs within those buckets are NOT emitted",
-            op, stats["dropped_buckets"], stats["dropped_bucket_rows"], max_bucket,
+        row = (
+            sizes.filter(F.col("bsz") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.coalesce(F.sum("bsz"), F.lit(0)).alias("n_rows"),
+            )
+            .first()
         )
-    else:
-        _LOG.info("%s: no buckets exceeded max_bucket=%d", op, max_bucket)
+        stats = {
+            "dropped_buckets": int(row["n_buckets"]),
+            "dropped_bucket_rows": int(row["n_rows"]),
+            "max_bucket": max_bucket,
+        }
+        drop_stats.update(stats)
+        if stats["dropped_buckets"]:
+            _LOG.warning(
+                "%s: stop-bucket guard dropped %d buckets (%d postings) over"
+                " max_bucket=%d — pairs within those buckets are NOT emitted",
+                op, stats["dropped_buckets"], stats["dropped_bucket_rows"], max_bucket,
+            )
+        else:
+            _LOG.info("%s: no buckets exceeded max_bucket=%d", op, max_bucket)
+        return sizes
+    over = F.col("bsz") > max_bucket
+    return sizes.observe(
+        f"{op}_drops_{next(_OBS_SEQ)}",
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(over, F.col("bsz")).otherwise(0)).alias("dropped_bucket_rows"),
+    )
 
 
 def tokens(col: Column) -> Column:
@@ -114,18 +136,40 @@ def exact_dedup(
     degenerate mono-key input (one hash dominating a 10^12-row corpus)
     cannot materialize an unbounded row; ``n_dups`` always carries the true
     count and ``dup_ids_truncated`` flags the overflow."""
+    from pyspark.sql import Window
+
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]))
-    return (
-        df.withColumn("content_hash", h)
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.min(id_col).alias("keep_id"),
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, max_dup_ids
-            ).alias("dup_ids"),
-        )
+    hashed = df.select(h.alias("content_hash"), F.col(id_col))
+    groups = (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_dups") > 1)
+    )
+    # cap BEFORE the list aggregation, in two salted levels: per-salt-cell
+    # row_number keeps ≤ max_dup_ids ids per (hash, salt) — a mono-key
+    # corpus splits its sort across _NSALT tasks instead of one — then a
+    # second row_number over ≤ _NSALT·max_dup_ids survivors picks the
+    # global smallest ids. The union of per-salt top-Ks contains the
+    # global top-K, so this is exact; the collect_list buffer downstream
+    # never exceeds max_dup_ids per group.
+    _NSALT = 64
+    w1 = Window.partitionBy("content_hash", "salt").orderBy(id_col)
+    w2 = Window.partitionBy("content_hash").orderBy(id_col)
+    capped = (
+        hashed.join(groups.select("content_hash"), "content_hash")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_NSALT))
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= max_dup_ids)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= max_dup_ids)
+    )
+    id_lists = capped.groupBy("content_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("dup_ids")
+    )
+    return (
+        groups.join(id_lists, "content_hash")
         .withColumn("dup_ids_truncated", F.col("n_dups") > max_dup_ids)
     )
 
@@ -228,9 +272,10 @@ def minhash_lsh_pairs(
     Band width r = num_hashes/bands ⇒ candidate prob ≈ 1-(1-j^r)^bands.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
-    Over-sized LSH buckets (stop-word buckets) are dropped; the drop count
-    is logged and, when ``drop_stats`` is a dict, written into it
-    (dropped_buckets / dropped_bucket_rows) — never silent.
+    Over-sized LSH buckets (stop-word buckets) are dropped, never silently:
+    with a ``drop_stats`` dict the count is computed eagerly, logged and
+    written into it (dropped_buckets / dropped_bucket_rows); without one
+    the count rides the plan as observed metrics (no job at build time).
     """
     base = (
         df.select(
@@ -251,7 +296,7 @@ def minhash_lsh_pairs(
 
     # stop-word-bucket guard: degenerate buckets explode quadratically
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    _surface_bucket_drops(sizes, max_bucket, "minhash_lsh_pairs", drop_stats)
+    sizes = _surface_bucket_drops(sizes, max_bucket, "minhash_lsh_pairs", drop_stats)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "bucket"], "left_anti"
     )
@@ -385,7 +430,7 @@ def simhash_hamming_pairs(
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-    _surface_bucket_drops(sizes, max_bucket, "simhash_hamming_pairs", drop_stats)
+    sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_hamming_pairs", drop_stats)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
     )
@@ -440,7 +485,7 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
     sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-    _surface_bucket_drops(sizes, max_bucket, "simhash_pairs", drop_stats)
+    sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_pairs", drop_stats)
     banded = banded.join(
         F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
     )
@@ -576,9 +621,10 @@ def ngram_jaccard_pairs(
     a true Jaccard (of df-filtered sets) and the self-join's per-shingle
     bucket is bounded: O(Σ df²) ≤ total_postings × max_df instead of
     quadratic on a corpus-scale stop-shingle. Dropped-shingle counts are
-    logged and written to ``drop_stats`` when provided. ``max_df=None``
-    disables the guard (pure exact baseline for verification at sample
-    scale)."""
+    computed eagerly, logged and written to ``drop_stats`` when a dict is
+    provided; otherwise construction is plan-only and the counts are
+    attached as observed metrics. ``max_df=None`` disables the guard
+    (pure exact baseline for verification at sample scale)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -599,35 +645,82 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("s_df"))
             .filter(F.col("s_df") > max_df)
         )
-        srow = stop.agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.coalesce(F.sum("s_df"), F.lit(0)).alias("n_postings"),
-        ).first()
-        stats = {
-            "dropped_shingles": int(srow["n_shingles"]),
-            "dropped_postings": int(srow["n_postings"]),
-            "max_df": max_df,
-        }
+        rebuild = True
         if drop_stats is not None:
+            # caller opted into build-time accounting: one eager action
+            # over the checkpointed postings, and the universe rebuild is
+            # skipped entirely when nothing was dropped
+            srow = stop.agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.coalesce(F.sum("s_df"), F.lit(0)).alias("n_postings"),
+            ).first()
+            stats = {
+                "dropped_shingles": int(srow["n_shingles"]),
+                "dropped_postings": int(srow["n_postings"]),
+                "max_df": max_df,
+            }
             drop_stats.update(stats)
-        if stats["dropped_shingles"]:
-            _LOG.warning(
-                "ngram_jaccard_pairs: df guard removed %d stop-shingles "
-                "(%d postings) with document frequency > %d from the "
-                "shingle universe",
-                stats["dropped_shingles"], stats["dropped_postings"], max_df,
-            )
+            if stats["dropped_shingles"]:
+                _LOG.warning(
+                    "ngram_jaccard_pairs: df guard removed %d stop-shingles "
+                    "(%d postings) with document frequency > %d from the "
+                    "shingle universe",
+                    stats["dropped_shingles"], stats["dropped_postings"], max_df,
+                )
+            else:
+                _LOG.info("ngram_jaccard_pairs: no shingle exceeded max_df=%d", max_df)
+            rebuild = stats["dropped_shingles"] > 0
         else:
-            _LOG.info("ngram_jaccard_pairs: no shingle exceeded max_df=%d", max_df)
-        if stats["dropped_shingles"]:
-            # rebuild postings + set sizes over the filtered universe; the
-            # broadcast anti-join keeps this a narrow pass over the
-            # checkpointed postings (stop-shingle lists are tiny by nature)
-            filtered = inv.join(
-                F.broadcast(stop.select("s")), "s", "left_anti"
-            ).drop("n_sh")
-            sizes = filtered.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-            inv = filtered.join(sizes, "id").localCheckpoint(eager=False)
+            # pure plan builder: no Spark job at construction time. The
+            # guard + universe rebuild go into the plan unconditionally
+            # (a no-drop corpus filters nothing and recomputes identical
+            # set sizes), and the drop counts ride along as observed
+            # metrics collected during the eventual action.
+            stop = stop.observe(
+                f"ngram_jaccard_pairs_drops_{next(_OBS_SEQ)}",
+                F.count(F.lit(1)).alias("dropped_shingles"),
+                F.coalesce(F.sum("s_df"), F.lit(0)).alias("dropped_postings"),
+            )
+        if rebuild:
+            # filtered universe: broadcast anti-join against the tiny stop
+            # list, lazily PERSISTED — not localCheckpoint'ed (lazy
+            # localCheckpoint above an AQE exchange materializes upstream
+            # stages at build time) and not left bare (exchange reuse does
+            # not fire across LogicalRDD scans, so each of the three
+            # consumers — both self-join sides and the set-size agg —
+            # would re-run the stop-agg shuffle). The cache computes the
+            # guard once at first action and the observed drop metrics
+            # report once. Set sizes join onto the (small) verified pair
+            # aggregate at the END, not onto every posting.
+            from pyspark import StorageLevel
+
+            kept = (
+                inv.join(F.broadcast(stop.select("s")), "s", "left_anti")
+                .select("id", "s")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # per-doc set sizes are consumed by both end joins (na and nb)
+            # — persist the thin (one row per doc) table so the postings
+            # pass behind it runs once, not twice
+            sizes = (
+                kept.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("n_sh"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            a, b = kept.alias("a"), kept.alias("b")
+            inter = (
+                a.join(
+                    b,
+                    (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+                )
+                .groupBy(
+                    F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+                )
+                .agg(F.count(F.lit(1)).alias("inter"))
+                .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+                .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+            )
+            return _jaccard_tail(inter, threshold)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -639,6 +732,10 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_tail(inter, threshold)
+
+
+def _jaccard_tail(inter: DataFrame, threshold: float) -> DataFrame:
     jac = F.round(
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )

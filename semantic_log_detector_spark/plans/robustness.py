@@ -81,7 +81,8 @@ def run_robustness(
             seed = base_seed + run
             noisy = _verdict_map(ctx, clips, noise=(level, seed), **drift_kw)
             same = sum(1 for k, v in clean.items() if noisy.get(k) == v)
-            stability = same / max(n_cells, 1)
+            # an empty verdict grid is vacuously stable, not 0% stable
+            stability = same / n_cells if n_cells else 1.0
             flagged = sorted({p for (p, _r), ok in noisy.items() if not ok})
             runs.append(
                 {
@@ -97,10 +98,12 @@ def run_robustness(
                 level, seed, stability, flagged,
             )
         mean_stability = sum(r["stability"] for r in runs) / len(runs)
-        # fraction of clean-flagged partitions still flagged per run
+        # fraction of clean-flagged partitions still flagged per run; with
+        # no clean detections there is nothing to lose — vacuously 1.0
+        # (0.0 would misreport a clean dataset as total detection loss)
         retained = [
             (sum(1 for p in clean_flagged if p in set(r["flagged_partitions"]))
-             / max(len(clean_flagged), 1))
+             / len(clean_flagged)) if clean_flagged else 1.0
             for r in runs
         ]
         results["noise_tests"].append(

@@ -31,7 +31,11 @@ def read_file(spark: SparkSession, path: str) -> DataFrame:
             # not line-delimited → standard JSON document/array
             df = spark.read.option("multiLine", True).json(path)
         return df
-    if lower.endswith(".parquet") or os.path.isdir(path) or "/" not in path:
+    # remote/URI-schemed table paths (hdfs://, s3a://, dbfs:/...) are not
+    # visible to os.path.isdir — delegate them to the storage seam like any
+    # extensionless table directory (the spark-submit cluster --input path)
+    has_scheme = "://" in path or lower.startswith("dbfs:/")
+    if lower.endswith(".parquet") or os.path.isdir(path) or has_scheme or "/" not in path:
         return read_table(spark, path)
     raise ValueError(
         f"unsupported file format {path!r}: use .csv, .json/.jsonl, or parquet"

@@ -129,9 +129,20 @@ def validate_payload_path(path: str, num_parts: int) -> str | None:
     if "part_id" in names:
         from ..functions.sparkhash import xxhash64
 
-        rb = next(pf.iter_batches(batch_size=256, columns=["clip_id", "part_id"]))
+        # sample the first non-empty file (Spark routinely writes empty
+        # part-00000 files; iter_batches on those yields nothing)
+        rb = None
+        for f in files:
+            rb = next(
+                pq.ParquetFile(f).iter_batches(
+                    batch_size=256, columns=["clip_id", "part_id"]
+                ),
+                None,
+            )
+            if rb is not None:
+                break
         for cid, pid in zip(rb.column("clip_id").to_pylist(),
-                            rb.column("part_id").to_pylist()):
+                            rb.column("part_id").to_pylist()) if rb is not None else ():
             if cid is None or pid is None:
                 continue
             if xxhash64(str(cid).encode("utf-8")) % num_parts != pid:

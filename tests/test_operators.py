@@ -232,6 +232,31 @@ def test_ngram_jaccard_df_guard_filtered_universe_semantics(spark):
     assert out[(1, 2)] == 0.5
 
 
+def test_pair_builders_are_pure_plan_constructors(spark):
+    # without drop_stats, the dedup pair builders must run NO Spark job at
+    # construction time (drop accounting rides the plan as observed
+    # metrics) — a caller that never evaluates the result pays nothing
+    from semantic_log_detector_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    sc = spark.sparkContext
+    group = "construction-must-be-lazy"
+    sc.setJobGroup(group, "plan construction")
+    try:
+        minhash_lsh_pairs(df, "text", "doc_id")
+        simhash_pairs(df, "text", "doc_id")
+        simhash_hamming_pairs(df, "text", "doc_id")
+        guarded = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1, max_df=5)
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # and the lazily-guarded plan still evaluates correctly
+    assert guarded.count() >= 0
+
+
 def test_exact_dedup_dup_ids_capped(spark):
     df = spark.createDataFrame(
         [(i, "identical") for i in range(30)], ["doc_id", "text"]
