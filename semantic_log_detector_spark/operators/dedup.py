@@ -88,10 +88,21 @@ def _surface_bucket_drops(
             _LOG.info("%s: no buckets exceeded max_bucket=%d", op, max_bucket)
         return sizes
     over = F.col("bsz") > max_bucket
+    name = f"{op}_drops_{next(_OBS_SEQ)}"
+    _LOG.info(
+        "%s: stop-bucket guard active (max_bucket=%d); drop counts are "
+        "collected lazily as observed metrics %r — pass drop_stats={} for "
+        "eager counts + warnings",
+        op, max_bucket, name,
+    )
     return sizes.observe(
-        f"{op}_drops_{next(_OBS_SEQ)}",
-        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
-        F.sum(F.when(over, F.col("bsz")).otherwise(0)).alias("dropped_bucket_rows"),
+        name,
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias(
+            "dropped_buckets"
+        ),
+        F.coalesce(F.sum(F.when(over, F.col("bsz")).otherwise(0)), F.lit(0)).alias(
+            "dropped_bucket_rows"
+        ),
     )
 
 
@@ -138,12 +149,20 @@ def exact_dedup(
     count and ``dup_ids_truncated`` flags the overflow."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]))
     hashed = df.select(h.alias("content_hash"), F.col(id_col))
+    # `groups` is consumed twice (the capped semi-filter and the final
+    # join): persist the post-shuffle aggregate — one thin row per
+    # duplicated hash — so the map-side-combined agg runs once. `hashed`
+    # is deliberately NOT cached: it is corpus-sized, and its recompute is
+    # a narrow scan+md5 with no shuffle (cheaper than caching 10^12 rows).
     groups = (
         hashed.groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_dups") > 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # cap BEFORE the list aggregation, in two salted levels: per-salt-cell
     # row_number keeps ≤ max_dup_ids ids per (hash, salt) — a mono-key
@@ -156,7 +175,10 @@ def exact_dedup(
     w1 = Window.partitionBy("content_hash", "salt").orderBy(id_col)
     w2 = Window.partitionBy("content_hash").orderBy(id_col)
     capped = (
-        hashed.join(groups.select("content_hash"), "content_hash")
+        # null ids can't appear in dup_ids (collect_list skips them) —
+        # filter them out BEFORE ranking so they don't consume top-K slots
+        hashed.filter(F.col(id_col).isNotNull())
+        .join(groups.select("content_hash"), "content_hash")
         .withColumn(
             "salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_NSALT))
         )
@@ -169,7 +191,16 @@ def exact_dedup(
         F.sort_array(F.collect_list(id_col)).alias("dup_ids")
     )
     return (
-        groups.join(id_lists, "content_hash")
+        # left join: a dup group whose ids are ALL null still surfaces
+        # (with an empty dup_ids), matching the collect_list-only form
+        groups.join(id_lists, "content_hash", "left")
+        .withColumn(
+            "dup_ids",
+            F.coalesce(
+                F.col("dup_ids"),
+                F.array().cast(f"array<{df.schema[id_col].dataType.simpleString()}>"),
+            ),
+        )
         .withColumn("dup_ids_truncated", F.col("n_dups") > max_dup_ids)
     )
 
@@ -691,7 +722,12 @@ def ngram_jaccard_pairs(
             # would re-run the stop-agg shuffle). The cache computes the
             # guard once at first action and the observed drop metrics
             # report once. Set sizes join onto the (small) verified pair
-            # aggregate at the END, not onto every posting.
+            # aggregate at the END, not onto every posting. Cache
+            # lifetime: the blocks are released when the returned plan's
+            # references are GC'd (ContextCleaner) or on
+            # spark.catalog.clearCache(); under memory pressure the store
+            # evicts LRU, so repeated calls degrade to recompute, never
+            # OOM.
             from pyspark import StorageLevel
 
             kept = (

@@ -18,6 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .table import read_table
 
+# file extensions this source knowingly does NOT read; anything else
+# (extensionless, trailing /, dotted directory names like db.db) is
+# treated as a table directory and resolved by the storage seam
+_FOREIGN_EXTS = (
+    ".txt", ".log", ".tsv", ".dat", ".avro", ".orc", ".xml",
+    ".gz", ".bz2", ".zst", ".zip", ".arrow", ".feather",
+)
+
 
 def read_file(spark: SparkSession, path: str) -> DataFrame:
     """Load ``path`` by extension: .csv / .json / .jsonl / .parquet or a
@@ -33,8 +41,15 @@ def read_file(spark: SparkSession, path: str) -> DataFrame:
         return df
     # remote/URI-schemed table paths (hdfs://, s3a://, dbfs:/...) are not
     # visible to os.path.isdir — delegate them to the storage seam like any
-    # extensionless table directory (the spark-submit cluster --input path)
+    # extensionless table directory (the spark-submit cluster --input path).
+    # A recognizable NON-table file extension still raises: routing
+    # s3a://.../events.avro into the parquet reader would produce an opaque
+    # footer error (or garbage), not a format hint.
     has_scheme = "://" in path or lower.startswith("dbfs:/")
+    if has_scheme and lower.rstrip("/").endswith(_FOREIGN_EXTS):
+        raise ValueError(
+            f"unsupported file format {path!r}: use .csv, .json/.jsonl, or parquet"
+        )
     if lower.endswith(".parquet") or os.path.isdir(path) or has_scheme or "/" not in path:
         return read_table(spark, path)
     raise ValueError(

@@ -129,16 +129,17 @@ def validate_payload_path(path: str, num_parts: int) -> str | None:
     if "part_id" in names:
         from ..functions.sparkhash import xxhash64
 
-        # sample the first non-empty file (Spark routinely writes empty
-        # part-00000 files; iter_batches on those yields nothing)
+        # sample the first non-empty batch (Spark routinely writes empty
+        # part-00000 files; writers may also emit 0-row row groups that
+        # yield empty batches rather than none)
         rb = None
         for f in files:
-            rb = next(
-                pq.ParquetFile(f).iter_batches(
-                    batch_size=256, columns=["clip_id", "part_id"]
-                ),
-                None,
-            )
+            for batch in pq.ParquetFile(f).iter_batches(
+                batch_size=256, columns=["clip_id", "part_id"]
+            ):
+                if batch.num_rows > 0:
+                    rb = batch
+                    break
             if rb is not None:
                 break
         for cid, pid in zip(rb.column("clip_id").to_pylist(),

@@ -42,8 +42,25 @@ def _is_path(ref: str) -> bool:
     return "/" in ref or os.sep in ref
 
 
-def _is_iceberg_dir(ref: str) -> bool:
-    return os.path.isdir(os.path.join(ref, "metadata"))
+def _is_iceberg_dir(spark: SparkSession, ref: str) -> bool:
+    """True when ``ref`` is a table directory with a ``metadata/`` subdir.
+
+    Local paths use os.path; URI-schemed paths (hdfs://, s3a://, ...) go
+    through the Hadoop FileSystem API — one exists() RPC — so a remote
+    Iceberg warehouse directory is detected (and refused without the
+    runtime) exactly like a local one, instead of being silently read as
+    raw parquet with stale-snapshot/deleted rows."""
+    if "://" not in ref:
+        return os.path.isdir(os.path.join(ref, "metadata"))
+    try:
+        jvm = spark._jvm  # type: ignore[union-attr]
+        hpath = jvm.org.apache.hadoop.fs.Path(ref.rstrip("/") + "/metadata")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+        return bool(fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory())
+    except Exception:
+        # unreachable filesystem / missing connector: let the downstream
+        # reader raise its own (clearer) error for the actual read
+        return False
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
@@ -51,7 +68,7 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     parquet dir. Raises the underlying AnalysisException on a bad ref."""
     if not _is_path(ref):
         return spark.read.table(ref)
-    if _is_iceberg_dir(ref):
+    if _is_iceberg_dir(spark, ref):
         if not iceberg_available(spark):
             # reading the warehouse dir as raw parquet would surface rows
             # from old snapshots and rows logically removed via delete

@@ -46,6 +46,15 @@ def test_unsupported_extension(spark, tmp_path):
         read_file(spark, str(p))
 
 
+def test_remote_uri_foreign_extension_raises(spark):
+    # a URI-schemed path must not swallow a recognizable non-table file
+    # extension into the parquet reader
+    with pytest.raises(ValueError, match="unsupported file format"):
+        read_file(spark, "hdfs://nn/logs/events.avro")
+    with pytest.raises(ValueError, match="unsupported file format"):
+        read_file(spark, "s3a://bucket/data/notes.txt")
+
+
 def test_cli_curate_end_to_end(spark, tmp_path):
     """cli curate over a documents parquet writes the kept set + summary
     (get_spark getOrCreate reuses the test session)."""

@@ -267,6 +267,25 @@ def test_exact_dedup_dup_ids_capped(spark):
     assert r["dup_ids_truncated"] is True
     r2 = exact_dedup(df, ["text"], "doc_id", max_dup_ids=100).first()
     assert len(r2["dup_ids"]) == 30 and r2["dup_ids_truncated"] is False
+    # top-K under the cap must be the SMALLEST ids, matching the uncapped
+    # slice(sort_array(collect_list)) form
+    assert sorted(r["dup_ids"]) == sorted(range(10))
+
+
+def test_exact_dedup_null_ids_dont_consume_topk_slots(spark):
+    # 20 null-id rows + 5 real ids in one dup group, cap 4: the cap must
+    # keep 4 REAL ids (nulls sort first in a naive row_number and would
+    # otherwise eat every slot, then vanish from collect_list)
+    rows = [(None, "same") for _ in range(20)] + [(i, "same") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = exact_dedup(df, ["text"], "doc_id", max_dup_ids=4).first()
+    assert r["n_dups"] == 25
+    assert r["dup_ids"] == [0, 1, 2, 3]
+    assert r["dup_ids_truncated"] is True
+    # an all-null-id group still surfaces, with empty dup_ids
+    df2 = spark.createDataFrame([(None, "x"), (None, "x")], "doc_id int, text string")
+    r2 = exact_dedup(df2, ["text"], "doc_id").first()
+    assert r2["n_dups"] == 2 and r2["dup_ids"] == []
 
 
 # ------------------------------------- exact-complete simhash hamming search
