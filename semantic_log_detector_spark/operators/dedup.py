@@ -57,13 +57,16 @@ def _surface_bucket_drops(
       build time: one tiny eager action over the (checkpointed, shared)
       per-bucket size table fills the dict and logs. Costs a driver
       round-trip against a subtree the consuming join re-uses.
-    - ``drop_stats`` is None → NO Spark job runs here. The drop counts are
-      attached as named observed metrics (``<op>_drops_<n>``:
-      dropped_buckets / dropped_bucket_rows) on the sizes subtree, so they
-      materialize for free during whatever action eventually evaluates the
-      returned plan (Spark UI SQL tab / QueryExecutionListener) — the cap
-      is still accounted for, just lazily."""
-    if drop_stats is not None:
+    - ``drop_stats`` is None → NO Spark job runs here. The drop counts
+      (dropped_buckets / dropped_bucket_rows) are attached as named
+      observed metrics on the sizes subtree, and the guard's presence is
+      logged at construction. The observed metrics are DIAGNOSTIC: the
+      pair self-joins reference the guarded subtree twice, and Spark
+      reports an empty observation for a duplicated CollectMetrics node
+      under AQE (verified: with AQE off, ``queryExecution.observedMetrics``
+      carries the exact counts). Callers needing guaranteed counts pass
+      the dict."""
+    if isinstance(drop_stats, dict):
         row = (
             sizes.filter(F.col("bsz") > max_bucket)
             .agg(
@@ -90,9 +93,9 @@ def _surface_bucket_drops(
     over = F.col("bsz") > max_bucket
     name = f"{op}_drops_{next(_OBS_SEQ)}"
     _LOG.info(
-        "%s: stop-bucket guard active (max_bucket=%d); drop counts are "
-        "collected lazily as observed metrics %r — pass drop_stats={} for "
-        "eager counts + warnings",
+        "%s: stop-bucket guard active (max_bucket=%d); drop counts ride "
+        "the plan as observed metrics %r — pass drop_stats={} for "
+        "guaranteed eager counts + warnings",
         op, max_bucket, name,
     )
     return sizes.observe(
@@ -654,8 +657,10 @@ def ngram_jaccard_pairs(
     quadratic on a corpus-scale stop-shingle. Dropped-shingle counts are
     computed eagerly, logged and written to ``drop_stats`` when a dict is
     provided; otherwise construction is plan-only and the counts are
-    attached as observed metrics. ``max_df=None`` disables the guard
-    (pure exact baseline for verification at sample scale)."""
+    attached as diagnostic observed metrics (see
+    ``_surface_bucket_drops`` for the AQE caveat). ``max_df=None``
+    disables the guard (pure exact baseline for verification at sample
+    scale)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -677,7 +682,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("s_df") > max_df)
         )
         rebuild = True
-        if drop_stats is not None:
+        if isinstance(drop_stats, dict):
             # caller opted into build-time accounting: one eager action
             # over the checkpointed postings, and the universe rebuild is
             # skipped entirely when nothing was dropped
@@ -705,8 +710,9 @@ def ngram_jaccard_pairs(
             # pure plan builder: no Spark job at construction time. The
             # guard + universe rebuild go into the plan unconditionally
             # (a no-drop corpus filters nothing and recomputes identical
-            # set sizes), and the drop counts ride along as observed
-            # metrics collected during the eventual action.
+            # set sizes), and the drop counts ride along as diagnostic
+            # observed metrics (see _surface_bucket_drops for the AQE
+            # duplicated-subtree caveat).
             stop = stop.observe(
                 f"ngram_jaccard_pairs_drops_{next(_OBS_SEQ)}",
                 F.count(F.lit(1)).alias("dropped_shingles"),

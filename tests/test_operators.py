@@ -257,6 +257,38 @@ def test_pair_builders_are_pure_plan_constructors(spark):
     assert guarded.count() >= 0
 
 
+def test_lazy_drop_metrics_ride_the_plan(spark):
+    # lazy mode attaches the drop counts as observed metrics on the guard
+    # subtree. Spark reports an empty observation for a CollectMetrics
+    # node the pair self-join references twice UNDER AQE, so the check
+    # that the plumbing is real runs with AQE off; the operator's
+    # docstring documents that caveat and dict mode is the guaranteed path.
+    df = spark.createDataFrame(
+        [(i, "the same stop text repeated for every document here") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = minhash_lsh_pairs(
+            df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10
+        )
+        # collect(), not count(): count() runs as its own QueryExecution,
+        # so the original frame's metrics accumulators would stay untouched
+        assert out.collect() == []  # every bucket dropped by the guard
+        om = out._jdf.queryExecution().observedMetrics()
+        it = om.iterator()
+        metrics = {}
+        while it.hasNext():
+            kv = it.next()
+            row = kv._2()
+            metrics[kv._1()] = (row.getLong(0), row.getLong(1))
+        [(name, (n_buckets, n_rows))] = metrics.items()
+        assert "minhash_lsh_pairs_drops_" in name
+        assert n_buckets > 0 and n_rows >= 60
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_exact_dedup_dup_ids_capped(spark):
     df = spark.createDataFrame(
         [(i, "identical") for i in range(30)], ["doc_id", "text"]
