@@ -66,6 +66,40 @@ def stream_windowed_counts(
     )
 
 
+def stream_duplicate_ids(
+    stream_df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    window: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Online clip_id uniqueness: duplicate ids surfaced as they arrive.
+
+    The batch uniqueness check (checks/uniqueness.py) is the complete
+    authority — one hash-partitioned groupBy over the full table. Its
+    streaming twin must bound state, so duplicates are detected within an
+    event-time window + watermark: groupBy(window, id) keeps state only
+    until the watermark passes, and a duplicate pair whose occurrences
+    straddle windows is deferred to the batch check (documented bounded-
+    state trade-off — NOT a silent miss: the suite always runs the batch
+    check over the at-rest table).
+
+    Returns violation-shaped rows (window_start, window_end, <id_col>,
+    n_dups) in append mode once the watermark closes a window."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            id_col,
+            "n_dups",
+        )
+    )
+
+
 def stream_suite(
     stream_df: DataFrame,
     out_dir: str,

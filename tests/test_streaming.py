@@ -48,3 +48,35 @@ def test_stream_windowed_counts(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select * from alerts").collect()
     assert len(got) == 1 and got[0]["key"] == "A" and got[0]["n"] == 10
+
+
+def test_stream_duplicate_ids(spark, tmp_path):
+    from semantic_log_detector_spark.streaming.stream_checks import (
+        stream_duplicate_ids,
+    )
+
+    # clip X arrives 3x inside one window, Y once, Z twice across windows
+    rows = [
+        ("X", "2024-01-01 00:00:01"),
+        ("X", "2024-01-01 00:00:20"),
+        ("X", "2024-01-01 00:00:40"),
+        ("Y", "2024-01-01 00:00:30"),
+        ("Z", "2024-01-01 00:00:59"),
+        ("Z", "2024-01-01 00:01:10"),  # next window: deferred to batch check
+    ]
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(rows, ["clip_id", "ts_s"]).select(
+        "clip_id", F.to_timestamp("ts_s").alias("ts")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("clip_id string, ts timestamp").parquet(src)
+    dups = stream_duplicate_ids(stream, "clip_id", "ts", "60 seconds", "10 minutes")
+    q = (
+        dups.writeStream.format("memory")
+        .queryName("dups")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["clip_id"]: r["n_dups"] for r in spark.sql("select * from dups").collect()}
+    assert got == {"X": 3}
