@@ -304,6 +304,43 @@ def test_exact_dedup_dup_ids_capped(spark):
     assert sorted(r["dup_ids"]) == sorted(range(10))
 
 
+def test_exact_dedup_capped_equals_collectlist_reference(spark):
+    # the salted two-level top-K must be bit-equal to the naive
+    # slice(sort_array(collect_list)) form on randomized multi-group input
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(12):
+        n = rng.choice([1, 2, 3, 7, 150])
+        ids = rng.sample(range(100000), n)
+        rows += [(i, f"group-{g}") for i in ids]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    got = {
+        r["content_hash"]: (r["n_dups"], r["keep_id"], r["dup_ids"], r["dup_ids_truncated"])
+        for r in exact_dedup(df, ["text"], "doc_id", max_dup_ids=20).collect()
+    }
+    ref = (
+        df.withColumn(
+            "content_hash",
+            F.md5(F.concat_ws("\x1f", F.coalesce(F.col("text"), F.lit("∅")))),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+    want = {
+        r["content_hash"]: (r["n_dups"], r["keep_id"], r["dup_ids"], r["n_dups"] > 20)
+        for r in ref.collect()
+    }
+    assert got == want
+
+
 def test_exact_dedup_null_ids_dont_consume_topk_slots(spark):
     # 20 null-id rows + 5 real ids in one dup group, cap 4: the cap must
     # keep 4 REAL ids (nulls sort first in a naive row_number and would
