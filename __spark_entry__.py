@@ -656,6 +656,21 @@ def _q43_training_selection(spark, sf):
     return curation_summary(kept)
 
 
+def _q44_decontamination(spark, sf):
+    """Benchmark decontamination (training-data pipeline extra): corpus
+    docs containing ≥80% of a benchmark doc's shingles. The benchmark is
+    drawn from the corpus itself (doc_id < 15), so every benchmark item
+    flags at least its own corpus copy — a planted known answer. Scale
+    shape: benchmark postings broadcast, corpus scanned once."""
+    d = _t(spark, sf, "documents")
+    from semantic_log_detector_spark.operators.dedup import contamination_pairs
+
+    bench = d.filter(F.col("doc_id") < 15)
+    return contamination_pairs(
+        d, bench, "text", "doc_id", shingle_n=3, min_containment=0.8
+    ).orderBy("doc_id", "bench_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -701,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_ivf_topk": _q41_ivf_topk,
         "q42_stratified_split": _q42_stratified_split,
         "q43_training_selection": _q43_training_selection,
+        "q44_decontamination": _q44_decontamination,
     }
 
 
@@ -1178,11 +1194,32 @@ def _long_oracles() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT id FROM nonca)
           AND lang_guess = 'en' AND quality >= 0.5
     """
+    q44 = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+          FROM toks WHERE len(t) >= 3),
+        corp AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        bench AS (
+          SELECT doc_id AS bench_id, len(s) AS bn, unnest(s) AS g
+          FROM sh WHERE doc_id < 15),
+        m AS (
+          SELECT c.doc_id, b.bench_id, b.bn, count(*) AS inter
+          FROM corp c JOIN bench b ON c.g = b.g GROUP BY 1, 2, 3)
+        SELECT doc_id, bench_id, inter,
+               round(inter / bn, 6) AS containment
+        FROM m WHERE round(inter / bn, 6) >= 0.8
+        ORDER BY doc_id, bench_id
+    """
     return {
         "q25_textstats": q25,
         "q35_lsh_topk": _lsh_topk_oracle(),
         "q39_embedding_dups": _embedding_dups_oracle(),
         "q43_training_selection": q43,
+        "q44_decontamination": q44,
     }
 
 

@@ -784,3 +784,73 @@ def _jaccard_tail(inter: DataFrame, threshold: float) -> DataFrame:
     return inter.withColumn("jaccard", jac).filter(
         F.col("jaccard") >= threshold
     ).select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents that CONTAIN a
+    benchmark document's shingles (training-data decontamination — the
+    standard guard against test-set leakage into a pre-training corpus;
+    the reference has no analog, this is a graft-new pipeline extra).
+
+    Containment is benchmark-centric: |shingles(doc) ∩ shingles(bench)| /
+    |shingles(bench)| ≥ ``min_containment`` — a corpus doc that embeds a
+    whole benchmark item is flagged even when the corpus doc is much
+    longer (plain Jaccard would dilute it).
+
+    Scale shape: the benchmark is small by nature (10³–10⁶ items), so its
+    exploded shingle postings are BROADCAST — the 100 TB corpus is scanned
+    once with a narrow map + broadcast hash join (no corpus-side shuffle
+    of postings); only MATCHED postings (rare) reach the pair aggregation.
+    Returns (doc_id, bench_id, inter, containment).
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    corp = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s_str"),
+    ).select("doc_id", F.xxhash64("s_str").alias("s"))
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        token_shingles(F.col(bench_text_col), shingle_n).alias("sh"),
+    ).withColumn("bench_n_sh", F.size("sh"))
+    bench_inv = bench_sh.select(
+        "bench_id", "bench_n_sh", F.explode("sh").alias("s_str")
+    ).select("bench_id", "bench_n_sh", F.xxhash64("s_str").alias("s"))
+    matched = corp.join(F.broadcast(bench_inv), "s")
+    return (
+        matched.groupBy("doc_id", "bench_id", "bench_n_sh")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.col("bench_n_sh"), 6),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_id", "bench_id", "inter", "containment")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Corpus minus contaminated documents: left_anti against the flagged
+    ids from ``contamination_pairs`` (same kwargs)."""
+    flagged = contamination_pairs(
+        corpus, benchmark, text_col=text_col, id_col=id_col, **kw
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

@@ -565,3 +565,37 @@ def test_media_single_sample_wav_no_nan(spark):
     assert r["ok"] and r["real"]
     assert all(v == v for v in r["features"])  # no NaN
     assert r["features"][3] == 0.0  # zcr of a single sample
+
+
+# --------------------------------------------------------- decontamination
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    from semantic_log_detector_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # embeds the full benchmark text inside a longer doc → flagged
+            (1, "intro words here the quick brown fox jumps over the lazy dog tonight and more trailing text"),
+            # shares a few words only → not flagged at 0.8 containment
+            (2, "the quick red car drives over the old bridge quietly"),
+            (3, "completely unrelated sentence about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = contamination_pairs(
+        corpus, bench, "text", "doc_id", shingle_n=3, min_containment=0.8
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in pairs] == [(1, 100)]
+    assert pairs[0]["containment"] == 1.0
+    kept = decontaminate(
+        corpus, bench, "text", "doc_id", shingle_n=3, min_containment=0.8
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]

@@ -85,7 +85,7 @@ def test_flagship_agg_is_whole_stage_codegen(spark):
     "q21_exact_dup_docs", "q22_ngram_jaccard", "q28_stats_profile",
     "q29_orders_without_lineitem", "q30_dim_lookup", "q31_semi_blocklist",
     "q32_topk_per_group", "q34_simhash_pairs", "q38_dim_stats",
-    "q42_stratified_split",
+    "q42_stratified_split", "q44_decontamination",
 ])
 def test_no_cartesian_product(spark, name):
     """No query in the catalog may degenerate into a cartesian product.
