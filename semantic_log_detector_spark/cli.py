@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--exact-pairs", action="store_true",
                      help="exact inverted-index pair graph (small corpora); "
                           "default MinHash-LSH")
+    cur.add_argument("--benchmark", default=None,
+                     help="benchmark table (same format as --input): kept docs "
+                          "containing >= --min-containment of any benchmark "
+                          "doc's shingles are removed (decontamination)")
+    cur.add_argument("--min-containment", type=float, default=0.8)
     cur.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -178,6 +183,16 @@ def _run_curate(args) -> int:
         docs = read_file(spark, args.input)
         langs = tuple(x for x in args.langs.split(",") if x)
         drop_stats: dict = {}
+        if args.benchmark:
+            from .operators.dedup import decontaminate
+
+            n_before = docs.count()
+            docs = decontaminate(
+                docs, read_file(spark, args.benchmark),
+                text_col=args.text_col, id_col=args.id_col,
+                min_containment=args.min_containment,
+            )
+            drop_stats["decontaminated_docs"] = n_before - docs.count()
         kept = curate_documents(
             docs,
             id_col=args.id_col,

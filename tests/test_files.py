@@ -82,3 +82,33 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     assert ids == {1, 3}  # doc 2 is the non-canonical exact dup
     summary = _json.loads((tmp_path / "out" / "curation_summary.json").read_text())
     assert summary["n_docs"] == 2 and summary["drop_stats"]["cc_converged"]
+
+
+def test_cli_curate_with_benchmark_decontamination(spark, tmp_path):
+    import json as _json
+
+    from semantic_log_detector_spark.cli import main
+
+    src = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the field"),
+            (2, "a completely different sentence about the engine and the tests"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog in the field")],
+        ["doc_id", "text"],
+    ).write.parquet(bench)
+    out = str(tmp_path / "out2")
+    rc = main([
+        "curate", "--input", src, "--out", out, "--benchmark", bench,
+        "--exact-pairs", "--jaccard-threshold", "0.5", "--min-quality", "0.0",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(f"{out}/kept")
+    assert {r["id"] for r in kept.collect()} == {2}  # doc 1 decontaminated
+    summary = _json.loads((tmp_path / "out2" / "curation_summary.json").read_text())
+    assert summary["drop_stats"]["decontaminated_docs"] == 1
