@@ -186,13 +186,15 @@ def _run_curate(args) -> int:
         if args.benchmark:
             from .operators.dedup import decontaminate
 
-            n_before = docs.count()
+            # decontaminate persists + counts the tiny flagged-id set into
+            # drop_stats, so the contamination join runs once — no extra
+            # full-corpus count passes here
             docs = decontaminate(
                 docs, read_file(spark, args.benchmark),
                 text_col=args.text_col, id_col=args.id_col,
+                drop_stats=drop_stats,
                 min_containment=args.min_containment,
             )
-            drop_stats["decontaminated_docs"] = n_before - docs.count()
         kept = curate_documents(
             docs,
             id_col=args.id_col,

@@ -814,17 +814,31 @@ def contamination_pairs(
     once with a narrow map + broadcast hash join (no corpus-side shuffle
     of postings); only MATCHED postings (rare) reach the pair aggregation.
     Returns (doc_id, bench_id, inter, containment).
+
+    Documents with fewer than ``shingle_n`` tokens (incl. null/blank text)
+    are excluded from BOTH sides: token_shingles' short-doc fallback is a
+    single whole-text shingle, under which every null-text pair would
+    spuriously report containment 1.0 — and shingle containment is
+    meaningless below one full shingle anyway.
     """
     bench_text_col = bench_text_col or text_col
     bench_id_col = bench_id_col or id_col
-    corp = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s_str"),
-    ).select("doc_id", F.xxhash64("s_str").alias("s"))
-    bench_sh = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"),
-        token_shingles(F.col(bench_text_col), shingle_n).alias("sh"),
-    ).withColumn("bench_n_sh", F.size("sh"))
+    corp = (
+        corpus.filter(F.size(tokens(F.col(text_col))) >= shingle_n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s_str"),
+        )
+        .select("doc_id", F.xxhash64("s_str").alias("s"))
+    )
+    bench_sh = (
+        benchmark.filter(F.size(tokens(F.col(bench_text_col))) >= shingle_n)
+        .select(
+            F.col(bench_id_col).alias("bench_id"),
+            token_shingles(F.col(bench_text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("bench_n_sh", F.size("sh"))
+    )
     bench_inv = bench_sh.select(
         "bench_id", "bench_n_sh", F.explode("sh").alias("s_str")
     ).select("bench_id", "bench_n_sh", F.xxhash64("s_str").alias("s"))
@@ -846,11 +860,28 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    drop_stats: dict | None = None,
     **kw,
 ) -> DataFrame:
-    """Corpus minus contaminated documents: left_anti against the flagged
-    ids from ``contamination_pairs`` (same kwargs)."""
+    """Corpus minus contaminated documents: null-safe left_anti against
+    the flagged ids from ``contamination_pairs`` (same kwargs).
+
+    With a ``drop_stats`` dict the flagged-id set is persisted and counted
+    eagerly (``decontaminated_docs``) so the expensive contamination join
+    runs ONCE — the count action materializes the (tiny) cache that the
+    anti-join then reuses. The join is null-safe: a contaminated row with
+    a NULL id must not slip past the leakage guard (plain equality never
+    matches NULL)."""
     flagged = contamination_pairs(
         corpus, benchmark, text_col=text_col, id_col=id_col, **kw
-    ).select(F.col("doc_id").alias(id_col)).distinct()
-    return corpus.join(flagged, id_col, "left_anti")
+    ).select(F.col("doc_id").alias("__flagged_id")).distinct()
+    if drop_stats is not None:
+        from pyspark import StorageLevel
+
+        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        drop_stats["decontaminated_docs"] = flagged.count()
+    return corpus.join(
+        flagged,
+        F.col(id_col).eqNullSafe(F.col("__flagged_id")),
+        "left_anti",
+    )

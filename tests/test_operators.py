@@ -599,3 +599,37 @@ def test_contamination_pairs_and_decontaminate(spark):
         corpus, bench, "text", "doc_id", shingle_n=3, min_containment=0.8
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_contamination_null_and_short_text_edges(spark):
+    from semantic_log_detector_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight"),
+         (101, None),           # null-text benchmark row: excluded, never matches
+         (102, "two words")],   # < shingle_n tokens: excluded
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, None),                      # null text must NOT match bench 101
+            (3, "two words"),               # short text must NOT match bench 102
+            (None, "prefix the quick brown fox jumps over the lazy dog tonight suffix"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = contamination_pairs(corpus, bench, "text", "doc_id", min_containment=0.8)
+    flagged = {(r["doc_id"], r["bench_id"]) for r in pairs.collect()}
+    assert flagged == {(1, 100), (None, 100)}
+    # null-safe anti-join: the NULL-id contaminated row must be removed too
+    stats: dict = {}
+    kept = decontaminate(
+        corpus, bench, "text", "doc_id", drop_stats=stats, min_containment=0.8
+    )
+    assert sorted(r["doc_id"] for r in kept.collect() if r["doc_id"] is not None) == [2, 3]
+    assert kept.filter("doc_id is null").count() == 0
+    assert stats["decontaminated_docs"] == 2

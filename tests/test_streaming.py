@@ -50,33 +50,61 @@ def test_stream_windowed_counts(spark, tmp_path):
     assert len(got) == 1 and got[0]["key"] == "A" and got[0]["n"] == 10
 
 
-def test_stream_duplicate_ids(spark, tmp_path):
+def test_stream_duplicate_ids_append_mode(spark, tmp_path):
+    """The PRODUCTION contract: append mode, where a window only emits
+    once the watermark closes it. Three files processed as three
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered); the sentinel
+    events advance the watermark past the duplicate window."""
+    import glob
+    import os
+
     from semantic_log_detector_spark.streaming.stream_checks import (
         stream_duplicate_ids,
     )
 
-    # clip X arrives 3x inside one window, Y once, Z twice across windows
-    rows = [
-        ("X", "2024-01-01 00:00:01"),
-        ("X", "2024-01-01 00:00:20"),
-        ("X", "2024-01-01 00:00:40"),
-        ("Y", "2024-01-01 00:00:30"),
-        ("Z", "2024-01-01 00:00:59"),
-        ("Z", "2024-01-01 00:01:10"),  # next window: deferred to batch check
-    ]
     src = str(tmp_path / "dup_src")
-    spark.createDataFrame(rows, ["clip_id", "ts_s"]).select(
-        "clip_id", F.to_timestamp("ts_s").alias("ts")
-    ).write.parquet(src)
-    stream = spark.readStream.schema("clip_id string, ts timestamp").parquet(src)
+
+    def write_batch(rows, mtime):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, ["clip_id", "ts_s"]).select(
+            "clip_id", F.to_timestamp("ts_s").alias("ts")
+        ).repartition(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    # clip X arrives 3x inside one window, Y once, Z twice across windows
+    write_batch(
+        [
+            ("X", "2024-01-01 00:00:01"),
+            ("X", "2024-01-01 00:00:20"),
+            ("X", "2024-01-01 00:00:40"),
+            ("Y", "2024-01-01 00:00:30"),
+            ("Z", "2024-01-01 00:00:59"),
+            ("Z", "2024-01-01 00:01:10"),  # next window: deferred to batch check
+        ],
+        1_000_000,
+    )
+    # sentinels: batch 2 lifts the watermark to 00:20, batch 3 triggers the
+    # emission of every window that 00:20 closes
+    write_batch([("WM1", "2024-01-01 00:30:00")], 2_000_000)
+    write_batch([("WM2", "2024-01-01 01:00:00")], 3_000_000)
+
+    stream = (
+        spark.readStream.schema("clip_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     dups = stream_duplicate_ids(stream, "clip_id", "ts", "60 seconds", "10 minutes")
     q = (
         dups.writeStream.format("memory")
-        .queryName("dups")
-        .outputMode("complete")
+        .queryName("dups_append")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    got = {r["clip_id"]: r["n_dups"] for r in spark.sql("select * from dups").collect()}
+    got = {
+        r["clip_id"]: r["n_dups"]
+        for r in spark.sql("select * from dups_append").collect()
+    }
     assert got == {"X": 3}
