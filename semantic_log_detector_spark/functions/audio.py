@@ -6,12 +6,14 @@ contract in SURVEY.md §0.1/X1); this graft's payload is audio, so the
 here is batch-vectorized numpy intended to run inside Arrow-batched pandas
 UDFs (see checks/drift.py) — never per-row Python on the Spark hot path.
 
-Codec support: ``pcm_s16le`` (RIFF/WAV, int16) is implemented for real.
-``flac`` / ``opus`` / ``mp3`` decode requires external codecs that are not in
-this container: those payloads are produced by the deterministic synthetic
-source as WAV-framed PCM as well, and `decode_clip` dispatches them to a
-clearly-marked deterministic-fake path (same WAV parse). A production build
-would swap `_decode_fake` for a real codec call with the same signature.
+Codec support: ``pcm_s16le`` (RIFF/WAV, int16) and ``flac`` (pure-numpy
+subset codec, functions/flac.py — real fLaC streams with CRC-8/16 + MD5
+verification) are implemented for real. ``opus`` / ``mp3`` decode requires
+external codecs that are not in this container: those payloads are produced
+by the deterministic synthetic source as WAV-framed PCM, and `decode_clip`
+dispatches them to a clearly-marked deterministic-fake path (same WAV
+parse). A production build would swap `_decode_fake` for a real codec call
+with the same signature.
 """
 
 from __future__ import annotations
@@ -85,10 +87,13 @@ def _decode_fake(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
 
 KNOWN_CODECS = ("pcm_s16le", "flac", "opus", "mp3")
 
-# Real-decoder registry: codec → fn(bytes) -> (pcm float32, sr_hz). Only WAV
-# PCM ships in-container; a production build registers flac/opus/mp3 here
-# (register_decoder) and the fake path below stops being reachable for them.
-DECODERS: dict[str, object] = {"pcm_s16le": decode_wav}
+from .flac import decode_flac  # noqa: E402  (no circular import: flac.py is self-contained)
+
+# Real-decoder registry: codec → fn(bytes) -> (pcm float32, sr_hz). WAV PCM
+# and the numpy FLAC subset ship in-container; a production build registers
+# opus/mp3 here (register_decoder) and the fake path below stops being
+# reachable for them.
+DECODERS: dict[str, object] = {"pcm_s16le": decode_wav, "flac": decode_flac}
 
 # container magic for the codecs we claim to know but cannot really decode —
 # used to refuse honestly instead of mis-parsing real compressed payloads

@@ -39,11 +39,14 @@ def _fake_feature(payload: bytes) -> np.ndarray:
 def _audio_feature(payload: bytes) -> np.ndarray:
     """REAL audio decode → 8 features: duration_s, rms, peak, zero-crossing
     rate, and 4 geometric-band spectral energy fractions. This is the live
-    end of the X2/X3 model-predict seam for the modality this engine owns
-    (WAV via functions/audio.py); image/video stay stubbed."""
+    end of the X2/X3 model-predict seam for the modalities this engine owns
+    (WAV via functions/audio.py, FLAC via functions/flac.py, dispatched on
+    container magic); image/video stay stubbed."""
     from ..functions.audio import decode_wav
+    from ..functions.flac import decode_flac
 
-    pcm, sr = decode_wav(payload)
+    dec = decode_flac if payload[:4] == b"fLaC" else decode_wav
+    pcm, sr = dec(payload)
     if pcm.size == 0:
         raise ValueError("empty pcm")
     pcm = pcm.astype(np.float64)
@@ -73,8 +76,8 @@ def extract_media_features(
 ) -> DataFrame:
     """mapInPandas: (id, kind, payload) → (id, kind, ok, real, err, features).
 
-    kind='audio' with a RIFF/WAV payload is decoded FOR REAL
-    (functions/audio.py) and featurized — `real=True` marks those rows, so
+    kind='audio' with a RIFF/WAV or fLaC payload is decoded FOR REAL
+    (functions/audio.py, functions/flac.py) and featurized — `real=True` marks those rows, so
     fake-featured rows are never silently indistinguishable (same honesty
     contract as the codec registry). Image/video decode drops in at the
     NotImplementedError (Pillow/ffmpeg are not in this container), keeping
@@ -96,7 +99,7 @@ def extract_media_features(
                     if payload is None:
                         raise ValueError("null payload")
                     buf = bytes(payload)
-                    if kind == "audio" and buf[:4] == b"RIFF":
+                    if kind == "audio" and buf[:4] in (b"RIFF", b"fLaC"):
                         feats[i] = _audio_feature(buf)
                         ok[i] = real[i] = True
                         continue

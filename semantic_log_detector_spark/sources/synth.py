@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.audio import encode_wav
+from ..functions.flac import encode_flac
 
 # ------------------------------------------------- deterministic hash streams
 
@@ -163,9 +164,15 @@ def with_audio(
     drift_parts: tuple[int, ...] = (7, 21),
     max_samples: int = 1 << 17,  # covers 48 kHz × 2000 ms; cap only guards runaway durs
 ) -> DataFrame:
-    """Add WAV `bytes` derived from (idx, part_id). Drifted partitions use a
+    """Add `bytes` derived from (idx, part_id). Drifted partitions use a
     shifted sine-frequency band (1500–3000 Hz vs 100–1000 Hz), so spectral
-    feature histograms diverge and the drift check must flag exactly them."""
+    feature histograms diverge and the drift check must flag exactly them.
+
+    Container matches the codec label where a real in-container codec
+    exists: ``codec='flac'`` rows carry genuine FLAC streams (verbatim
+    subframes — decoded PCM is sample-identical to the WAV path, so feature
+    statistics are codec-invariant); everything else (pcm_s16le, the
+    fake-decoded opus/mp3, unknown codecs) is RIFF/WAV-framed."""
     cols = meta.columns
     if "part_id" not in cols:
         raise ValueError("call with_part_id() before with_audio()")
@@ -178,8 +185,8 @@ def with_audio(
             u_freq = _u01(i_arr, 20, seed)
             u_amp = 0.3 + 0.4 * _u01(i_arr, 21, seed)
             u_trunc = _u01(i_arr, 22, seed) < DEFECT_RATES["bytes_truncated"]
-            for row_n, (idx, sr, dur, part) in enumerate(
-                zip(i_arr, pdf["sr_hz"], pdf["dur_ms"], pdf["part_id"])
+            for row_n, (idx, sr, dur, part, codec) in enumerate(
+                zip(i_arr, pdf["sr_hz"], pdf["dur_ms"], pdf["part_id"], pdf["codec"])
             ):
                 sr_i = int(sr) if pd.notna(sr) and int(sr) > 0 else 16000
                 dur_i = int(dur) if pd.notna(dur) and int(dur) > 0 else 500
@@ -191,7 +198,8 @@ def with_audio(
                 t = np.arange(max(ns, 16), dtype=np.float64) / sr_i
                 rng = np.random.Generator(np.random.Philox(key=int(idx) + seed))
                 pcm = u_amp[row_n] * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
-                buf = encode_wav(pcm.astype(np.float32), sr_i)
+                enc = encode_flac if codec == "flac" else encode_wav
+                buf = enc(pcm.astype(np.float32), sr_i)
                 if u_trunc[row_n]:
                     buf = buf[: max(len(buf) // 2, 20)]
                 out_bytes.append(buf)

@@ -1,10 +1,13 @@
-"""Codec fidelity: fake decodes are never silent (VERDICT round-1 item 4).
+"""Codec fidelity: real decode where a codec ships; fakes are never silent.
 
-The container has no flac/opus/mp3 codec, so those labels route to a
-deterministic fake (WAV parse) — the contract here is that the substitution
-is (a) impossible for real compressed payloads (container magic refuses),
-(b) counted and reported per partition in lenient mode, and (c) a violation
-in strict mode. Reference decode seam: src/detection/pipeline.py:65-68.
+Round-3 update (VERDICT round-2 item 1): ``flac`` is now a REAL in-container
+codec (pure-numpy subset, functions/flac.py) — the synthetic source emits
+genuine fLaC streams for flac-labeled rows and the registry decodes them
+with CRC-8/16 + MD5 verification. Only ``opus``/``mp3`` remain on the
+deterministic-fake path, and the contract for those is unchanged: (a) real
+compressed payloads are refused by container magic, (b) fakes are counted
+per partition in lenient mode, (c) strict mode turns them into violations.
+Reference decode seam: src/detection/pipeline.py:65-68.
 """
 
 import numpy as np
@@ -18,43 +21,99 @@ from semantic_log_detector_spark.functions.audio import (
     decode_wav,
     encode_wav,
     register_decoder,
+    snr_db,
 )
+from semantic_log_detector_spark.functions.flac import decode_flac, encode_flac
 from semantic_log_detector_spark.sources.synth import clips_table
 
 
-def _wav(sr=16000, ms=200):
+def _pcm(sr=16000, ms=200):
     t = np.arange(int(sr * ms / 1000)) / sr
-    return encode_wav((0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+    return (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+
+def _wav(sr=16000, ms=200):
+    return encode_wav(_pcm(sr, ms), sr)
 
 
 def test_decode_clip_ex_flags_fake():
-    buf = _wav()
-    _, _, fake = decode_clip_ex(buf, "pcm_s16le")
+    _, _, fake = decode_clip_ex(_wav(), "pcm_s16le")
     assert fake is False
-    _, _, fake = decode_clip_ex(buf, "flac")  # flac-labeled WAV → fake path
+    _, _, fake = decode_clip_ex(_wav(), "opus")  # opus-labeled WAV → fake path
     assert fake is True
 
 
+def test_flac_decode_is_real_not_fake():
+    pcm = _pcm()
+    buf = encode_flac(pcm, 16000)
+    dec, sr, fake = decode_clip_ex(buf, "flac")
+    assert fake is False and sr == 16000
+    assert snr_db(pcm, dec) >= 30  # per-row invariant (BASELINE input_hint)
+    # sample-identical to the WAV path: drift features are codec-invariant
+    wdec, _ = decode_wav(encode_wav(pcm, 16000))
+    assert np.array_equal(dec, wdec)
+
+
+def test_flac_verification_catches_corruption_and_truncation():
+    buf = bytearray(encode_flac(_pcm(ms=800), 16000))
+    buf[len(buf) // 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC-16 mismatch"):
+        decode_flac(bytes(buf))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(encode_flac(_pcm(ms=800), 16000)[: len(buf) // 3])
+    # a flac-labeled payload that is actually WAV bytes is malformed, not
+    # silently WAV-parsed: the real decoder rejects it
+    with pytest.raises(ValueError, match="fLaC magic"):
+        decode_clip_ex(_wav(), "flac")
+
+
+def test_flac_subset_refuses_out_of_subset_features():
+    # stereo STREAMINFO: channels-1 = 1 in the packed bits
+    buf = bytearray(encode_flac(_pcm(), 16000))
+    # packed u64 sits at 8 (magic+block hdr) + 10 (block/frame sizes); its
+    # byte 2 covers bits 47-40, and channels-1 is bits 43-41 → bit 41 = 0x02
+    buf[8 + 10 + 2] |= 0x02
+    with pytest.raises(NotImplementedError, match="mono-only"):
+        decode_flac(bytes(buf))
+
+
 def test_real_compressed_payload_refused_not_misparsed():
-    # a payload with actual FLAC magic must raise (→ decode violation), not
-    # be silently WAV-parsed by the fake path
-    flacish = b"fLaC" + b"\x00" * 100
-    with pytest.raises(NotImplementedError, match="real 'flac'"):
-        decode_clip_ex(flacish, "flac")
+    # opus/mp3 have no decoder: payloads with actual container magic must
+    # raise (→ decode violation), never be silently WAV-parsed
     oggish = b"OggS" + b"\x00" * 100
     with pytest.raises(NotImplementedError, match="real 'opus'"):
         decode_clip_ex(oggish, "opus")
+    mp3ish = b"ID3" + b"\x00" * 100
+    with pytest.raises(NotImplementedError, match="real 'mp3'"):
+        decode_clip_ex(mp3ish, "mp3")
     with pytest.raises(ValueError, match="unknown codec"):
         decode_clip_ex(_wav(), "vorbis??")
 
 
 def test_registered_decoder_clears_fake_flag():
-    register_decoder("flac", decode_wav)
+    register_decoder("opus", decode_wav)
     try:
-        _, _, fake = decode_clip_ex(_wav(), "flac")
+        _, _, fake = decode_clip_ex(_wav(), "opus")
         assert fake is False
     finally:
-        DECODERS.pop("flac", None)
+        DECODERS.pop("opus", None)
+
+
+def test_synth_flac_rows_are_real_flac_streams(spark):
+    rows = (
+        clips_table(spark, 800)
+        .filter("codec = 'flac' AND length(bytes) > 100")
+        .select("bytes", "sr_hz")
+        .limit(8)
+        .collect()
+    )
+    assert rows, "synth should label ~12% of clips flac"
+    for r in rows:
+        assert bytes(r["bytes"][:4]) == b"fLaC"
+        pcm, sr = decode_flac(bytes(r["bytes"]))
+        assert len(pcm) >= 16
+        if r["sr_hz"] is not None and r["sr_hz"] > 0:
+            assert sr == r["sr_hz"]
 
 
 def test_lenient_mode_reports_fake_counts(spark):
@@ -68,8 +127,8 @@ def test_lenient_mode_reports_fake_counts(spark):
         total_fake = sum(
             int(r["observed"].split("=")[1]) for r in r062 if r["observed"]
         )
-        # synth labels ~20% of clips flac/opus/mp3 (all WAV-framed) → fakes
-        assert 200 <= total_fake <= 600
+        # only opus (5%) + mp3 (3%) still fake-decode — flac is real now
+        assert 100 <= total_fake <= 260
     finally:
         res.release()
 
@@ -80,7 +139,7 @@ def test_strict_mode_turns_fakes_into_violations(spark):
     res = drift_check(clips, ctx, strict_codecs=True)
     try:
         viols = res.violations.filter(f"rule_id = '{R_CODEC}'").collect()
-        assert 100 <= len(viols) <= 300
+        assert 40 <= len(viols) <= 160  # opus+mp3 ≈ 8% of 1000
         assert all(v["clip_id"] is not None for v in viols)
         failed = res.verdicts.filter(
             f"rule_id = '{R_CODEC}' AND NOT passed"

@@ -65,10 +65,14 @@ def test_part_id_stable(spark, meta_4k):
 def test_drifted_partition_spectrum(clips_2k):
     from semantic_log_detector_spark.functions.audio import clip_features
 
+    from semantic_log_detector_spark.functions.flac import decode_flac
+
     rows = clips_2k.filter(F.col("part_id").isin(7, 3)).select("part_id", "bytes").collect()
     cents = {7: [], 3: []}
     for r in rows:
-        pcm, sr = decode_wav(bytes(r["bytes"]))
+        buf = bytes(r["bytes"])
+        # flac-labeled rows now carry real fLaC streams; dispatch on magic
+        pcm, sr = (decode_flac if buf[:4] == b"fLaC" else decode_wav)(buf)
         cents[r["part_id"]].append(clip_features(pcm, sr)[-1])
     assert np.mean(cents[7]) > 1200  # drifted band 1500-3000 Hz
     assert np.mean(cents[3]) < 1200  # normal band 100-1000 Hz
