@@ -2,8 +2,9 @@
 
 One queries()/oracle_sql() pair per operator family from SURVEY.md §2,
 exercised over the driver-generated testdata tables. Every query is
-DuckDB-oracled except q36 (the full clips validation suite — decode+MFCC
-over a synthetic table, genuinely non-SQL; rows-only). The approximate
+DuckDB-oracled — including q36 (the clips verdict suite), whose synthetic
+input is exported to a fixed parquet path at construction time so the SQL
+twin re-derives the rule verdicts from the same rows. The approximate
 ladder is machine-checked three different ways:
 
 - q33 MinHash-LSH: output = exact pair set ⊕ lsh_found — a recall miss
@@ -530,12 +531,29 @@ def _q35_lsh_topk(spark, sf):
     return lsh_topk(q, b, k=5, dim=64)
 
 
+_Q36_EXPORT = "/tmp/sldspark_oracle_q36_clips_4000.parquet"
+
+
 def _q36_clips_suite(spark, sf):
+    """Clip row-rule suite → per-(partition, rule) verdicts.
+
+    The input is the deterministic synthetic clips table (metadata only),
+    not a driver parquet table — so for the DuckDB oracle the meta rows are
+    exported to a fixed path at construction time. Content is a pure
+    function of (n=4000, seed=42): overwriting is idempotent and a stale
+    file from a previous run is byte-identical, so Spark/oracle ordering
+    can never skew the comparison."""
+    import os
+
     from semantic_log_detector_spark.checks.base import RunContext
     from semantic_log_detector_spark.checks.row_rules import default_clip_rules, run_row_rules
     from semantic_log_detector_spark.sources.synth import clips_table
 
     clips = clips_table(spark, 4000, with_bytes=False)
+    pdf = clips.select("clip_id", "part_id", "sr_hz", "dur_ms", "codec", "transcript").toPandas()
+    tmp = f"{_Q36_EXPORT}.{os.getpid()}.tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, _Q36_EXPORT)  # atomic: concurrent drivers never see a torn file
     res = run_row_rules(clips, default_clip_rules(), RunContext(run_id="entry"))
     return res.verdicts.orderBy("part_id", "rule_id").drop("run_id")
 
@@ -1011,6 +1029,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard,
                    TRUE AS lsh_found
             FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.2
+        """,
+        # q36: the clips suite runs on the deterministic synth table, which
+        # _q36_clips_suite exports to _Q36_EXPORT at construction time (pure
+        # function of n/seed, atomic overwrite) — the SQL twin re-derives
+        # every default_clip_rule + the verdict grid from those meta rows.
+        # R016 (bytes) is absent: with_bytes=False inputs skip byte rules,
+        # mirroring run_row_rules' column-intersection semantics.
+        "q36_clips_suite": f"""
+            WITH clips AS (
+              SELECT * FROM read_parquet('{_Q36_EXPORT}')
+            ),
+            counts AS (SELECT part_id, count(*) AS n_rows FROM clips GROUP BY part_id),
+            rules(rule_id) AS (
+              VALUES ('R010_sr_null'), ('R011_sr_range'), ('R012_dur_null'),
+                     ('R013_dur_range'), ('R014_codec_allowed'),
+                     ('R015_transcript_nonempty')
+            ),
+            viol AS (
+              SELECT part_id, 'R010_sr_null' AS rule_id FROM clips WHERE sr_hz IS NULL
+              UNION ALL
+              SELECT part_id, 'R011_sr_range' FROM clips
+                WHERE sr_hz IS NOT NULL AND sr_hz NOT BETWEEN 4000 AND 96000
+              UNION ALL
+              SELECT part_id, 'R012_dur_null' FROM clips WHERE dur_ms IS NULL
+              UNION ALL
+              SELECT part_id, 'R013_dur_range' FROM clips
+                WHERE dur_ms IS NOT NULL AND dur_ms NOT BETWEEN 1 AND 43200000
+              UNION ALL
+              SELECT part_id, 'R014_codec_allowed' FROM clips
+                WHERE codec IS NULL OR codec NOT IN ('pcm_s16le','flac','opus','mp3')
+              UNION ALL
+              SELECT part_id, 'R015_transcript_nonempty' FROM clips
+                WHERE transcript IS NULL OR length(trim(transcript)) = 0
+            ),
+            vc AS (SELECT part_id, rule_id, count(*) AS n_violations FROM viol GROUP BY 1, 2)
+            SELECT
+              CAST(c.part_id AS INTEGER) AS part_id,
+              r.rule_id,
+              coalesce(vc.n_violations, 0) = 0 AS passed,
+              CAST(c.n_rows AS BIGINT) AS n_rows,
+              CAST(coalesce(vc.n_violations, 0) AS BIGINT) AS n_violations,
+              CAST(NULL AS VARCHAR) AS observed,
+              CAST(NULL AS VARCHAR) AS expected
+            FROM counts c CROSS JOIN rules r
+            LEFT JOIN vc ON vc.part_id = c.part_id AND vc.rule_id = r.rule_id
+            ORDER BY c.part_id, r.rule_id
         """,
         "q34_simhash_pairs": r"""
             WITH toks AS (
