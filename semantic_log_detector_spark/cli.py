@@ -29,12 +29,14 @@ def _session(master):
     callers (tests, notebooks) keep theirs."""
     from pyspark.sql import SparkSession
 
-    # getActiveSession is thread-local; _instantiatedSession is process-wide
-    # — a session created on another thread must not be stopped either
-    owned = (
-        SparkSession.getActiveSession() is None
-        and SparkSession._instantiatedSession is None
-    )
+    # getActiveSession is thread-local; the process-wide singleton is only
+    # reachable through a private attribute, so read it defensively: if the
+    # attribute vanishes in a future PySpark, treat the session as NOT
+    # owned (never stop a session we cannot prove we created) — a leaked
+    # session on CLI exit is recoverable, stopping an embedding caller's
+    # session is not.
+    proc_wide = getattr(SparkSession, "_instantiatedSession", "unknown")
+    owned = SparkSession.getActiveSession() is None and proc_wide is None
     return get_spark(master=master), owned
 
 
@@ -85,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
                           "containing >= --min-containment of any benchmark "
                           "doc's shingles are removed (decontamination)")
     cur.add_argument("--min-containment", type=float, default=0.8)
+    cur.add_argument("--cc-max-iters", type=int, default=25,
+                     help="connected-components round cap (pointer jumping: "
+                          "handles cluster diameter up to ~2^N)")
     cur.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -203,10 +208,17 @@ def _run_curate(args) -> int:
             min_quality=args.min_quality,
             jaccard_threshold=args.jaccard_threshold,
             exact_pairs=args.exact_pairs,
+            cc_max_iters=args.cc_max_iters,
             drop_stats=drop_stats,
         )
         kept.write.mode("overwrite").parquet(f"{args.out}/kept")
+        # deterministic cache release between corpus passes: every persist
+        # the dedup/decontamination operators took is recorded in
+        # drop_stats['persisted'] — free them now that kept/ is on disk
+        from .operators.dedup import unpersist_all
+
         summary = curation_summary(spark.read.parquet(f"{args.out}/kept")).first().asDict()
+        summary["released_caches"] = unpersist_all(drop_stats)
         summary["drop_stats"] = drop_stats
         with open(f"{args.out}/curation_summary.json", "w") as f:
             json.dump(summary, f, indent=2, default=str)

@@ -37,6 +37,7 @@ def curate_documents(
     jaccard_threshold: float = 0.7,
     exact_pairs: bool = False,
     max_df: int | None = 1000,
+    cc_max_iters: int = 25,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """Curated document set: per-doc stats + near-dup canonicalization.
@@ -67,7 +68,7 @@ def curate_documents(
         ),
     )
     non_canonical = (
-        dup_clusters(pairs, drop_stats=drop_stats)
+        dup_clusters(pairs, max_iters=cc_max_iters, drop_stats=drop_stats)
         .filter(~F.col("is_canonical"))
         .select("id")
     )

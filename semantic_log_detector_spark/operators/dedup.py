@@ -51,21 +51,42 @@ def _surface_bucket_drops(
     """Surface rows/buckets removed by the stop-bucket guard; returns the
     (possibly instrumented) sizes table to filter against.
 
-    Two modes, so pair builders stay pure plan constructors by default:
+    Two modes, so pair builders stay pure plan constructors when the
+    passive instrumentation actually works:
 
     - ``drop_stats`` is a dict → the caller explicitly asked for counts at
       build time: one tiny eager action over the (checkpointed, shared)
       per-bucket size table fills the dict and logs. Costs a driver
       round-trip against a subtree the consuming join re-uses.
-    - ``drop_stats`` is None → NO Spark job runs here. The drop counts
-      (dropped_buckets / dropped_bucket_rows) are attached as named
-      observed metrics on the sizes subtree, and the guard's presence is
-      logged at construction. The observed metrics are DIAGNOSTIC: the
-      pair self-joins reference the guarded subtree twice, and Spark
-      reports an empty observation for a duplicated CollectMetrics node
-      under AQE (verified: with AQE off, ``queryExecution.observedMetrics``
-      carries the exact counts). Callers needing guaranteed counts pass
-      the dict."""
+    - ``drop_stats`` is None, AQE disabled → NO Spark job runs here. The
+      drop counts (dropped_buckets / dropped_bucket_rows) are attached as
+      named observed metrics on the sizes subtree and collected during the
+      eventual action (verified: with AQE off,
+      ``queryExecution.observedMetrics`` carries the exact counts).
+    - ``drop_stats`` is None, AQE **enabled** (the session default) → the
+      observation path is known-broken: the pair self-joins reference the
+      guarded subtree twice, and Spark reports an EMPTY observation for a
+      duplicated CollectMetrics node under AQE, which would let the cap
+      drop pairs with no runtime signal. So the guard falls back to the
+      eager count path (same as the dict mode, into an internal dict) —
+      one small driver round-trip at build time buys the "no silent caps"
+      contract back. The round-trip also materializes the lazily
+      localCheckpoint'ed bucket table, which the consuming join then
+      reuses, so the marginal cost is the tiny agg itself."""
+    if drop_stats is None:
+        session = sizes.sparkSession
+        aqe = (
+            session.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+        )
+        if aqe:
+            _LOG.info(
+                "%s: AQE is enabled — observed-metrics drop accounting is "
+                "unreliable (empty observation on duplicated CollectMetrics"
+                " subtrees); falling back to eager drop counts",
+                op,
+            )
+            drop_stats = {}
     if isinstance(drop_stats, dict):
         row = (
             sizes.filter(F.col("bsz") > max_bucket)
@@ -109,6 +130,32 @@ def _surface_bucket_drops(
     )
 
 
+def _track_persist(df: DataFrame, drop_stats: dict | None) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + record the handle for deterministic
+    release: when the caller passed a ``drop_stats`` dict, the persisted
+    frame is appended to ``drop_stats['persisted']`` so a batch driver can
+    ``unpersist_all(drop_stats)`` between corpus passes instead of waiting
+    on ContextCleaner GC / LRU eviction. Without the dict the previous
+    behavior stands (blocks are released when the plan's references are
+    GC'd or evicted LRU — degrade to recompute, never OOM)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if isinstance(drop_stats, dict):
+        drop_stats.setdefault("persisted", []).append(df)
+    return df
+
+
+def unpersist_all(drop_stats: dict, blocking: bool = False) -> int:
+    """Release every cache an operator recorded into ``drop_stats`` (see
+    ``_track_persist``); returns the number of frames released. Idempotent
+    — the handle list is consumed."""
+    handles = drop_stats.pop("persisted", [])
+    for df in handles:
+        df.unpersist(blocking)
+    return len(handles)
+
+
 def tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
@@ -141,7 +188,11 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
 
 
 def exact_dedup(
-    df: DataFrame, cols: list[str], id_col: str, max_dup_ids: int = 100
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    max_dup_ids: int = 100,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Exact duplicate groups by content hash: one hash-partitioned groupBy.
 
@@ -149,10 +200,10 @@ def exact_dedup(
     groups with n>1. ``dup_ids`` is capped at ``max_dup_ids`` entries so a
     degenerate mono-key input (one hash dominating a 10^12-row corpus)
     cannot materialize an unbounded row; ``n_dups`` always carries the true
-    count and ``dup_ids_truncated`` flags the overflow."""
+    count and ``dup_ids_truncated`` flags the overflow. Pass ``drop_stats``
+    to collect the persisted-intermediate handle for deterministic release
+    via ``unpersist_all`` between corpus passes."""
     from pyspark.sql import Window
-
-    from pyspark import StorageLevel
 
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]))
     hashed = df.select(h.alias("content_hash"), F.col(id_col))
@@ -161,11 +212,11 @@ def exact_dedup(
     # duplicated hash — so the map-side-combined agg runs once. `hashed`
     # is deliberately NOT cached: it is corpus-sized, and its recompute is
     # a narrow scan+md5 with no shuffle (cheaper than caching 10^12 rows).
-    groups = (
+    groups = _track_persist(
         hashed.groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
-        .filter(F.col("n_dups") > 1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.col("n_dups") > 1),
+        drop_stats,
     )
     # cap BEFORE the list aggregation, in two salted levels: per-salt-cell
     # row_number keeps ≤ max_dup_ids ids per (hash, salt) — a mono-key
@@ -558,19 +609,34 @@ def dup_clusters(
     `drop_duplicates` at `src/ids/data_loader.py:189-194` has no analog
     for transitive near-dups).
 
-    Iterative min-label propagation: label(v) ← min(label(v),
-    min(label(neighbors))) until fixpoint. Converges in ≤ graph-diameter
-    iterations — near-dup clusters are shallow (dense blobs around a
-    template), so the loop is short in practice. Each iteration is one
-    hash join + map-side-combined groupBy on the EDGE list only (the
-    full corpus never enters the loop); labels are lazily checkpointed
-    per iteration so lineage stays flat at 10^12-row scale.
+    Min-label propagation WITH pointer jumping, so convergence is
+    O(log diameter) rounds, not O(diameter): each round does
+
+    1. propagate:  label(v) ← min(label(v), min(label(neighbors)))
+    2. jump:       label(v) ← label(label(v))
+
+    Label values are always ids of nodes in v's own component (they start
+    as ids and only ever copy other members' labels), so the jump is a
+    self-join of the label table on ``label == id`` — it squares the
+    effective propagation distance (after round k every label is the min
+    of a ≥2^k-hop neighborhood), which is what makes a chain-shaped
+    near-dup cluster (sliding/versioned templates, diameter ≫ 25)
+    converge instead of aborting: diameter up to ~2^max_iters is fine.
+    At the fixpoint labels are constant per component and equal the
+    component min (labels only decrease, are member ids, and are locally
+    minimal across every edge). Each round is two hash joins + one
+    map-side-combined groupBy on the EDGE list only (the full corpus
+    never enters the loop); labels are lazily checkpointed per round so
+    lineage stays flat at 10^12-row scale.
 
     Returns (id, cluster_id, cluster_size, is_canonical) for every node
     that appears in ``pairs``; cluster_id = min id of the component,
     is_canonical marks the kept representative. Raises RuntimeError if
     not converged within ``max_iters`` (never silently truncates a
-    component); iteration count is surfaced via ``drop_stats``/log.
+    component — but with pointer jumping that needs a component of
+    diameter ~2^max_iters); iteration count is surfaced via
+    ``drop_stats``/log. ``max_iters`` is caller-configurable end to end
+    (curate_documents / CLI pass it through).
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -589,11 +655,25 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
+        propagated = labels.join(
+            nb_min, labels["id"] == nb_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+        )
+        # pointer jump: label ← label(label). Every label value is some
+        # node's id, so the lookup always matches; left join + coalesce
+        # keeps the row even if it somehow didn't.
+        lookup = propagated.select(
+            F.col("id").alias("l_id"), F.col("label").alias("l_label")
+        )
         new_labels = (
-            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            propagated.join(lookup, propagated["label"] == lookup["l_id"], "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce("l_label", "label")
+                ).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
@@ -729,25 +809,23 @@ def ngram_jaccard_pairs(
             # guard once at first action and the observed drop metrics
             # report once. Set sizes join onto the (small) verified pair
             # aggregate at the END, not onto every posting. Cache
-            # lifetime: the blocks are released when the returned plan's
-            # references are GC'd (ContextCleaner) or on
-            # spark.catalog.clearCache(); under memory pressure the store
-            # evicts LRU, so repeated calls degrade to recompute, never
-            # OOM.
-            from pyspark import StorageLevel
-
-            kept = (
+            # lifetime: handles land in drop_stats['persisted'] when a
+            # dict was passed (release via unpersist_all); otherwise the
+            # blocks are released when the returned plan's references are
+            # GC'd (ContextCleaner) or on spark.catalog.clearCache();
+            # under memory pressure the store evicts LRU, so repeated
+            # calls degrade to recompute, never OOM.
+            kept = _track_persist(
                 inv.join(F.broadcast(stop.select("s")), "s", "left_anti")
-                .select("id", "s")
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .select("id", "s"),
+                drop_stats,
             )
             # per-doc set sizes are consumed by both end joins (na and nb)
             # — persist the thin (one row per doc) table so the postings
             # pass behind it runs once, not twice
-            sizes = (
-                kept.groupBy("id")
-                .agg(F.count(F.lit(1)).alias("n_sh"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
+            sizes = _track_persist(
+                kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")),
+                drop_stats,
             )
             a, b = kept.alias("a"), kept.alias("b")
             inter = (
@@ -798,6 +876,8 @@ def contamination_pairs(
     bench_id_col: str | None = None,
     shingle_n: int = 3,
     min_containment: float = 0.8,
+    max_broadcast_postings: int = 5_000_000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Benchmark-contamination detection: corpus documents that CONTAIN a
     benchmark document's shingles (training-data decontamination — the
@@ -810,9 +890,18 @@ def contamination_pairs(
     longer (plain Jaccard would dilute it).
 
     Scale shape: the benchmark is small by nature (10³–10⁶ items), so its
-    exploded shingle postings are BROADCAST — the 100 TB corpus is scanned
-    once with a narrow map + broadcast hash join (no corpus-side shuffle
-    of postings); only MATCHED postings (rare) reach the pair aggregation.
+    exploded shingle postings are BROADCAST when they fit — the 100 TB
+    corpus is scanned once with a narrow map + broadcast hash join (no
+    corpus-side shuffle of postings); only MATCHED postings (rare) reach
+    the pair aggregation. The broadcast is GUARDED: the posting count is
+    measured with one cheap action over the benchmark side only (sum of
+    per-item shingle counts — the corpus is never touched), and above
+    ``max_broadcast_postings`` (default 5M rows ≈ low hundreds of MB
+    exploded — near Spark's 8 GB broadcast-table hard limit once built
+    into a hash relation, and heavy on every executor) the hint is
+    DROPPED and the join falls back to a plain shuffle hash join instead
+    of failing at runtime at the docstring's upper range (10⁶ items ×
+    O(100) shingles ≈ 10⁸ postings).
     Returns (doc_id, bench_id, inter, containment).
 
     Documents with fewer than ``shingle_n`` tokens (incl. null/blank text)
@@ -839,10 +928,27 @@ def contamination_pairs(
         )
         .withColumn("bench_n_sh", F.size("sh"))
     )
+    # lazily persist the thin per-item table: the posting-count probe and
+    # the exploded postings both read it, so shingling runs once; it is
+    # benchmark-sized (small), unlike the corpus side. Handle recorded in
+    # drop_stats['persisted'] for unpersist_all when a dict is passed.
+    bench_sh = _track_persist(bench_sh, drop_stats)
     bench_inv = bench_sh.select(
-        "bench_id", "bench_n_sh", F.explode("sh").alias("s_str")
-    ).select("bench_id", "bench_n_sh", F.xxhash64("s_str").alias("s"))
-    matched = corp.join(F.broadcast(bench_inv), "s")
+        "bench_id", "bench_n_sh", F.explode("sh").alias("sh_str")
+    ).select("bench_id", "bench_n_sh", F.xxhash64("sh_str").alias("s"))
+    n_postings = int(
+        bench_sh.agg(F.coalesce(F.sum("bench_n_sh"), F.lit(0))).first()[0]
+    )
+    if n_postings <= max_broadcast_postings:
+        matched = corp.join(F.broadcast(bench_inv), "s")
+    else:
+        _LOG.warning(
+            "contamination_pairs: benchmark posting list has %d rows > "
+            "max_broadcast_postings=%d — falling back to a shuffle join "
+            "(corpus postings will shuffle on shingle hash)",
+            n_postings, max_broadcast_postings,
+        )
+        matched = corp.join(bench_inv, "s")
     return (
         matched.groupBy("doc_id", "bench_id", "bench_n_sh")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -871,14 +977,15 @@ def decontaminate(
     runs ONCE — the count action materializes the (tiny) cache that the
     anti-join then reuses. The join is null-safe: a contaminated row with
     a NULL id must not slip past the leakage guard (plain equality never
-    matches NULL)."""
+    matches NULL). Persisted intermediates (here and inside
+    ``contamination_pairs``) are recorded in ``drop_stats['persisted']``
+    for deterministic release via ``unpersist_all``."""
     flagged = contamination_pairs(
-        corpus, benchmark, text_col=text_col, id_col=id_col, **kw
+        corpus, benchmark, text_col=text_col, id_col=id_col,
+        drop_stats=drop_stats, **kw
     ).select(F.col("doc_id").alias("__flagged_id")).distinct()
     if drop_stats is not None:
-        from pyspark import StorageLevel
-
-        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        flagged = _track_persist(flagged, drop_stats)
         drop_stats["decontaminated_docs"] = flagged.count()
     return corpus.join(
         flagged,

@@ -232,10 +232,11 @@ def test_ngram_jaccard_df_guard_filtered_universe_semantics(spark):
     assert out[(1, 2)] == 0.5
 
 
-def test_pair_builders_are_pure_plan_constructors(spark):
-    # without drop_stats, the dedup pair builders must run NO Spark job at
-    # construction time (drop accounting rides the plan as observed
-    # metrics) — a caller that never evaluates the result pays nothing
+def test_pair_builders_are_pure_plan_constructors_without_aqe(spark):
+    # with AQE off and no drop_stats, the dedup pair builders must run NO
+    # Spark job at construction time (drop accounting rides the plan as
+    # observed metrics, which work without AQE) — a caller that never
+    # evaluates the result pays nothing
     from semantic_log_detector_spark.operators.dedup import simhash_hamming_pairs
 
     df = spark.createDataFrame(
@@ -244,6 +245,7 @@ def test_pair_builders_are_pure_plan_constructors(spark):
     )
     sc = spark.sparkContext
     group = "construction-must-be-lazy"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.setJobGroup(group, "plan construction")
     try:
         minhash_lsh_pairs(df, "text", "doc_id")
@@ -253,8 +255,35 @@ def test_pair_builders_are_pure_plan_constructors(spark):
         assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     # and the lazily-guarded plan still evaluates correctly
     assert guarded.count() >= 0
+
+
+def test_pair_builders_count_drops_eagerly_under_aqe(spark):
+    # under AQE (the session default) the observed-metrics path is
+    # known-broken (empty observation on a duplicated CollectMetrics
+    # subtree), so the guard must fall back to EAGER drop accounting —
+    # "no silent caps" survives the default config. Evidence: construction
+    # runs the (small) counting job(s).
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = spark.createDataFrame(
+        [(i, "the same stop text repeated for every document here") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    sc = spark.sparkContext
+    group = "construction-counts-drops-under-aqe"
+    sc.setJobGroup(group, "eager guard")
+    try:
+        out = minhash_lsh_pairs(
+            df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10
+        )
+        assert len(list(sc.statusTracker().getJobIdsForGroup(group))) > 0
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # the mono-bucket corpus is fully capped: no pairs survive, and the
+    # guard already warned at build time (eager path)
+    assert out.count() == 0
 
 
 def test_lazy_drop_metrics_ride_the_plan(spark):
@@ -455,6 +484,25 @@ def test_dup_clusters_non_convergence_raises(spark):
         dup_clusters(chain, max_iters=1)
 
 
+def test_dup_clusters_long_chain_converges_logarithmically(spark):
+    # a chain-shaped near-dup cluster (sliding/versioned templates) of
+    # diameter 200 — pure min-propagation needs 200 rounds and would abort
+    # at the default max_iters=25; pointer jumping must converge in
+    # O(log diameter) rounds and label every node with the chain min
+    from semantic_log_detector_spark.operators.dedup import dup_clusters
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    stats = {}
+    rows = dup_clusters(chain, drop_stats=stats).collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 1 and r["cluster_size"] == n for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+    assert stats["cc_converged"] and stats["cc_iterations"] <= 12
+
+
 def test_hash_split_deterministic_and_stratified(spark):
     from semantic_log_detector_spark.operators.splits import hash_split
 
@@ -633,3 +681,38 @@ def test_contamination_null_and_short_text_edges(spark):
     assert sorted(r["doc_id"] for r in kept.collect() if r["doc_id"] is not None) == [2, 3]
     assert kept.filter("doc_id is null").count() == 0
     assert stats["decontaminated_docs"] == 2
+    # persisted intermediates were recorded for deterministic release
+    from semantic_log_detector_spark.operators.dedup import unpersist_all
+
+    assert len(stats.get("persisted", [])) >= 1
+    released = unpersist_all(stats)
+    assert released >= 1 and "persisted" not in stats
+
+
+def test_contamination_broadcast_guard_falls_back_to_shuffle(spark):
+    # identical results whether the benchmark postings are broadcast or
+    # (over the cap) shuffled — the guard changes strategy, not semantics
+    from semantic_log_detector_spark.operators.dedup import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x the quick brown fox jumps over the lazy dog tonight y"),
+            (2, "completely unrelated sentence about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    via_bcast = contamination_pairs(
+        corpus, bench, "text", "doc_id", min_containment=0.8
+    ).collect()
+    via_shuffle = contamination_pairs(
+        corpus, bench, "text", "doc_id", min_containment=0.8,
+        max_broadcast_postings=1,  # force the fallback
+    ).collect()
+    as_tuples = lambda rows: sorted(
+        (r["doc_id"], r["bench_id"], r["inter"], r["containment"]) for r in rows
+    )
+    assert as_tuples(via_bcast) == as_tuples(via_shuffle) == [(1, 100, 8, 1.0)]
