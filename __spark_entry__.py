@@ -1058,7 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE dur_ms IS NOT NULL AND dur_ms NOT BETWEEN 1 AND 43200000
               UNION ALL
               SELECT part_id, 'R014_codec_allowed' FROM clips
-                WHERE codec IS NULL OR codec NOT IN ('pcm_s16le','flac','opus','mp3')
+                WHERE codec IS NULL OR codec NOT IN ('pcm_s16le','flac','mulaw','alaw','adpcm_ima','opus','mp3')
               UNION ALL
               SELECT part_id, 'R015_transcript_nonempty' FROM clips
                 WHERE transcript IS NULL OR length(trim(transcript)) = 0

@@ -42,7 +42,7 @@ def frequency_check(
     df: DataFrame,
     ctx: RunContext,
     col: str = "codec",
-    allowed: tuple[str, ...] = ("pcm_s16le", "flac", "opus", "mp3"),
+    allowed: tuple[str, ...] = ("pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3"),
 ) -> CheckResult:
     """Allowed-values check: violations carry the offending value + its
     global frequency (observed-vs-expected, explanation_engine.py shape)."""

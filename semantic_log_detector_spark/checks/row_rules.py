@@ -31,7 +31,7 @@ class RowRule:
     explanation: str = ""
 
 
-def default_clip_rules(allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "opus", "mp3"),
+def default_clip_rules(allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3"),
                        sr_range: tuple[int, int] = (4000, 96000),
                        dur_range: tuple[int, int] = (1, 12 * 3600 * 1000)) -> list[RowRule]:
     """The declarative rule set for the clips input contract (FIXTURES.md §1).

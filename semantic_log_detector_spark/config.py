@@ -10,7 +10,7 @@ Example checks.yaml:
     num_parts: 64
     waves: 4
     checks: [schema, row_rules, stats, uniqueness, referential, frequency, drift]
-    allowed_codecs: [pcm_s16le, flac, opus, mp3]
+    allowed_codecs: [pcm_s16le, flac, mulaw, alaw, adpcm_ima, opus, mp3]
     sr_range: [4000, 96000]
     psi_threshold: 0.2
     stats_expectations:

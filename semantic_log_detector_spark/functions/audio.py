@@ -6,14 +6,17 @@ contract in SURVEY.md §0.1/X1); this graft's payload is audio, so the
 here is batch-vectorized numpy intended to run inside Arrow-batched pandas
 UDFs (see checks/drift.py) — never per-row Python on the Spark hot path.
 
-Codec support: ``pcm_s16le`` (RIFF/WAV, int16) and ``flac`` (pure-numpy
-subset codec, functions/flac.py — real fLaC streams with CRC-8/16 + MD5
-verification) are implemented for real. ``opus`` / ``mp3`` decode requires
-external codecs that are not in this container: those payloads are produced
-by the deterministic synthetic source as WAV-framed PCM, and `decode_clip`
-dispatches them to a clearly-marked deterministic-fake path (same WAV
-parse). A production build would swap `_decode_fake` for a real codec call
-with the same signature.
+Codec support — five REAL in-container codecs: ``pcm_s16le`` (RIFF/WAV,
+int16), ``flac`` (pure-numpy subset codec, functions/flac.py — real fLaC
+streams with CRC-8/16 + MD5 verification), ``mulaw`` / ``alaw`` (ITU-T
+G.711, functions/g711.py — table-exact decode, ≈37 dB round-trip) and
+``adpcm_ima`` (IMA/DVI 4-bit ADPCM, functions/adpcm.py — block-vectorized,
+decode bit-exact vs the scalar spec reference). ``opus`` / ``mp3`` decode
+requires external codecs that are not in this container: those payloads are
+produced by the deterministic synthetic source as WAV-framed PCM, and
+`decode_clip` dispatches them to a clearly-marked deterministic-fake path
+(same WAV parse). A production build would swap `_decode_fake` for a real
+codec call with the same signature.
 """
 
 from __future__ import annotations
@@ -85,15 +88,23 @@ def _decode_fake(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
     return decode_wav(buf)
 
 
-KNOWN_CODECS = ("pcm_s16le", "flac", "opus", "mp3")
+KNOWN_CODECS = ("pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3")
 
+from .adpcm import decode_adpcm  # noqa: E402  (self-contained, no circular import)
 from .flac import decode_flac  # noqa: E402  (no circular import: flac.py is self-contained)
+from .g711 import decode_alaw, decode_mulaw  # noqa: E402  (self-contained)
 
-# Real-decoder registry: codec → fn(bytes) -> (pcm float32, sr_hz). WAV PCM
-# and the numpy FLAC subset ship in-container; a production build registers
-# opus/mp3 here (register_decoder) and the fake path below stops being
-# reachable for them.
-DECODERS: dict[str, object] = {"pcm_s16le": decode_wav, "flac": decode_flac}
+# Real-decoder registry: codec → fn(bytes) -> (pcm float32, sr_hz). WAV PCM,
+# the numpy FLAC subset, G.711 µ-law/A-law, and IMA ADPCM ship in-container;
+# a production build registers opus/mp3 here (register_decoder) and the fake
+# path below stops being reachable for them.
+DECODERS: dict[str, object] = {
+    "pcm_s16le": decode_wav,
+    "flac": decode_flac,
+    "mulaw": decode_mulaw,
+    "alaw": decode_alaw,
+    "adpcm_ima": decode_adpcm,
+}
 
 # container magic for the codecs we claim to know but cannot really decode —
 # used to refuse honestly instead of mis-parsing real compressed payloads

@@ -45,7 +45,7 @@ ALL_CHECKS = ("schema", "row_rules", "stats", "uniqueness", "referential",
 class SuiteConfig:
     num_parts: int = 64
     checks: tuple[str, ...] = ALL_CHECKS
-    allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "opus", "mp3")
+    allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3")
     sr_range: tuple[int, int] = (4000, 96000)
     dur_range: tuple[int, int] = (1, 12 * 3600 * 1000)
     psi_threshold: float = 0.2

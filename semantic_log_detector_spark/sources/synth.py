@@ -27,8 +27,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.adpcm import encode_adpcm
 from ..functions.audio import encode_wav
 from ..functions.flac import encode_flac
+from ..functions.g711 import encode_alaw, encode_mulaw
+
+# codec label → real encoder where one ships in-container; anything else
+# (incl. the fake-decoded opus/mp3 labels and unknown codecs) is WAV-framed
+_ENCODERS = {
+    "flac": encode_flac,
+    "mulaw": encode_mulaw,
+    "alaw": encode_alaw,
+    "adpcm_ima": encode_adpcm,
+}
 
 # ------------------------------------------------- deterministic hash streams
 
@@ -63,8 +74,12 @@ _VOCAB = np.array(
 
 _SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000], dtype=np.int64)
 _SR_WEIGHTS = np.array([0.10, 0.55, 0.10, 0.15, 0.10])
-_CODECS = np.array(["pcm_s16le", "flac", "opus", "mp3"])
-_CODEC_WEIGHTS = np.array([0.80, 0.12, 0.05, 0.03])  # intentionally skewed
+_CODECS = np.array(
+    ["pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3"]
+)
+# intentionally skewed (pcm dominates) — the salted group-by tests need a
+# heavy key; opus+mp3 stay at a combined 8% (the only fake-decoded labels)
+_CODEC_WEIGHTS = np.array([0.55, 0.12, 0.10, 0.07, 0.08, 0.05, 0.03])
 
 
 def _weighted_pick(u: np.ndarray, choices: np.ndarray, weights: np.ndarray):
@@ -171,8 +186,11 @@ def with_audio(
     Container matches the codec label where a real in-container codec
     exists: ``codec='flac'`` rows carry genuine FLAC streams (verbatim
     subframes — decoded PCM is sample-identical to the WAV path, so feature
-    statistics are codec-invariant); everything else (pcm_s16le, the
-    fake-decoded opus/mp3, unknown codecs) is RIFF/WAV-framed."""
+    statistics are codec-invariant); ``mulaw``/``alaw`` rows carry real
+    G.711 WAV streams (8-bit log PCM, ≈37 dB round-trip) and ``adpcm_ima``
+    rows real IMA ADPCM WAV streams (4-bit, codec-inherent 15–29 dB
+    round-trip on these signals); everything else (pcm_s16le, the
+    fake-decoded opus/mp3, unknown codecs) is RIFF/WAV-framed 16-bit."""
     cols = meta.columns
     if "part_id" not in cols:
         raise ValueError("call with_part_id() before with_audio()")
@@ -198,7 +216,7 @@ def with_audio(
                 t = np.arange(max(ns, 16), dtype=np.float64) / sr_i
                 rng = np.random.Generator(np.random.Philox(key=int(idx) + seed))
                 pcm = u_amp[row_n] * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
-                enc = encode_flac if codec == "flac" else encode_wav
+                enc = _ENCODERS.get(codec, encode_wav)
                 buf = enc(pcm.astype(np.float32), sr_i)
                 if u_trunc[row_n]:
                     buf = buf[: max(len(buf) // 2, 20)]

@@ -28,7 +28,7 @@ def test_row_rules_match_planted_defects(meta_4k):
         "sr_hz IS NOT NULL AND (sr_hz < 4000 OR sr_hz > 96000)"
     ).count()
     assert by_rule.get("R014_codec_allowed", 0) == meta_4k.filter(
-        "codec IS NULL OR codec NOT IN ('pcm_s16le','flac','opus','mp3')"
+        "codec IS NULL OR codec NOT IN ('pcm_s16le','flac','mulaw','alaw','adpcm_ima','opus','mp3')"
     ).count()
 
 
@@ -114,7 +114,7 @@ def test_referential_directions(spark, meta_4k):
 def test_frequency_check_flags_unknown_codecs(meta_4k):
     res = frequency_check(meta_4k, CTX)
     expected = meta_4k.filter(
-        "codec IS NULL OR codec NOT IN ('pcm_s16le','flac','opus','mp3')"
+        "codec IS NULL OR codec NOT IN ('pcm_s16le','flac','mulaw','alaw','adpcm_ima','opus','mp3')"
     ).count()
     assert res.violations.count() == expected
 

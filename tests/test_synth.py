@@ -32,7 +32,10 @@ def test_planted_defect_rates(meta_4k):
 
 def test_codec_skew(meta_4k):
     freq = {r["codec"]: r["count"] for r in meta_4k.groupBy("codec").count().collect()}
-    assert freq["pcm_s16le"] / 4000 > 0.7  # intentional skew for salt tests
+    # pcm_s16le is the intentionally heavy key for the salted-agg tests:
+    # ~55% of rows, > 4× any other codec
+    assert freq["pcm_s16le"] / 4000 > 0.45
+    assert freq["pcm_s16le"] > 4 * max(v for k, v in freq.items() if k != "pcm_s16le")
 
 
 def test_wav_roundtrip_snr(clips_2k):
@@ -67,12 +70,23 @@ def test_drifted_partition_spectrum(clips_2k):
 
     from semantic_log_detector_spark.functions.flac import decode_flac
 
-    rows = clips_2k.filter(F.col("part_id").isin(7, 3)).select("part_id", "bytes").collect()
+    from semantic_log_detector_spark.functions.audio import decode_clip
+
+    rows = (
+        clips_2k.filter(F.col("part_id").isin(7, 3))
+        .select("part_id", "codec", "bytes")
+        .collect()
+    )
     cents = {7: [], 3: []}
     for r in rows:
-        buf = bytes(r["bytes"])
-        # flac-labeled rows now carry real fLaC streams; dispatch on magic
-        pcm, sr = (decode_flac if buf[:4] == b"fLaC" else decode_wav)(buf)
+        try:
+            # dispatch on the codec label (real g711/adpcm/flac containers
+            # now exist); the rare planted-truncated payload raises — skip,
+            # exactly as the drift check turns it into a violation row
+            pcm, sr = decode_clip(bytes(r["bytes"]), r["codec"])
+        except (ValueError, NotImplementedError):
+            continue
         cents[r["part_id"]].append(clip_features(pcm, sr)[-1])
+    assert len(cents[7]) > 10 and len(cents[3]) > 10
     assert np.mean(cents[7]) > 1200  # drifted band 1500-3000 Hz
     assert np.mean(cents[3]) < 1200  # normal band 100-1000 Hz
