@@ -689,6 +689,97 @@ def _q44_decontamination(spark, sf):
     ).orderBy("doc_id", "bench_id")
 
 
+def _q45_asof_join(spark, sf):
+    """As-of join (operator Spark lacks natively): every 'error' event
+    paired with the user's most recent 'click' at-or-before it. Union +
+    last(ignorenulls) window — ONE shuffle on user_id, no inequality
+    join, no nested loop (operators/temporal_join.py::asof_join). Oracle:
+    DuckDB's native ASOF JOIN. Right side pre-deduped per (user, ts) by
+    max event_id so the at-equal-ts tie-break is well-defined on both
+    engines."""
+    from semantic_log_detector_spark.operators.temporal_join import asof_join
+
+    e = _t(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        errors, clicks,
+        key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["click_event_id"], direction="backward", suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("click_event_id").alias("last_click_id")
+    ).orderBy("event_id")
+
+
+def _q46_range_join(spark, sf):
+    """Interval range join without a nested loop: for each 'error' event,
+    how many 'click' events by the same user landed in the 10 minutes
+    up to it. Anchors (errors) explode to the time cells their window
+    overlaps, probes (clicks) land in exactly one cell, Catalyst hash-
+    joins on (user_id, cell) and the exact BETWEEN filters after
+    (operators/temporal_join.py::range_interval_join). Left-join
+    semantics: zero-click errors surface with n_clicks=0."""
+    from semantic_log_detector_spark.operators.temporal_join import (
+        range_interval_join,
+    )
+
+    e = _t(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    matched = range_interval_join(
+        clicks, errors, key_cols=["user_id"], probe_ts="ts",
+        anchor_lo="lo", anchor_hi="hi", bucket_s=600,
+    )
+    counts = matched.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        errors.select("err_id", "user_id")
+        .join(counts, "err_id", "left")
+        .select(
+            "err_id", "user_id",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        )
+        .orderBy("err_id")
+    )
+
+
+def _q47_sessionize(spark, sf):
+    """Gap-based sessionization (batch twin of the streaming session
+    window): sessions split at >30 min of user inactivity; per-session
+    aggregates. lag + running sum share one window partitioning → a
+    single exchange on user_id
+    (operators/temporal_join.py::sessionize)."""
+    from semantic_log_detector_spark.operators.temporal_join import sessionize
+
+    e = _t(spark, sf, "events")
+    s = sessionize(e, ["user_id"], "ts", gap_s=1800)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -735,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_stratified_split": _q42_stratified_split,
         "q43_training_selection": _q43_training_selection,
         "q44_decontamination": _q44_decontamination,
+        "q45_asof_join": _q45_asof_join,
+        "q46_range_join": _q46_range_join,
+        "q47_sessionize": _q47_sessionize,
     }
 
 
@@ -1180,6 +1274,58 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT lang,
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS h
                   FROM documents)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # q45: DuckDB's native ASOF JOIN is the independent oracle for the
+        # union+window as-of operator (inclusive >= tie semantics on both)
+        "q45_asof_join": """
+            WITH errors AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+            ), clicks AS (
+              SELECT user_id, ts, max(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, c.click_event_id AS last_click_id
+            FROM errors e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.event_id
+        """,
+        # q46: plain inequality join — DuckDB handles the small scale; the
+        # engine side uses the bucketed equi-join shape instead
+        "q46_range_join": """
+            WITH errors AS (
+              SELECT event_id AS err_id, user_id, ts
+              FROM events WHERE event_type = 'error'
+            ), clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT e.err_id, e.user_id, count(c.event_id)::BIGINT AS n_clicks
+            FROM errors e LEFT JOIN clicks c
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        # q47: identical lag + running-sum session logic in DuckDB window
+        # SQL; all time math in integer microseconds on both engines
+        "q47_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+              SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 6) AS total_value
+            FROM numbered
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
     } | _long_oracles()
