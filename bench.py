@@ -16,6 +16,12 @@ NB (round 2): q33_minhash_pairs now times the VALIDATED near-dup query —
 MinHash-LSH plus the exact-Jaccard baseline it is checked against — so its
 wall is exact + LSH, not LSH alone (roughly q22 + old-q33). The north
 metric (validated clips/sec) is unaffected.
+
+NB (round 3): q43_training_selection times the exact-pair-graph curation
+(the CORRECTNESS path its oracle replays); `curation_lsh` times the same
+end-to-end curation through MinHash-LSH — the path a 100 TB corpus
+actually runs — so the scale path is measured, not just the verification
+path.
 """
 
 from __future__ import annotations
@@ -96,6 +102,26 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    # the LSH SCALE path of the curation capstone (q43 times the exact
+    # pair graph its oracle verifies; a 100 TB corpus runs MinHash-LSH)
+    def curation_lsh():
+        from semantic_log_detector_spark.operators.curate import (
+            curate_documents, curation_summary,
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        kept = curate_documents(
+            docs, langs=("en",), min_quality=0.5, jaccard_threshold=0.5,
+            exact_pairs=False,
+        )
+        curation_summary(kept).write.format("noop").mode("overwrite").save()
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        curation_lsh()
+        best = min(best, time.time() - t0)
+    timings["curation_lsh"] = round(best, 3)
 
     # untimed warmup suite on a small table: first-run codegen + python
     # worker spawn + page-cache effects cost 3-5× the steady-state wall

@@ -149,11 +149,23 @@ def stats_record_batch(
         o_obs.append(obs)
         o_exp.append(exp)
 
+    # cross-row batch decode for batch-friendly codecs (adpcm): one
+    # vectorized pass for the whole Arrow batch, per-row error semantics
+    from semantic_log_detector_spark.functions.audio import predecode_batch
+
+    pre = predecode_batch(payloads, codecs)
+
     for i in range(n):
         try:
-            v = payloads[i]
-            buf = None if not v.is_valid else memoryview(v.as_buffer())
-            pcm, sr, is_fake = decode_clip_ex(buf, codecs[i])
+            if i in pre:
+                r = pre[i]
+                if isinstance(r, Exception):
+                    raise r
+                pcm, sr, is_fake = r[0], r[1], False
+            else:
+                v = payloads[i]
+                buf = None if not v.is_valid else memoryview(v.as_buffer())
+                pcm, sr, is_fake = decode_clip_ex(buf, codecs[i])
             if is_fake:
                 fake[i] = True
                 if strict_codecs:
@@ -320,11 +332,22 @@ def decode_features(df: DataFrame, ctx: RunContext) -> DataFrame:
             srd = np.zeros(n, dtype=np.int64)
             nsamp = np.zeros(n, dtype=np.int64)
             feats: list[list[float] | None] = [None] * n
+            from semantic_log_detector_spark.functions.audio import (
+                predecode_batch,
+            )
+
+            pre = predecode_batch(payloads, codecs)
             for i in range(n):
                 try:
-                    v = payloads[i]
-                    buf = None if not v.is_valid else memoryview(v.as_buffer())
-                    pcm, sr = decode_clip(buf, codecs[i])
+                    if i in pre:
+                        r = pre[i]
+                        if isinstance(r, Exception):
+                            raise r
+                        pcm, sr = r
+                    else:
+                        v = payloads[i]
+                        buf = None if not v.is_valid else memoryview(v.as_buffer())
+                        pcm, sr = decode_clip(buf, codecs[i])
                     fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
                     if not np.isfinite(fv).all():
                         raise ValueError("non-finite features")

@@ -147,6 +147,19 @@ def encode_adpcm(pcm: np.ndarray, sr_hz: int) -> bytes:
 
 def decode_adpcm(buf: bytes) -> tuple[np.ndarray, int]:
     """IMA ADPCM WAV bytes → (float32 pcm in [-1,1], sr_hz)."""
+    blocks, sr_hz, n = _parse_container(buf)
+    h_pred = blocks[:, 0:2].copy().view("<i2").reshape(-1)
+    h_idx = blocks[:, 2]
+    packed = blocks[:, 4:]
+    nib = np.zeros((blocks.shape[0], (BLOCK_ALIGN - 4) * 2), dtype=np.uint8)
+    nib[:, 0::2] = packed & 0x0F
+    nib[:, 1::2] = packed >> 4
+    pcm16 = _decode_blocks(h_pred, h_idx, nib, n)
+    return pcm16.astype(np.float32) / 32767.0, sr_hz
+
+
+def _parse_container(buf: bytes):
+    """Chunk-walk an IMA ADPCM WAV → (blocks uint8[n,BLOCK_ALIGN], sr, n_samples)."""
     if buf is None or len(buf) < 12:
         raise ValueError("payload too short for ADPCM WAV header")
     riff, _, wave = _RIFF_HDR.unpack_from(buf, 0)
@@ -182,16 +195,50 @@ def decode_adpcm(buf: bytes) -> tuple[np.ndarray, int]:
             f"ADPCM data length {len(data)} is not a multiple of block_align {BLOCK_ALIGN}"
         )
     blocks = np.frombuffer(data, dtype=np.uint8).reshape(-1, BLOCK_ALIGN)
+    total = blocks.shape[0] * SPB
+    n = total if n_samples is None else min(int(n_samples), total)
+    return blocks, int(sr_hz), n
+
+
+def decode_adpcm_batch(bufs: list) -> list:
+    """Batched decode: one block-vectorized pass over the CONCATENATED
+    blocks of every payload in the list — the in-block position loop
+    (~SPB numpy steps) is paid once per BATCH instead of once per clip,
+    which is what makes ADPCM cheap inside Arrow-batched UDFs (per-clip
+    vectorization is overhead-dominated: ~500 tiny numpy calls each).
+
+    Blocks are state-independent (each carries its own predictor/index
+    header), so clips can share one matrix. Returns, per input, either
+    ``(pcm float32, sr_hz)`` or the ``Exception`` the payload raised —
+    callers re-raise per row so one bad payload never fails the batch.
+    """
+    parsed: list = [None] * len(bufs)
+    all_blocks = []
+    spans = []  # (row, block_start, n_blocks, n_samples)
+    start = 0
+    for i, buf in enumerate(bufs):
+        try:
+            blocks, sr, n = _parse_container(buf)
+        except Exception as e:  # per-row failure, surfaced to the caller
+            parsed[i] = e
+            continue
+        all_blocks.append(blocks)
+        spans.append((i, start, blocks.shape[0], n, sr))
+        start += blocks.shape[0]
+    if not all_blocks:
+        return parsed
+    blocks = np.concatenate(all_blocks, axis=0)
     h_pred = blocks[:, 0:2].copy().view("<i2").reshape(-1)
     h_idx = blocks[:, 2]
     packed = blocks[:, 4:]
     nib = np.zeros((blocks.shape[0], (BLOCK_ALIGN - 4) * 2), dtype=np.uint8)
     nib[:, 0::2] = packed & 0x0F
     nib[:, 1::2] = packed >> 4
-    total = blocks.shape[0] * SPB
-    n = total if n_samples is None else min(int(n_samples), total)
-    pcm16 = _decode_blocks(h_pred, h_idx, nib, n)
-    return pcm16.astype(np.float32) / 32767.0, int(sr_hz)
+    pcm_all = _decode_blocks(h_pred, h_idx, nib, blocks.shape[0] * SPB)
+    for i, b0, nblk, n, sr in spans:
+        clip = pcm_all[b0 * SPB : b0 * SPB + n]
+        parsed[i] = (clip.astype(np.float32) / 32767.0, sr)
+    return parsed
 
 
 # ------------------------------------------------- scalar reference decoder

@@ -151,6 +151,31 @@ def decode_clip(buf: bytes, codec: str | None) -> tuple[np.ndarray, int]:
     return pcm, sr
 
 
+def predecode_batch(payloads, codecs: list) -> dict:
+    """Cross-row batch decode for codecs where per-clip vectorization is
+    overhead-dominated (currently adpcm_ima: its in-block position loop is
+    ~500 tiny numpy steps per clip — batching pays it once per Arrow batch
+    by concatenating every clip's state-independent blocks into one
+    matrix; see functions/adpcm.py::decode_adpcm_batch).
+
+    ``payloads`` is a pyarrow binary array, ``codecs`` the aligned labels.
+    Returns {row_index: (pcm, sr) | Exception} for the rows it handled —
+    the per-row loop consumes these and falls back to ``decode_clip_ex``
+    for everything else. Exceptions are re-raised per row by the caller,
+    so error semantics are identical to the scalar path.
+    """
+    idxs = [i for i, c in enumerate(codecs) if c == "adpcm_ima"]
+    if not idxs:
+        return {}
+    from .adpcm import decode_adpcm_batch
+
+    bufs = []
+    for i in idxs:
+        v = payloads[i]
+        bufs.append(None if not v.is_valid else memoryview(v.as_buffer()))
+    return dict(zip(idxs, decode_adpcm_batch(bufs)))
+
+
 # ------------------------------------------------------- spectral feature path
 
 

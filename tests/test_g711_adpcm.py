@@ -96,6 +96,29 @@ def test_adpcm_vectorized_decode_bit_exact_vs_scalar_reference(sr, freq):
     assert _snr_db(pcm, vec) >= 14.0
 
 
+def test_adpcm_batch_decode_matches_per_clip_and_isolates_errors():
+    # the cross-row batched decoder (one concatenated block matrix per
+    # batch) must be bit-exact vs per-clip decode, and a bad payload must
+    # surface as ITS OWN exception without failing the batch
+    from semantic_log_detector_spark.functions.adpcm import decode_adpcm_batch
+
+    clips = [
+        _sig(8000, 300, seed=11, dur_s=0.3),
+        _sig(16000, 1000, seed=12, dur_s=1.1),
+        _sig(48000, 2900, seed=13, dur_s=0.05),
+    ]
+    bufs = [encode_adpcm(p, sr) for p, sr in zip(clips, [8000, 16000, 48000])]
+    bad = bufs[1][: len(bufs[1]) // 2]  # truncated
+    results = decode_adpcm_batch([bufs[0], bad, bufs[1], None, bufs[2]])
+    assert isinstance(results[1], Exception)
+    assert isinstance(results[3], Exception)
+    for ri, bi in [(0, 0), (2, 1), (4, 2)]:
+        pcm_b, sr_b = results[ri]
+        pcm_s, sr_s = decode_adpcm(bufs[bi])
+        assert sr_b == sr_s
+        assert np.array_equal(pcm_b, pcm_s)
+
+
 def test_adpcm_truncated_and_misaligned_payloads_raise():
     pcm = _sig(8000, 500)
     buf = encode_adpcm(pcm, 8000)
