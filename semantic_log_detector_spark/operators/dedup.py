@@ -349,7 +349,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
@@ -360,7 +360,17 @@ def minhash_lsh_pairs(
     Over-sized LSH buckets (stop-word buckets) are dropped, never silently:
     with a ``drop_stats`` dict the count is computed eagerly, logged and
     written into it (dropped_buckets / dropped_bucket_rows); without one
-    the count rides the plan as observed metrics (no job at build time).
+    the count rides the plan as observed metrics when AQE is off, and
+    falls back to the same eager count when AQE is on (see
+    ``_surface_bucket_drops``). NOTE the eager count MATERIALIZES the
+    signature checkpoint before the caller's job runs — the blocks are
+    reused (no duplicate work) but a query that would have overlapped
+    this subtree with an independent branch (e.g. an exact-verification
+    side) loses that concurrency; measured +4.6 s on the sf0.1 q33
+    validation query. ``max_bucket=None`` disables the cap AND the guard
+    entirely (explicit unbounded mode — nothing is dropped, so there is
+    nothing to account for); use it for verification runs on corpora
+    known to have no degenerate buckets.
     """
     base = (
         df.select(
@@ -379,12 +389,20 @@ def minhash_lsh_pairs(
         "id", "sh", F.posexplode("bkeys").alias("band", "bucket")
     )
 
-    # stop-word-bucket guard: degenerate buckets explode quadratically
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    sizes = _surface_bucket_drops(sizes, max_bucket, "minhash_lsh_pairs", drop_stats)
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "bucket"], "left_anti"
-    )
+    # stop-word-bucket guard: degenerate buckets explode quadratically.
+    # max_bucket=None = explicit unbounded mode (no cap, no guard)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        sizes = _surface_bucket_drops(
+            sizes, max_bucket, "minhash_lsh_pairs", drop_stats
+        )
+        banded = banded.join(
+            F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
+            ["band", "bucket"],
+            "left_anti",
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -484,7 +502,7 @@ def simhash_hamming_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    max_bucket: int = 1_000_000,
+    max_bucket: int | None = 1_000_000,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """EXACT Hamming-≤k pair search over the md5-60-bit SimHash, k < 4.
@@ -514,11 +532,13 @@ def simhash_hamming_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-    sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_hamming_pairs", drop_stats)
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
-    )
+    if max_bucket is not None:  # None = explicit unbounded mode
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+        sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_hamming_pairs", drop_stats)
+        banded = banded.join(
+            F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
+            ["band", "key"], "left_anti",
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -542,7 +562,7 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k, using the 4-band pigeonhole
@@ -569,11 +589,13 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-    sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_pairs", drop_stats)
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("bsz") > max_bucket)), ["band", "key"], "left_anti"
-    )
+    if max_bucket is not None:  # None = explicit unbounded mode
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+        sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_pairs", drop_stats)
+        banded = banded.join(
+            F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
+            ["band", "key"], "left_anti",
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

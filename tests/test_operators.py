@@ -260,6 +260,23 @@ def test_pair_builders_are_pure_plan_constructors_without_aqe(spark):
     assert guarded.count() >= 0
 
 
+def test_max_bucket_none_is_explicit_unbounded_mode(spark):
+    # None disables the cap AND the guard: the mono-bucket corpus that the
+    # capped run drops entirely is fully paired, and construction runs no
+    # guard job (nothing is dropped, nothing to account for)
+    from semantic_log_detector_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, "the same stop text repeated for every document here") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    capped = minhash_lsh_pairs(df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10)
+    unbounded = minhash_lsh_pairs(df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=None)
+    assert capped.count() == 0
+    assert unbounded.count() == 30 * 29 // 2
+    assert simhash_pairs(df, "text", "doc_id", max_bucket=None).count() == 30 * 29 // 2
+
+
 def test_pair_builders_count_drops_eagerly_under_aqe(spark):
     # under AQE (the session default) the observed-metrics path is
     # known-broken (empty observation on a duplicated CollectMetrics
