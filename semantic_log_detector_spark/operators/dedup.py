@@ -12,9 +12,12 @@ Scale notes:
 - LSH banding shuffles (band_id, band_hash) key pairs; bucket sizes are the
   skew risk, so buckets above `max_bucket` are dropped AND the drop is
   surfaced — "no silent caps" (SURVEY.md §7.3). Pass a `drop_stats` dict
-  for eager build-time counts (one tiny action + log); without it the
-  builders stay pure plan constructors and the counts are attached as
-  named observed metrics collected during the eventual action.
+  for eager build-time counts (one tiny action + log). Without it: with
+  AQE off the builders stay pure plan constructors (counts ride the plan
+  as observed metrics); with AQE on (the session default) the observation
+  is known-empty, so the guard falls back to the eager count — see
+  `_surface_bucket_drops`. `max_bucket=None` is the explicit unbounded
+  mode: no cap, no guard, no accounting needed.
 - The exact inverted-index operator guards against stop-shingle quadratic
   blowup with a max-document-frequency cutoff (`max_df`): shingles present
   in more than max_df documents are removed from the shingle UNIVERSE
@@ -814,7 +817,25 @@ def ngram_jaccard_pairs(
             # (a no-drop corpus filters nothing and recomputes identical
             # set sizes), and the drop counts ride along as diagnostic
             # observed metrics (see _surface_bucket_drops for the AQE
-            # duplicated-subtree caveat).
+            # duplicated-subtree caveat). Unlike the bucket cap this
+            # never loses PAIRS silently — the df-filtered-universe
+            # semantics apply identically whether or not the counts are
+            # observable — so under AQE (where the observation reads
+            # empty) the right trade is a WARNING, not a blocking eager
+            # count that would serialize the postings materialization.
+            aqe = (
+                stop.sparkSession.conf.get(
+                    "spark.sql.adaptive.enabled", "true"
+                ).lower()
+                == "true"
+            )
+            if aqe:
+                _LOG.warning(
+                    "ngram_jaccard_pairs: AQE is enabled — stop-shingle drop "
+                    "COUNTS are not observable at runtime (semantics are "
+                    "unaffected: the df>max_df universe filter always "
+                    "applies). Pass drop_stats={} for exact counts."
+                )
             stop = stop.observe(
                 f"ngram_jaccard_pairs_drops_{next(_OBS_SEQ)}",
                 F.count(F.lit(1)).alias("dropped_shingles"),
