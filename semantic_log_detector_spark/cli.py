@@ -200,6 +200,7 @@ def _run_curate(args) -> int:
                 drop_stats=drop_stats,
                 min_containment=args.min_containment,
             )
+        artifacts: dict = {}
         kept = curate_documents(
             docs,
             id_col=args.id_col,
@@ -210,8 +211,14 @@ def _run_curate(args) -> int:
             exact_pairs=args.exact_pairs,
             cc_max_iters=args.cc_max_iters,
             drop_stats=drop_stats,
+            artifacts=artifacts,
         )
         kept.write.mode("overwrite").parquet(f"{args.out}/kept")
+        # persist the duplicate-cluster table (edge-scale) so the run
+        # report can render the dup-cluster summary section
+        artifacts["clusters"].write.mode("overwrite").parquet(
+            f"{args.out}/dup_clusters"
+        )
         # deterministic cache release between corpus passes: every persist
         # the dedup/decontamination operators took is recorded in
         # drop_stats['persisted'] — free them now that kept/ is on disk

@@ -39,6 +39,7 @@ def curate_documents(
     max_df: int | None = 1000,
     cc_max_iters: int = 25,
     drop_stats: dict | None = None,
+    artifacts: dict | None = None,
 ) -> DataFrame:
     """Curated document set: per-doc stats + near-dup canonicalization.
 
@@ -50,6 +51,11 @@ def curate_documents(
     index operator (verification baseline, small corpora); the default
     uses MinHash-LSH (the 100 TB path). Returns one row per KEPT doc:
     (id, n_tokens, quality, lang_guess).
+
+    ``artifacts`` (optional dict) receives intermediate frames a report or
+    audit wants to persist — currently ``artifacts['clusters']``, the full
+    duplicate-cluster table (id, cluster_id, is_canonical). Edge-scale,
+    never corpus-scale.
     """
     stats = df.select(
         F.col(id_col).alias("id"),
@@ -67,11 +73,10 @@ def curate_documents(
             else {"jaccard_threshold": jaccard_threshold, "drop_stats": drop_stats}
         ),
     )
-    non_canonical = (
-        dup_clusters(pairs, max_iters=cc_max_iters, drop_stats=drop_stats)
-        .filter(~F.col("is_canonical"))
-        .select("id")
-    )
+    clusters = dup_clusters(pairs, max_iters=cc_max_iters, drop_stats=drop_stats)
+    if artifacts is not None:
+        artifacts["clusters"] = clusters
+    non_canonical = clusters.filter(~F.col("is_canonical")).select("id")
     kept = stats.join(non_canonical, "id", "left_anti")
     if langs:
         kept = kept.filter(F.col("lang_guess").isin(*langs))

@@ -127,7 +127,8 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_train_vectors: int = 1_000_000,
 ) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer + nprobe cell search —
     the direct analog of the reference's IndexIVFFlat
@@ -151,6 +152,18 @@ def ivf_topk(
     b = base.select(F.col(base_id).alias("__bid"), F.col(vec_col).cast("array<double>").alias("__bv"))
     q = queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).cast("array<double>").alias("__qv"))
 
+    # Coarse-quantizer fit is BOUNDED by default: at 10^12 base vectors a
+    # full-base KMeans fit is itself a multi-pass ML job, and centroid
+    # quality saturates long before 10^6 training points (n_cells ≤ a few
+    # thousand). Full-probe results are centroid-INDEPENDENT (every cell is
+    # probed), so sampling the fit never changes the nprobe == n_cells
+    # answer — only which cells partial probes visit. Pass
+    # sample_fraction explicitly to override (1.0 = legacy full-base fit).
+    if sample_fraction is None:
+        n_base = b.count()  # metadata-cheap on columnar sources
+        sample_fraction = (
+            1.0 if n_base <= max_train_vectors else max_train_vectors / n_base
+        )
     train = b if sample_fraction >= 1.0 else b.sample(sample_fraction, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell")
     model = km.fit(train.select(array_to_vector("__bv").alias("__feat")))

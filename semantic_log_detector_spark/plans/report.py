@@ -129,6 +129,37 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
     if os.path.exists(rob_path):
         with open(rob_path) as f:
             report["robustness"] = json.load(f)
+
+    # training-data sections: rendered when the curate pass left its
+    # artifacts in the same out_dir (curation accounting + decontamination
+    # counts from curation_summary.json, cluster table from dup_clusters/)
+    cur_path = f"{out_dir}/curation_summary.json"
+    if os.path.exists(cur_path):
+        with open(cur_path) as f:
+            report["curation"] = json.load(f)
+    clus_path = f"{out_dir}/dup_clusters"
+    if _has_parquet(clus_path):
+        cl = spark.read.parquet(clus_path)
+        sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+        tot = sizes.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("size").alias("n_docs_in_clusters"),
+            F.max("size").alias("max_cluster_size"),
+        ).first()
+        report["dup_clusters"] = {
+            "n_clusters": int(tot["n_clusters"] or 0),
+            "n_docs_in_clusters": int(tot["n_docs_in_clusters"] or 0),
+            # one canonical survives per cluster; the rest are removed
+            "n_docs_removed": int(
+                (tot["n_docs_in_clusters"] or 0) - (tot["n_clusters"] or 0)
+            ),
+            "max_cluster_size": int(tot["max_cluster_size"] or 0),
+            "largest": [
+                {"cluster_id": r["cluster_id"], "size": r["size"]}
+                for r in sizes.orderBy(F.desc("size"), F.asc("cluster_id"))
+                .limit(_N_WORST).collect()
+            ],
+        }
     return report
 
 
@@ -200,6 +231,48 @@ def _md(report: dict) -> str:
                 f"| {t['noise_level']} | {s.get('mean_stability')} "
                 f"| {s.get('detection_retention')} |"
             )
+    cur = report.get("curation")
+    if cur:
+        lines += [
+            "",
+            "## 8. Training-data curation",
+            "",
+            f"- kept documents: **{cur.get('n_docs', 0):,}**",
+            f"- total tokens: **{int(cur.get('total_tokens') or 0):,}**"
+            f" (avg {cur.get('avg_tokens')})",
+            f"- mean quality: **{cur.get('avg_quality')}**",
+        ]
+        ds_ = cur.get("drop_stats") or {}
+        if "decontaminated_docs" in ds_:
+            lines.append(
+                f"- decontamination: **{ds_['decontaminated_docs']:,}** "
+                "document(s) removed for benchmark overlap"
+            )
+        drops = {
+            k: v for k, v in ds_.items()
+            if k not in ("persisted", "decontaminated_docs")
+            and isinstance(v, (int, float))
+        }
+        if drops:
+            lines += ["- dedup guard accounting:"]
+            for k, v in sorted(drops.items()):
+                lines.append(f"  - {k}: {v}")
+    dc = report.get("dup_clusters")
+    if dc:
+        lines += [
+            "",
+            "## 9. Duplicate clusters",
+            "",
+            f"- clusters: **{dc['n_clusters']:,}** covering "
+            f"{dc['n_docs_in_clusters']:,} documents "
+            f"(**{dc['n_docs_removed']:,}** removed, one canonical kept per cluster)",
+            f"- largest cluster: {dc['max_cluster_size']} documents",
+            "",
+            "| cluster_id | size |",
+            "|---|---|",
+        ]
+        for c in dc["largest"]:
+            lines.append(f"| {c['cluster_id']} | {c['size']} |")
     # observations — the reference report always closes with findings
     lines += ["", "## Observations", ""]
     failed_rules = [r for r in report["rules"] if r["passed"] < r["partitions"]]

@@ -471,6 +471,19 @@ def test_ivf_topk_recall_and_exact_degradation(spark):
               for r in ivf_topk(q, b, k=3, n_cells=4, nprobe=1).collect()}
     assert len(probe1 & exact) / len(exact) >= 0.9
 
+    # BOUNDED coarse-quantizer fit (the 10^12 default): training KMeans on
+    # a fraction of the base must not change the full-probe answer — the
+    # exact ranking is centroid-independent when every cell is probed
+    sampled = {(r["q_id"], r["b_id"])
+               for r in ivf_topk(q, b, k=3, n_cells=4, nprobe=4,
+                                 max_train_vectors=60).collect()}
+    assert sampled == exact
+    # explicit sample_fraction override still honored
+    frac = {(r["q_id"], r["b_id"])
+            for r in ivf_topk(q, b, k=3, n_cells=4, nprobe=4,
+                              sample_fraction=0.3).collect()}
+    assert frac == exact
+
 
 def test_dup_clusters_transitive_merge(spark):
     from semantic_log_detector_spark.operators.dedup import dup_clusters

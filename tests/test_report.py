@@ -48,3 +48,52 @@ def test_report_sections(spark, tmp_path):
                     "## 7. Robustness", "## Observations"):
         assert section in md, f"missing section {section!r}"
     assert "R050_drift_psi" in md
+
+
+def test_report_training_data_sections(spark, tmp_path):
+    """Curation accounting, decontamination counts, and the dup-cluster
+    summary render when the curate pass left its artifacts in out_dir."""
+    from semantic_log_detector_spark.operators.curate import (
+        curate_documents, curation_summary)
+
+    out = str(tmp_path / "run2")
+    clips = clips_table(spark, 1500)
+    transcripts = transcripts_table(spark, 1500)
+    run_suite(spark, clips, transcripts, out, SuiteConfig(),
+              input_fingerprint="report_td_test")
+
+    # tiny corpus with a planted 3-chain near-dup cluster + a junk doc
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here"),
+         (3, base + " extra tail words here now"),
+         (10, "completely different text about spark shuffles and partitions "
+              "written at length to pass the quality and token thresholds " * 6),
+         (99, "zz")],  # fails quality
+        ["doc_id", "text"],
+    )
+    arts, stats = {}, {"decontaminated_docs": 4}  # decontamination count as the CLI records it
+    kept = curate_documents(docs, exact_pairs=True, jaccard_threshold=0.5,
+                            min_quality=0.2, langs=(), drop_stats=stats,
+                            artifacts=arts)
+    kept.write.mode("overwrite").parquet(f"{out}/kept")
+    arts["clusters"].write.mode("overwrite").parquet(f"{out}/dup_clusters")
+    summary = curation_summary(spark.read.parquet(f"{out}/kept")).first().asDict()
+    summary["drop_stats"] = {k: v for k, v in stats.items() if k != "persisted"}
+    with open(f"{out}/curation_summary.json", "w") as f:
+        json.dump(summary, f, default=str)
+
+    report = write_report(spark, out)
+    assert report["curation"]["n_docs"] == summary["n_docs"]
+    assert report["curation"]["drop_stats"]["decontaminated_docs"] == 4
+    dc = report["dup_clusters"]
+    assert dc["n_clusters"] == 1
+    assert dc["n_docs_in_clusters"] == 3      # the planted 1-2-3 chain
+    assert dc["n_docs_removed"] == 2          # one canonical kept
+    assert dc["largest"][0]["size"] == 3
+
+    md = open(os.path.join(out, "report.md")).read()
+    assert "## 8. Training-data curation" in md
+    assert "## 9. Duplicate clusters" in md
+    assert "removed for benchmark overlap" in md
+    assert "one canonical kept per cluster" in md

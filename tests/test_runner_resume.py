@@ -109,3 +109,56 @@ def test_verdicts_stable_across_input_parallelism(spark, tmp_path):
         run_suite(spark, clips, None, out, cfg, input_fingerprint=f"p{i}")
         outs.append(out)
     assert _verdict_set(spark, outs[0]) == _verdict_set(spark, outs[1])
+
+
+def test_ledger_concurrent_appends_are_safe(spark, tmp_path):
+    """Two (or eight) drivers resuming the same out_dir may append to the
+    ledger concurrently. Appends are uuid-named write-to-temp + atomic
+    rename, so interleaving can never corrupt a file or lose rows, and
+    completed_map must see the union of all drivers' completions."""
+    import os
+    import threading
+
+    from semantic_log_detector_spark.plans import ledger
+
+    path = str(tmp_path / "ledger")
+    n_threads, n_appends = 8, 12
+    errors = []
+
+    def driver(t):
+        try:
+            for a in range(n_appends):
+                ledger.append(
+                    spark, path, run_id=f"run{t}", check_id=f"chk{t}",
+                    part_stats=[(t * n_appends + a, 100, 0)],
+                    wall_ms=1.0, input_fingerprint="fp", config_hash="cfg",
+                )
+        except Exception as e:  # surfaced below — thread exceptions don't fail tests
+            errors.append(e)
+
+    threads = [threading.Thread(target=driver, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+
+    # every file parses (no torn writes), no leftover temp visible to readers
+    import pyarrow.parquet as pq
+    files = sorted(os.listdir(path))
+    assert len([f for f in files if f.endswith(".parquet")]) == n_threads * n_appends
+    assert not [f for f in files if f.endswith(".tmp")]
+    total = sum(pq.read_table(os.path.join(path, f)).num_rows
+                for f in files if f.endswith(".parquet"))
+    assert total == n_threads * n_appends
+
+    done = ledger.completed_map(spark, path, "fp", "cfg")
+    for t in range(n_threads):
+        assert done[f"chk{t}"] == {t * n_appends + a for a in range(n_appends)}
+
+    # a driver that crashed mid-write (leftover dot-temp) must be invisible
+    # to both readers: Spark and the pyarrow resume scan skip dotfiles
+    with open(os.path.join(path, ".part-dead.parquet.tmp"), "wb") as f:
+        f.write(b"torn half-written garbage")
+    assert ledger.completed_map(spark, path, "fp", "cfg") == done
+    assert spark.read.parquet(path).count() == n_threads * n_appends
