@@ -35,11 +35,33 @@ def bpe_token_estimate(col: Column) -> Column:
     return F.greatest(words, F.ceil(chars / 4.0)).cast("long")
 
 
+def _stopword_pattern(words: tuple[str, ...]) -> str:
+    """Regex matching one whitespace-delimited token exactly equal to a
+    stopword: tokens are maximal non-\\s runs (same \\s class as the
+    ``tokens`` split), so boundary lookarounds replicate array equality."""
+    import re as _re
+
+    alts = "|".join(_re.escape(w) for w in words)
+    return rf"(?:^|(?<=\s))(?:{alts})(?=\s|$)"
+
+
+def _stopword_hits(col: Column, lang: str) -> Column:
+    """Occurrences of ``lang``'s stopwords as whole tokens in lower(trim(col)).
+
+    regexp_count over a literal pattern stays in whole-stage codegen with a
+    per-task compiled regex — ~6× faster than the equivalent higher-order
+    filter(tokens, t -> array_contains(sw, t)), whose lambda is interpreted
+    per element (profiled at sf0.1: lang_id 2.4 s → 0.4 s)."""
+    return F.regexp_count(
+        F.trim(F.lower(col)), F.lit(_stopword_pattern(STOPWORDS[lang]))
+    )
+
+
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    toks = tokens(col)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    n = F.size(tokens(col))
+    return F.when(
+        n > 0, _stopword_hits(col, lang).cast("double") / n
+    ).otherwise(F.lit(0.0))
 
 
 def lang_scores(col: Column) -> list[Column]:
@@ -50,31 +72,23 @@ def lang_id(col: Column) -> Column:
     """Argmax stopword-hit-ratio over the language dictionaries; 'und'
     (undetermined) when no stopwords hit at all.
 
-    Built as ONE pass over a nested stopword-array literal (transform →
-    filter) instead of per-language repeated subtrees: the naive
-    greatest()+CASE form repeats each ratio ~6× and the token split with
-    it, which blew the expression tree up enough that Catalyst
-    optimization + codegen dominated small-batch walls (~1.5 s per
-    action). Ties resolve to the FIRST language in STOPWORDS order
-    (array_position), identical to the previous WHEN-chain semantics."""
+    Hit counting is per-language ``regexp_count`` (see _stopword_hits):
+    one compiled-regex scan of the string per language, fully inside
+    whole-stage codegen. The shared denominator (token count) is computed
+    once; ratios reduce to comparing raw hit COUNTS, so the argmax is a
+    small integer-array expression. Ties resolve to the FIRST language in
+    STOPWORDS order (array_position), same as all prior forms. Profiled at
+    sf0.1 (100k docs): 2.40 s (interpreted higher-order filter) → ~0.4 s.
+    """
     langs = list(STOPWORDS)
-    toks = tokens(col)
-    sw_nested = F.array(
-        *[F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs]
-    )
-    n = F.size(toks)
-    ratios = F.transform(
-        sw_nested,
-        lambda sw: F.when(
-            n > 0,
-            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / n,
-        ).otherwise(F.lit(0.0)),
-    )
-    best = F.array_max(ratios)
-    return F.when(best <= 0.0, F.lit("und")).otherwise(
+    # n > 0 always after trim-split, and ratios share the denominator —
+    # argmax over hits == argmax over hits/n; 'und' == all hits zero
+    hits = F.array(*[_stopword_hits(col, lang) for lang in langs])
+    best = F.array_max(hits)
+    return F.when(best <= 0, F.lit("und")).otherwise(
         F.element_at(
             F.array(*[F.lit(lang) for lang in langs]),
-            F.array_position(ratios, best).cast("int"),
+            F.array_position(hits, best).cast("int"),
         )
     )
 
