@@ -780,6 +780,39 @@ def _q47_sessionize(spark, sf):
     )
 
 
+def _q48_vocab_topk(spark, sf):
+    """Exact corpus vocabulary heavy hitters: top-50 tokens by occurrence
+    count with document frequency — one explode + two-phase aggregate,
+    TakeOrdered top-k (operators/textstats.py::token_frequencies)."""
+    from semantic_log_detector_spark.operators.textstats import token_frequencies
+
+    d = _t(spark, sf, "documents")
+    return (
+        token_frequencies(d)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def _q49_token_budget_sample(spark, sf):
+    """Deterministic per-source token-budget mixture sampling (data
+    mixing): keep ≈800 tokens per source via the broadcast-totals +
+    md5-bucket filter (operators/splits.py::token_budget_sample — no
+    per-source sort, the 100 TB shape); audited per source."""
+    from semantic_log_detector_spark.operators.splits import token_budget_sample
+
+    d = _t(spark, sf, "documents")
+    kept = token_budget_sample(d, budget_tokens=800)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -829,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_asof_join": _q45_asof_join,
         "q46_range_join": _q46_range_join,
         "q47_sessionize": _q47_sessionize,
+        "q48_vocab_topk": _q48_vocab_topk,
+        "q49_token_budget_sample": _q49_token_budget_sample,
     }
 
 
@@ -1327,6 +1362,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM numbered
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q48_vocab_topk": r"""
+            SELECT token, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 50
+        """,
+        "q49_token_budget_sample": r"""
+            WITH nt AS (
+              SELECT doc_id, source,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 10000 AS h
+              FROM documents),
+            tot AS (SELECT source, sum(n_tokens)::BIGINT AS total FROM nt GROUP BY source)
+            SELECT nt.source, count(*)::BIGINT AS n_kept,
+                   sum(n_tokens)::BIGINT AS kept_tokens
+            FROM nt JOIN tot ON nt.source = tot.source
+            WHERE h < LEAST(1.0, 800.0 / total) * 10000
+            GROUP BY nt.source ORDER BY nt.source
         """,
     } | _long_oracles()
 

@@ -51,3 +51,57 @@ def hash_split(
     last_name = items[-1][0]
     tail = expr.otherwise(last_name) if expr is not None else F.lit(last_name)
     return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(tail)
+
+
+def token_budget_sample(
+    df,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    granularity: int = 10_000,
+):
+    """Deterministic per-source token-budget downsample — the data-mixing
+    primitive: "give me ≈``budget_tokens`` tokens from EACH source, chosen
+    reproducibly".
+
+    Two passes, both scale-safe at 10^12 docs:
+
+    1. Exact per-source token totals — one partial-aggregated groupBy over
+       a narrow (source, n_tokens) projection; the result is
+       sources-cardinality tiny and is **broadcast** back.
+    2. A stateless keep filter: ``md5_bucket(id)/granularity <
+       budget/total``. md5 is uniform, so kept tokens converge to the
+       budget (± one bucket's worth) per source, and membership is a pure
+       function of the id — reproducible across runs, engines and
+       partitionings, exactly like ``hash_split``.
+
+    Deliberately NOT a running-sum window over md5-ordered docs: that
+    would be exact to the token, but a per-source global sort serializes
+    each source into one task — the opposite of the 100 TB shape.
+
+    Returns kept rows: (id, source, n_tokens). Null ids are dropped (their
+    bucket is null), mirroring hash_split's null surfacing semantics.
+    """
+    from .textstats import token_count
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % granularity
+        ).alias("__bucket"),
+    )
+    totals = d.groupBy("source").agg(F.sum("n_tokens").alias("__total"))
+    keep_frac = F.least(
+        F.lit(1.0), F.lit(float(budget_tokens)) / F.col("__total")
+    )
+    return (
+        d.join(F.broadcast(totals), "source")
+        .filter(F.col("__bucket") < keep_frac * granularity)
+        .select("id", "source", "n_tokens")
+    )

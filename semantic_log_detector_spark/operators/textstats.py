@@ -116,3 +116,29 @@ def doc_fingerprint(col: Column, shingle_n: int = 3) -> Column:
     """Rolling-hash document fingerprint: min xxhash64 over token shingles
     (1-permutation MinHash) — stable under reordering-free edits."""
     return F.array_min(F.transform(token_shingles(col, shingle_n), lambda s: F.xxhash64(s)))
+
+
+def token_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact corpus vocabulary statistics: per token, total occurrence
+    count and document frequency — the table a stop-list, a max_df cutoff
+    (``dedup.ngram_jaccard_pairs``), or a tokenizer-coverage audit is read
+    from.
+
+    One explode over the shared ``tokens`` split, then a single two-phase
+    aggregate: occurrence counting is a plain partial-aggregated count;
+    document frequency is count_distinct(id), which Spark plans as an
+    Expand + two-level hash aggregate over (token, id) — shuffle keyed on
+    the token, never a driver-side structure, so a 10^12-doc vocabulary
+    table is just a big groupBy. Top-K consumers take it with
+    orderBy().limit(k) (TakeOrdered — no full sort materialized).
+    """
+    from .dedup import tokens
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )

@@ -746,3 +746,46 @@ def test_contamination_broadcast_guard_falls_back_to_shuffle(spark):
         (r["doc_id"], r["bench_id"], r["inter"], r["containment"]) for r in rows
     )
     assert as_tuples(via_bcast) == as_tuples(via_shuffle) == [(1, 100, 8, 1.0)]
+
+
+def test_token_frequencies_exact(spark):
+    from semantic_log_detector_spark.operators.textstats import token_frequencies
+
+    d = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the dog"), (3, ""), (4, "  CAT  ")],
+        ["doc_id", "text"],
+    )
+    rows = {r["token"]: r for r in token_frequencies(d).collect()}
+    assert rows["the"]["n_occurrences"] == 3 and rows["the"]["n_docs"] == 2
+    assert rows["cat"]["n_occurrences"] == 2 and rows["cat"]["n_docs"] == 2  # lowered
+    assert rows["dog"]["n_occurrences"] == 2 and rows["dog"]["n_docs"] == 2
+    assert rows[""]["n_docs"] == 1  # empty text -> [''] token, counted (oracle twin)
+
+
+def test_token_budget_sample_deterministic_and_bounded(spark):
+    from semantic_log_detector_spark.operators.splits import token_budget_sample
+
+    docs = [(i, f"s{i % 2}", "tok " * (10 + i % 5)) for i in range(200)]
+    d = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    kept1 = sorted(r["id"] for r in token_budget_sample(d, 300).collect())
+    kept2 = sorted(
+        r["id"] for r in token_budget_sample(d.repartition(7), 300).collect()
+    )
+    assert kept1 == kept2 and len(kept1) > 0  # pure function of id — partitioning-proof
+    # kept tokens per source converge to the budget (md5 uniformity, ±
+    # sampling noise at 100 docs/source)
+    per_src = {
+        r["source"]: r["kt"]
+        for r in token_budget_sample(d, 300)
+        .groupBy("source").agg(F.sum("n_tokens").alias("kt")).collect()
+    }
+    for src, kt in per_src.items():
+        assert 100 <= kt <= 600, (src, kt)
+    # budget >= total keeps everything
+    assert token_budget_sample(d, 10**9).count() == 200
+    # null ids are dropped, not silently routed
+    dn = spark.createDataFrame(
+        [(None, "s0", "a b c"), (1, "s0", "a b c")],
+        "doc_id int, source string, text string",
+    )
+    assert token_budget_sample(dn, 10**9).count() == 1
