@@ -52,6 +52,18 @@ from .base import (
 R_DECODE = "R060_decode"
 R_DURATION = "R061_duration_consistency"
 R_CODEC = "R062_codec_fidelity"
+R_CLIPPING = "R063_clipping"
+R_SILENCE = "R064_silence"
+R_DC = "R065_dc_offset"
+
+# payload-quality thresholds (decoded-PCM rules, computed inside the one
+# decode pass — no extra read). Calibrated against the codec family: the
+# 0.97 clip level sits above every real codec's full-scale roundtrip
+# (µ-law max ≈ 0.984) and far above legit synth peaks (≤ 0.75 + noise);
+# the 2e-3 silence level sits above IMA ADPCM's minimum-step wander.
+CLIP_LEVEL, CLIP_MAX_RATIO = 0.97, 0.02
+SIL_LEVEL, SIL_MIN_RATIO = 2e-3, 0.98
+DC_MAX = 0.1
 R_PSI = "R050_drift_psi"
 R_KS = "R051_drift_ks"
 
@@ -187,6 +199,24 @@ def stats_record_batch(
                 raise ValueError("non-finite features")
             feats[i] = fv
             ok[i] = True
+            # payload-quality rules on the decoded PCM (same pass, no
+            # extra read): clipping, near-silence, DC-offset bias
+            absd = np.abs(pcm)
+            if len(absd):
+                clip_ratio = float((absd >= CLIP_LEVEL).mean())
+                if clip_ratio > CLIP_MAX_RATIO:
+                    viol(R_CLIPPING, parts[i], clip_ids[i],
+                         f"clipping_ratio={clip_ratio:.4f}",
+                         f"fraction(|s|>={CLIP_LEVEL}) <= {CLIP_MAX_RATIO}")
+                sil_ratio = float((absd < SIL_LEVEL).mean())
+                if sil_ratio > SIL_MIN_RATIO:
+                    viol(R_SILENCE, parts[i], clip_ids[i],
+                         f"silence_ratio={sil_ratio:.4f}",
+                         f"fraction(|s|<{SIL_LEVEL}) <= {SIL_MIN_RATIO}")
+                dc = float(abs(pcm.mean()))
+                if dc > DC_MAX:
+                    viol(R_DC, parts[i], clip_ids[i],
+                         f"dc_offset={dc:.4f}", f"|mean(s)| <= {DC_MAX}")
             dd, dsr = decl_dur[i], decl_sr[i]
             if dd is not None and dd > 0 and dsr is not None and dsr == sr:
                 decoded_ms = len(pcm) * 1000.0 / sr
@@ -645,13 +675,14 @@ def drift_check(
         )
         is_decode = F.col("feature") == R_DECODE
         is_codec = F.col("feature") == R_CODEC
+        is_quality = F.col("feature").isin(R_CLIPPING, R_SILENCE, R_DC)
         viol_rows = stats.filter(F.col("kind") == "v").select(
             F.lit(ctx.run_id).alias("run_id"),
             F.col("part_id").cast("int").alias("part_id"),
             F.col("feature").alias("rule_id"),
             "clip_id",
             F.when(is_codec, F.lit("codec"))
-            .when(is_decode, F.lit("bytes"))
+            .when(is_decode | is_quality, F.lit("bytes"))
             .otherwise(F.lit("dur_ms")).alias("column"),
             F.col("observed"),
             F.col("expected"),
@@ -664,6 +695,15 @@ def drift_check(
             ).when(
                 is_codec,
                 F.lit("declared codec has no registered decoder (strict_codecs)"),
+            ).when(
+                F.col("feature") == R_CLIPPING,
+                F.lit("decoded waveform is clipped (flat-topped at full scale)"),
+            ).when(
+                F.col("feature") == R_SILENCE,
+                F.lit("decoded waveform is effectively silent"),
+            ).when(
+                F.col("feature") == R_DC,
+                F.lit("decoded waveform carries a DC-offset bias"),
             ).otherwise(F.lit("decoded duration differs from declared dur_ms")).alias("explanation"),
         )
 
@@ -723,7 +763,9 @@ def drift_check(
                 F.col("worst_feature"), F.lit(")"),
             ).alias("explanation"),
         )
-        decode_rules = [R_DECODE, R_DURATION] + ([R_CODEC] if strict_codecs else [])
+        decode_rules = [R_DECODE, R_DURATION, R_CLIPPING, R_SILENCE, R_DC] + (
+            [R_CODEC] if strict_codecs else []
+        )
         decode_verdicts = verdicts_from_violations(
             viol_rows.withColumnRenamed("part_id", ctx.part_col),
             part_counts,

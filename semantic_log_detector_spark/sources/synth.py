@@ -105,6 +105,11 @@ DEFECT_RATES = {
     "codec_unknown": 0.001,
     "transcript_null": 0.003,
     "bytes_truncated": 0.0005,
+    # payload-quality defects (decoded-PCM rules R063/R064/R065): clipped
+    # waveform, near-silent clip, DC-offset bias
+    "audio_clipped": 0.0015,
+    "audio_silent": 0.0015,
+    "audio_dc": 0.001,
 }
 
 
@@ -203,6 +208,9 @@ def with_audio(
             u_freq = _u01(i_arr, 20, seed)
             u_amp = 0.3 + 0.4 * _u01(i_arr, 21, seed)
             u_trunc = _u01(i_arr, 22, seed) < DEFECT_RATES["bytes_truncated"]
+            u_clip = _u01(i_arr, 25, seed) < DEFECT_RATES["audio_clipped"]
+            u_sil = _u01(i_arr, 26, seed) < DEFECT_RATES["audio_silent"]
+            u_dc = _u01(i_arr, 27, seed) < DEFECT_RATES["audio_dc"]
             for row_n, (idx, sr, dur, part, codec) in enumerate(
                 zip(i_arr, pdf["sr_hz"], pdf["dur_ms"], pdf["part_id"], pdf["codec"])
             ):
@@ -216,6 +224,14 @@ def with_audio(
                 t = np.arange(max(ns, 16), dtype=np.float64) / sr_i
                 rng = np.random.Generator(np.random.Philox(key=int(idx) + seed))
                 pcm = u_amp[row_n] * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+                # planted payload-quality defects (R063/R064/R065): the
+                # encoder's int16 clamp turns the 4× gain into flat tops
+                if u_clip[row_n]:
+                    pcm = pcm * 4.0
+                elif u_sil[row_n]:
+                    pcm = pcm * 0.0005
+                elif u_dc[row_n]:
+                    pcm = pcm * 0.5 + 0.4
                 enc = _ENCODERS.get(codec, encode_wav)
                 buf = enc(pcm.astype(np.float32), sr_i)
                 if u_trunc[row_n]:

@@ -73,3 +73,46 @@ def test_normal_parts_psi_low(drift_res):
         F.regexp_extract("observed", r"max_psi=([0-9.]+)", 1).cast("double").alias("psi")
     ).collect()
     assert all(r["psi"] is not None and r["psi"] < 0.2 for r in psis)
+
+
+def test_payload_quality_rules_flag_exactly_planted(spark):
+    """R063/R064/R065 fire on exactly the planted clipped / silent /
+    DC-biased clips (every codec family included) and never on clean ones
+    — computed inside the same single decode pass (no extra payload read)."""
+    import numpy as np
+
+    from semantic_log_detector_spark.checks.drift import decode_stats
+    from semantic_log_detector_spark.sources.synth import (
+        DEFECT_RATES, _u01, clips_table)
+
+    n = 20000
+    i = np.arange(n)
+    planted = {
+        "R063_clipping": int((_u01(i, 25, 42) < DEFECT_RATES["audio_clipped"]).sum()),
+        "R064_silence": int((_u01(i, 26, 42) < DEFECT_RATES["audio_silent"]).sum()),
+        "R065_dc_offset": int((_u01(i, 27, 42) < DEFECT_RATES["audio_dc"]).sum()),
+    }
+    assert all(v > 0 for v in planted.values())  # the test plants something
+    stats = decode_stats(clips_table(spark, n, with_bytes=True), CTX16)
+    got = {
+        r["feature"]: r["n"]
+        for r in stats.filter(F.col("kind") == "v")
+        .groupBy("feature").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["feature"] in planted
+    }
+    # exact: every planted defect detected THROUGH its codec roundtrip
+    # (mulaw/alaw/adpcm included), zero false positives on clean clips
+    assert got == planted
+
+
+def test_payload_quality_verdicts_in_suite(spark):
+    """The quality rules surface as per-partition verdict rows of the
+    drift check (pass/fail + violation rows), like R060/R061."""
+    from semantic_log_detector_spark.sources.synth import clips_table
+
+    res = drift_check(clips_table(spark, 4000, with_bytes=True), CTX16)
+    rules = {r["rule_id"] for r in res.verdicts.select("rule_id").distinct().collect()}
+    assert {"R063_clipping", "R064_silence", "R065_dc_offset"} <= rules
+    viols = res.violations.filter(F.col("rule_id") == "R063_clipping").collect()
+    assert viols and all(v["column"] == "bytes" and v["severity"] == "Medium"
+                         and v["clip_id"] for v in viols)
