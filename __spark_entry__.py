@@ -813,6 +813,17 @@ def _q49_token_budget_sample(spark, sf):
     )
 
 
+def _q50_repetition(spark, sf):
+    """Gopher-style per-doc repetition quality signals: duplicate-bigram
+    occurrence fraction + top-bigram share (ties to the lexicographically
+    smallest gram) — two partial-aggregated groupBys, doc spine preserved
+    (operators/textstats.py::repetition_stats)."""
+    from semantic_log_detector_spark.operators.textstats import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return repetition_stats(d).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_sessionize": _q47_sessionize,
         "q48_vocab_topk": _q48_vocab_topk,
         "q49_token_budget_sample": _q49_token_budget_sample,
+        "q50_repetition": _q50_repetition,
     }
 
 
@@ -1387,6 +1399,37 @@ def oracle_sql() -> dict[str, str]:
             FROM nt JOIN tot ON nt.source = tot.source
             WHERE h < LEAST(1.0, 800.0 / total) * 10000
             GROUP BY nt.source ORDER BY nt.source
+        """,
+        "q50_repetition": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
+              ) AS gram
+              FROM t WHERE len(tk) >= 2),
+            counts AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_grams,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                     max(c) AS top
+              FROM counts GROUP BY doc_id),
+            tg AS (
+              SELECT doc_id, gram AS top_gram FROM (
+                SELECT doc_id, gram,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM counts) WHERE rn = 1)
+            SELECT d.doc_id AS id,
+                   coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+                   round(coalesce(pd.dup::DOUBLE / pd.n_grams, 0.0), 6) AS dup_gram_frac,
+                   round(coalesce(pd.top::DOUBLE / pd.n_grams, 0.0), 6) AS top_gram_frac,
+                   coalesce(tg.top_gram, '') AS top_gram
+            FROM documents d
+            LEFT JOIN pd ON d.doc_id = pd.doc_id
+            LEFT JOIN tg ON d.doc_id = tg.doc_id
+            ORDER BY id
         """,
     } | _long_oracles()
 

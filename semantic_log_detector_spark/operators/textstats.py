@@ -142,3 +142,62 @@ def token_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
             F.countDistinct("id").alias("n_docs"),
         )
     )
+
+
+def token_ngrams(col: Column, n: int = 2) -> Column:
+    """NON-distinct token n-grams (every occurrence, unlike
+    ``dedup.token_shingles``) — repetition analysis needs multiplicity.
+    Docs with fewer than ``n`` tokens yield an empty array."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+):
+    """Per-doc repetition quality signals (the Gopher-style repetition
+    filters of an LLM curation pipeline): over each doc's token ``n``-grams,
+
+      dup_gram_frac — fraction of gram OCCURRENCES whose gram appears
+                      more than once in the doc (boilerplate/looping text),
+      top_gram_frac — occurrence share of the single most frequent gram
+                      (ties broken lexicographically smallest).
+
+    Shape: explode → groupBy (doc, gram) → per-doc aggregate. Both
+    aggregations partial-combine map-side and shuffle on (doc, gram) /
+    doc — per-doc state never exceeds its own vocabulary, so 10^12 docs
+    is just a big two-stage groupBy. Docs with < n tokens emit zero
+    fractions (kept via left join on the id spine).
+    """
+    spine = df.select(F.col(id_col).alias("id"))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = g.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__dup"),
+        F.max("c").alias("__top"),
+        F.min_by("gram", F.struct(-F.col("c"), F.col("gram"))).alias("top_gram"),
+    )
+    return (
+        spine.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("__dup") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.coalesce(F.col("__top") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("top_gram_frac"),
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+        )
+    )

@@ -789,3 +789,23 @@ def test_token_budget_sample_deterministic_and_bounded(spark):
         "doc_id int, source string, text string",
     )
     assert token_budget_sample(dn, 10**9).count() == 1
+
+
+def test_repetition_stats_known_answer(spark):
+    from semantic_log_detector_spark.operators.textstats import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> all dup; top 'a b' 3/5
+            (2, "w x y z"),            # 3 bigrams, all unique
+            (3, "hi"),                 # < 2 tokens -> zero row kept via spine
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in repetition_stats(d).collect()}
+    assert rows[1]["n_grams"] == 5
+    assert rows[1]["dup_gram_frac"] == 1.0
+    assert rows[1]["top_gram_frac"] == 0.6 and rows[1]["top_gram"] == "a b"
+    assert rows[2]["dup_gram_frac"] == 0.0 and rows[2]["top_gram_frac"] == round(1 / 3, 6)
+    assert rows[3]["n_grams"] == 0 and rows[3]["dup_gram_frac"] == 0.0
+    assert rows[3]["top_gram"] == ""
