@@ -69,13 +69,17 @@ def _surface_bucket_drops(
     - ``drop_stats`` is None, AQE **enabled** (the session default) → the
       observation path is known-broken: the pair self-joins reference the
       guarded subtree twice, and Spark reports an EMPTY observation for a
-      duplicated CollectMetrics node under AQE, which would let the cap
-      drop pairs with no runtime signal. So the guard falls back to the
-      eager count path (same as the dict mode, into an internal dict) —
-      one small driver round-trip at build time buys the "no silent caps"
-      contract back. The round-trip also materializes the lazily
-      localCheckpoint'ed bucket table, which the consuming join then
-      reuses, so the marginal cost is the tiny agg itself."""
+      duplicated CollectMetrics node under AQE. The guard STILL applies
+      (over-cap buckets are dropped either way) but the drop COUNTS are
+      not observable, so a WARNING is logged at build time telling the
+      caller that pairs inside over-cap buckets are removed without
+      runtime accounting and that dict mode gives guaranteed counts.
+      An earlier build EAGER-counted here instead (a build-time job into
+      an internal dict); interleaved A/B at sf0.1 measured that job at
+      +50-100% end-to-end on the LSH queries (the synchronous count
+      serializes the banding materialization), so the default stays a
+      pure plan constructor and every shipped pipeline entrypoint
+      (CLI run/curate, the runner, the stress bench) passes a dict."""
     if drop_stats is None:
         session = sizes.sparkSession
         aqe = (
@@ -83,13 +87,13 @@ def _surface_bucket_drops(
             == "true"
         )
         if aqe:
-            _LOG.info(
-                "%s: AQE is enabled — observed-metrics drop accounting is "
-                "unreliable (empty observation on duplicated CollectMetrics"
-                " subtrees); falling back to eager drop counts",
-                op,
+            _LOG.warning(
+                "%s: AQE is enabled — stop-bucket drop COUNTS are not "
+                "observable at runtime (the cap still applies: pairs "
+                "inside buckets larger than max_bucket=%d are NOT "
+                "emitted). Pass drop_stats={} for guaranteed counts.",
+                op, max_bucket,
             )
-            drop_stats = {}
     if isinstance(drop_stats, dict):
         row = (
             sizes.filter(F.col("bsz") > max_bucket)

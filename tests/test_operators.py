@@ -277,29 +277,42 @@ def test_max_bucket_none_is_explicit_unbounded_mode(spark):
     assert simhash_pairs(df, "text", "doc_id", max_bucket=None).count() == 30 * 29 // 2
 
 
-def test_pair_builders_count_drops_eagerly_under_aqe(spark):
+def test_pair_builders_stay_lazy_and_warn_under_aqe(spark, caplog):
     # under AQE (the session default) the observed-metrics path is
     # known-broken (empty observation on a duplicated CollectMetrics
-    # subtree), so the guard must fall back to EAGER drop accounting —
-    # "no silent caps" survives the default config. Evidence: construction
-    # runs the (small) counting job(s).
+    # subtree). The guard must NOT fall back to an eager build-time count
+    # — interleaved A/B at sf0.1 measured that job at +50-100% on the LSH
+    # queries — it must stay a pure plan constructor and WARN that drop
+    # counts are unavailable (dict mode is the guaranteed path, and every
+    # shipped pipeline entrypoint passes a dict).
+    import logging
+
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     df = spark.createDataFrame(
         [(i, "the same stop text repeated for every document here") for i in range(60)],
         ["doc_id", "text"],
     )
     sc = spark.sparkContext
-    group = "construction-counts-drops-under-aqe"
-    sc.setJobGroup(group, "eager guard")
+    group = "construction-stays-lazy-under-aqe"
+    sc.setJobGroup(group, "lazy guard")
     try:
-        out = minhash_lsh_pairs(
-            df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10
-        )
-        assert len(list(sc.statusTracker().getJobIdsForGroup(group))) > 0
+        with caplog.at_level(
+            logging.WARNING, logger="semantic_log_detector_spark.operators.dedup"
+        ):
+            out = minhash_lsh_pairs(
+                df, "text", "doc_id", jaccard_threshold=0.5, max_bucket=10
+            )
+        # no Spark job at construction time
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    # the mono-bucket corpus is fully capped: no pairs survive, and the
-    # guard already warned at build time (eager path)
+    # the caller was warned, with the remedy named
+    assert any(
+        "drop COUNTS are not observable" in r.getMessage()
+        and "drop_stats" in r.getMessage()
+        for r in caplog.records
+    )
+    # the cap itself still applies: the mono-bucket corpus is fully dropped
     assert out.count() == 0
 
 
