@@ -12,6 +12,11 @@ has sent so far".
 
 Same fixed-bin + Laplace-smoothed PSI math as the batch drift check
 (checks/drift.py), so thresholds are portable between the modes.
+
+Two operators: ``stream_rolling_drift`` scores a scalar column (cheap
+proxy, e.g. dur_ms); ``stream_feature_drift`` decodes the audio payloads
+inside the stateful operator and scores every MFCC/rms/centroid feature
+histogram — full parity with the batch drift check's representation.
 """
 
 from __future__ import annotations

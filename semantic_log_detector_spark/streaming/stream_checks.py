@@ -123,3 +123,28 @@ def stream_suite(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_payload_violations(stream_df: DataFrame, ctx: RunContext) -> DataFrame:
+    """Per-clip payload violations (R060 decode, R061 duration, R063
+    clipping, R064 silence, R065 DC offset) on a STREAM of clips.
+
+    Stateless: ``checks.drift.decode_stats`` is a mapInArrow kernel, which
+    Structured Streaming runs unchanged per micro-batch — the exact batch
+    rule code (same thresholds, same one-pass decode) emitting the sparse
+    violation rows only. Pair with ``stateful.stream_feature_drift`` for
+    the distribution-level signal; this is the per-clip level.
+    """
+    from ..checks.drift import decode_stats
+
+    return (
+        decode_stats(stream_df, ctx)
+        .filter(F.col("kind") == "v")
+        .select(
+            F.col("part_id"),
+            F.col("feature").alias("rule_id"),
+            "clip_id",
+            "observed",
+            "expected",
+        )
+    )

@@ -108,3 +108,52 @@ def test_stream_duplicate_ids_append_mode(spark, tmp_path):
         for r in spark.sql("select * from dups_append").collect()
     }
     assert got == {"X": 3}
+
+
+def test_stream_payload_violations(spark, tmp_path):
+    """The per-clip payload rules (decode/quality) run unchanged on a
+    stream: planted clipped / silent / truncated payloads in a file
+    stream emit exactly their R-rule violation rows, clean clips none."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_log_detector_spark.checks.base import RunContext
+    from semantic_log_detector_spark.functions.audio import encode_wav
+    from semantic_log_detector_spark.streaming.stream_checks import (
+        stream_payload_violations,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rows = [
+        ("ok1", 0, encode_wav(tone, sr), "pcm_s16le", sr, 500),
+        ("clip1", 0, encode_wav(tone * 4.0, sr), "pcm_s16le", sr, 500),
+        ("sil1", 1, encode_wav(tone * 0.0005, sr), "pcm_s16le", sr, 500),
+        ("bad1", 1, b"corrupt", "pcm_s16le", sr, 500),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "part_id", "bytes", "codec", "sr_hz", "dur_ms"]
+    )
+    src = str(tmp_path / "pv_src")
+    spark.createDataFrame(pdf.astype({"part_id": "int32", "sr_hz": "int32",
+                                      "dur_ms": "int32"})) \
+        .repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "clip_id string, part_id int, bytes binary, codec string,"
+        " sr_hz int, dur_ms int"
+    ).parquet(src)
+    out = stream_payload_violations(stream, RunContext(run_id="s", num_parts=4))
+    q = (
+        out.writeStream.format("memory").queryName("pv")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["clip_id"], r["rule_id"])
+           for r in spark.sql("SELECT * FROM pv").collect()}
+    assert got == {
+        ("clip1", "R063_clipping"),
+        ("sil1", "R064_silence"),
+        ("bad1", "R060_decode"),
+    }
