@@ -824,6 +824,63 @@ def _q50_repetition(spark, sf):
     return repetition_stats(d).orderBy("id")
 
 
+def _q51_pack_sequences(spark, sf):
+    """Deterministic sequence packing: greedy first-fit of documents into
+    64-token context windows within 8 md5 hash buckets — assignment is a
+    pure function of the id set, the only shuffle is one hash partition
+    on the bucket key (operators/packing.py::pack_sequences). context=64
+    at this scale so both branches (multi-doc windows and oversize
+    single-doc windows) are exercised and oracled."""
+    from semantic_log_detector_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, context_tokens=64, num_buckets=8).orderBy(
+        "bucket", "window_idx", "pos_in_window"
+    )
+
+
+_Q52_EXPORT = "/tmp/sldspark_oracle_q52_dup_audio_600.parquet"
+
+
+def _q52_audio_dup(spark, sf):
+    """Acoustic content-dup detection against planted ground truth: 600
+    synthetic melody clips, ~40% of odd rows duplicating their neighbor's
+    CONTENT under a different real codec and different noise
+    (sources/synth.py::content_dup_clips). The detector (60-bit melody
+    fingerprint + exact Hamming-≤3 pigeonhole join,
+    operators/audio_dedup.py) must recover exactly the planted pair set:
+    the oracle replays the planted pairs with found=TRUE from the export,
+    so a missed pair flips the hash and a false-positive pair changes the
+    rowcount — recall AND precision machine-checked, per the q33 scheme."""
+    import os
+
+    from semantic_log_detector_spark.operators.audio_dedup import audio_dup_pairs
+    from semantic_log_detector_spark.sources.synth import content_dup_clips
+
+    clips = content_dup_clips(spark, 600, seed=7)
+    truth = (
+        clips.filter("is_dup")
+        .select(
+            F.col("src_clip_id").alias("id_a"), F.col("clip_id").alias("id_b")
+        )
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    tmp = f"{_Q52_EXPORT}.{os.getpid()}.tmp"
+    truth.to_parquet(tmp, index=False)
+    os.replace(tmp, _Q52_EXPORT)  # atomic, idempotent: pure fn of (n, seed)
+    found = audio_dup_pairs(clips).withColumn("f", F.lit(True))
+    expected = spark.createDataFrame(truth)
+    return (
+        expected.alias("e")
+        .join(found.alias("d"), ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b", F.coalesce("f", F.lit(False)).alias("found")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -876,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_vocab_topk": _q48_vocab_topk,
         "q49_token_budget_sample": _q49_token_budget_sample,
         "q50_repetition": _q50_repetition,
+        "q51_pack_sequences": _q51_pack_sequences,
+        "q52_audio_dup": _q52_audio_dup,
     }
 
 
@@ -1430,6 +1489,47 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pd ON d.doc_id = pd.doc_id
             LEFT JOIN tg ON d.doc_id = tg.doc_id
             ORDER BY id
+        """,
+        # q51: the same greedy first-fit recurrence as pack_sequences,
+        # replayed sequentially per bucket by a recursive CTE (DuckDB
+        # advances every bucket one row_number step per iteration).
+        "q51_pack_sequences": r"""
+            WITH RECURSIVE nt AS (
+              SELECT doc_id,
+                     coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END, 0)::BIGINT AS n,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM documents WHERE doc_id IS NOT NULL),
+            b AS (
+              SELECT doc_id, n, h, h % 8 AS bucket,
+                     row_number() OVER (PARTITION BY h % 8
+                                        ORDER BY h, doc_id) AS rn
+              FROM nt),
+            pack AS (
+              SELECT doc_id, bucket, rn, n,
+                     0::BIGINT AS win, 0::BIGINT AS pos, n AS fill
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.bucket, d.rn, d.n,
+                     CASE WHEN p.fill + d.n <= 64 THEN p.win ELSE p.win + 1 END,
+                     CASE WHEN p.fill + d.n <= 64 THEN p.pos + 1 ELSE 0::BIGINT END,
+                     CASE WHEN p.fill + d.n <= 64 THEN p.fill + d.n ELSE d.n END
+              FROM b d JOIN pack p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+            SELECT doc_id, bucket, win AS window_idx, pos AS pos_in_window,
+                   n AS n_tokens, (n > 64) AS oversize
+            FROM pack
+            ORDER BY bucket, window_idx, pos_in_window
+        """,
+        # q52: planted-known-answer (q44/q33 scheme) — the oracle is the
+        # planted acoustic-dup pair set (exported at construction time,
+        # pure function of (n=600, seed=7)) with found=TRUE; a detector
+        # miss flips the hash, a false positive changes the rowcount.
+        "q52_audio_dup": f"""
+            SELECT id_a, id_b, TRUE AS found
+            FROM read_parquet('{_Q52_EXPORT}')
+            ORDER BY id_a, id_b
         """,
     } | _long_oracles()
 

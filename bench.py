@@ -21,7 +21,9 @@ NB (round 3): q43_training_selection times the exact-pair-graph curation
 (the CORRECTNESS path its oracle replays); `curation_lsh` times the same
 end-to-end curation through MinHash-LSH — the path a 100 TB corpus
 actually runs — so the scale path is measured, not just the verification
-path.
+path. `audio_dedup_20k` (round 3) times the acoustic dedup rung end-to-end
+(decode + fingerprint + pigeonhole join over 20k clips); total `value`
+grows accordingly — the cross-round comparable is `clips_per_sec`.
 """
 
 from __future__ import annotations
@@ -122,6 +124,28 @@ def main() -> None:
         curation_lsh()
         best = min(best, time.time() - t0)
     timings["curation_lsh"] = round(best, 3)
+
+    # acoustic content dedup over a materialized 20k-clip corpus (decode +
+    # melody fingerprint + exact Hamming-≤3 pigeonhole join — the payload
+    # rung of the dedup ladder, q52's operator at bench scale)
+    def audio_dedup_bench(corpus_dir):
+        from semantic_log_detector_spark.operators.audio_dedup import audio_dup_pairs
+
+        corpus = spark.read.parquet(corpus_dir)
+        audio_dup_pairs(corpus).write.format("noop").mode("overwrite").save()
+
+    n_dup = int(os.environ.get("SPARK_GRAFT_BENCH_DUP_CLIPS", 20_000))
+    ddir = f"/tmp/sld_bench_cache/dupaudio_{n_dup}_7"
+    if not (os.path.isdir(ddir) and any(f.endswith("parquet") for f in os.listdir(ddir))):
+        from semantic_log_detector_spark.sources.synth import content_dup_clips
+
+        content_dup_clips(spark, n_dup, seed=7).write.mode("overwrite").parquet(ddir)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        audio_dedup_bench(ddir)
+        best = min(best, time.time() - t0)
+    timings["audio_dedup_20k"] = round(best, 3)
 
     # untimed warmup suite on a small table: first-run codegen + python
     # worker spawn + page-cache effects cost 3-5× the steady-state wall

@@ -1,0 +1,189 @@
+"""Acoustic content-duplicate detection — dedup for the audio axis.
+
+Text near-dup (MinHash/SimHash over shingles) cannot see that two clips
+carry the same AUDIO: the same recording re-encoded (pcm → mulaw → adpcm)
+shares no bytes and no transcript guarantee. The reference has no audio
+dedup (its payloads are log lines); this closes the dedup ladder over the
+graft's payload axis with the same machinery the text ladder uses:
+
+1. ``audio_fingerprint`` — one mapInPandas pass decodes each payload
+   (real codecs only: `functions/audio.py` registry) and computes a
+   60-bit **melody fingerprint**: the clip is cut into 15 equal segments,
+   each segment's centered 512-sample Hann window is FFT'd, its energy is
+   pooled into 16 log-spaced bands, and the dominant band index (4 bits)
+   is recorded — 15 × 4 = 60 bits. Dominant-band-per-segment is robust to
+   codec quantization noise (G.711 ≈37 dB, IMA ADPCM ≥15 dB: the tonal
+   peak still wins its band) yet discriminative between contents (two
+   random melodies agree on a segment with p = 1/16; Hamming ≤ 3 between
+   distinct contents needs ≥ 12/15 agreements, p ≈ 1e-12). The kernel is
+   batch-vectorized: all rows' windows are stacked into ONE (rows×15, 512)
+   matrix per Arrow batch — one rfft call, one band-mask matmul, one
+   argmax; no per-row FFT loop.
+2. ``audio_dup_pairs`` — the exact Hamming-≤k pigeonhole self-join shared
+   with the text SimHash path (`dedup.hamming60_pairs`): 4 bands × 15
+   bits, complete for k ≤ 3, bucket guard surfaced.
+
+Scale shape: the payload pass is the same one-pass mapInPandas streaming
+shape as the drift check (payloads never cached, only 8-byte fingerprints
+shuffle); the pair search shuffles (id, sh) pairs only — at 10^12 clips
+the heavy bytes stay in the scan stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fingerprint geometry. FP_SECONDS of audio is fingerprinted (shorter
+# clips are zero-padded, longer ones truncated — dup detection targets
+# same-content clips, which share duration); bands span speech-ish range.
+FP_SEGMENTS = 15
+FP_BANDS = 16
+FP_WIN = 512
+FP_SECONDS = 1.0
+_BAND_LO, _BAND_HI = 200.0, 3800.0
+
+_MASK_CACHE: dict[int, np.ndarray] = {}
+
+
+def _band_masks(sr: int) -> np.ndarray:
+    """(FP_WIN//2+1, FP_BANDS) 0/1 matrix pooling rfft power bins into
+    log-spaced bands, cached per sample rate."""
+    m = _MASK_CACHE.get(sr)
+    if m is None:
+        centers = np.geomspace(_BAND_LO, _BAND_HI, FP_BANDS)
+        r = np.sqrt(centers[1] / centers[0])
+        edges = np.concatenate(
+            [[centers[0] / r], np.sqrt(centers[1:] * centers[:-1]), [centers[-1] * r]]
+        )
+        freqs = np.arange(FP_WIN // 2 + 1) * sr / FP_WIN
+        m = (
+            (freqs[:, None] >= edges[None, :-1]) & (freqs[:, None] < edges[None, 1:])
+        ).astype(np.float64)
+        _MASK_CACHE[sr] = m
+    return m
+
+
+def _fingerprint_rows(
+    pcms: list[np.ndarray | None], srs: list[int]
+) -> list[int | None]:
+    """60-bit melody fingerprints for a batch of decoded clips.
+
+    All rows with the same sample rate are fingerprinted together: their
+    15 segment windows are stacked into one (n_rows*15, 512) matrix —
+    a single rfft + band matmul + argmax for the whole group."""
+    out: list[int | None] = [None] * len(pcms)
+    by_sr: dict[int, list[int]] = {}
+    for i, (pcm, sr) in enumerate(zip(pcms, srs)):
+        if pcm is not None and sr > 0:
+            by_sr.setdefault(int(sr), []).append(i)
+    win = np.hanning(FP_WIN)
+    for sr, rows in by_sr.items():
+        n = int(sr * FP_SECONDS)
+        seg = n // FP_SEGMENTS
+        if seg < FP_WIN:  # sample rate too low for the window geometry
+            continue
+        x = np.zeros((len(rows), n), dtype=np.float64)
+        for j, i in enumerate(rows):
+            pcm = pcms[i]
+            m = min(len(pcm), n)
+            x[j, :m] = pcm[:m]
+        centers = np.arange(FP_SEGMENTS) * seg + seg // 2
+        # (rows, segments, win) gather → one FFT over the stacked matrix
+        idx = centers[None, :, None] + np.arange(-(FP_WIN // 2), FP_WIN // 2)[None, None, :]
+        w = x[np.arange(len(rows))[:, None, None], idx] * win
+        spec = np.abs(np.fft.rfft(w.reshape(-1, FP_WIN), axis=1)) ** 2
+        bands = spec @ _band_masks(sr)  # (rows*segments, FP_BANDS)
+        codes = bands.argmax(axis=1).reshape(len(rows), FP_SEGMENTS)
+        packed = np.zeros(len(rows), dtype=np.int64)
+        for k in range(FP_SEGMENTS):
+            packed = (packed << 4) | codes[:, k].astype(np.int64)
+        for j, i in enumerate(rows):
+            out[i] = int(packed[j])
+    return out
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(id, fp, fake) per clip: 60-bit melody fingerprint of the decoded
+    payload. ``fp`` is null when the payload fails to decode or is too
+    short/low-rate for the window geometry; ``fake`` is true when the
+    codec routed through the deterministic-fake decoder (such rows can
+    only ever match other fake rows — exclude them for honest dedup,
+    which `audio_dup_pairs` does by default)."""
+    cols = [id_col, bytes_col, codec_col]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..functions.audio import decode_clip_ex, predecode_batch
+
+        for pdf in batches:
+            payloads = pdf[bytes_col].tolist()
+            codecs = pdf[codec_col].tolist()
+            # batch path for adpcm (predecode_batch wants a pyarrow array);
+            # values are (pcm, sr) or a deferred per-row Exception
+            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+            pcms: list[np.ndarray | None] = []
+            srs: list[int] = []
+            fakes: list[bool] = []
+            for i, (buf, codec) in enumerate(zip(payloads, codecs)):
+                try:
+                    hit = pre.get(i)
+                    if isinstance(hit, Exception):
+                        raise hit
+                    if hit is not None:
+                        pcm, sr = hit
+                        fake = False
+                    else:
+                        pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
+                    pcms.append(pcm)
+                    srs.append(sr)
+                    fakes.append(bool(fake))
+                except Exception:
+                    pcms.append(None)
+                    srs.append(0)
+                    fakes.append(False)
+            fps = _fingerprint_rows(pcms, srs)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype(str),
+                    "fp": pd.array(fps, dtype="Int64"),
+                    "fake": fakes,
+                }
+            )
+
+    return df.select(*cols).mapInPandas(gen, schema="id string, fp long, fake boolean")
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    max_hamming: int = 3,
+    max_bucket: int | None = 1_000_000,
+    drop_stats: dict | None = None,
+    include_fake: bool = False,
+) -> DataFrame:
+    """Exact Hamming-≤k pairs over the acoustic fingerprint — every pair
+    of clips whose melody fingerprints differ by at most ``max_hamming``
+    bits, found with the shared 4×15-bit pigeonhole join (complete for
+    k ≤ 3, never all-pairs). Fake-decoded rows are excluded unless
+    ``include_fake`` (a fake "match" says nothing about the audio).
+    Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming60_pairs
+
+    fps = audio_fingerprint(df, id_col, bytes_col, codec_col)
+    if not include_fake:
+        fps = fps.filter(~F.col("fake"))
+    base = fps.filter(F.col("fp").isNotNull()).select("id", F.col("fp").alias("sh"))
+    return hamming60_pairs(
+        base, max_hamming, max_bucket, drop_stats, op="audio_dup_pairs"
+    )

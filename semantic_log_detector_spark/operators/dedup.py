@@ -504,26 +504,26 @@ def simhash60_md5(text_col: Column) -> Column:
     )
 
 
-def simhash_hamming_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
+def hamming60_pairs(
+    base: DataFrame,
     max_hamming: int = 3,
     max_bucket: int | None = 1_000_000,
     drop_stats: dict | None = None,
+    op: str = "hamming60_pairs",
 ) -> DataFrame:
-    """EXACT Hamming-≤k pair search over the md5-60-bit SimHash, k < 4.
+    """EXACT Hamming-≤k pair search over any 60-bit signature, k < 4.
 
-    With 4 pigeonhole bands of 15 bits, any pair within k ≤ 3 Hamming must
-    agree on at least one whole band, so the banded self-join is COMPLETE —
-    the result is exactly every pair with hamming(simhash) ≤ k, which a SQL
-    oracle can reproduce bit-for-bit (no LSH miss to excuse). The bucket
-    guard defaults high because dropping buckets would break completeness;
+    ``base`` must have columns (id, sh) with sh a non-negative 60-bit
+    long — a text SimHash (`simhash_hamming_pairs`) or an acoustic
+    fingerprint (`audio_dedup.audio_dup_pairs`). With 4 pigeonhole bands
+    of 15 bits, any pair within k ≤ 3 Hamming must agree on at least one
+    whole band, so the banded self-join is COMPLETE — the result is
+    exactly every pair with hamming(sh) ≤ k, which a SQL oracle can
+    reproduce bit-for-bit (no LSH miss to excuse). The bucket guard
+    defaults high because dropping buckets would break completeness;
     drops, if any, are surfaced via log + ``drop_stats``.
     Returns (id_a, id_b, hamming)."""
-    base = df.select(
-        F.col(id_col).alias("id"), simhash60_md5(F.col(text_col)).alias("sh")
-    ).localCheckpoint(eager=False)
+    base = base.localCheckpoint(eager=False)
     banded = base.select(
         "id",
         "sh",
@@ -541,7 +541,7 @@ def simhash_hamming_pairs(
     ).select("id", "sh", "bb.band", "bb.key")
     if max_bucket is not None:  # None = explicit unbounded mode
         sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-        sizes = _surface_bucket_drops(sizes, max_bucket, "simhash_hamming_pairs", drop_stats)
+        sizes = _surface_bucket_drops(sizes, max_bucket, op, drop_stats)
         banded = banded.join(
             F.broadcast(sizes.filter(F.col("bsz") > max_bucket)),
             ["band", "key"], "left_anti",
@@ -561,6 +561,24 @@ def simhash_hamming_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 1_000_000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """`hamming60_pairs` over the md5-60-bit text SimHash — the
+    SQL-oracle-reproducible exact Hamming-≤k near-dup search."""
+    base = df.select(
+        F.col(id_col).alias("id"), simhash60_md5(F.col(text_col)).alias("sh")
+    )
+    return hamming60_pairs(
+        base, max_hamming, max_bucket, drop_stats, op="simhash_hamming_pairs"
     )
 
 

@@ -304,3 +304,95 @@ def transcripts_table(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             yield pd.concat([base, orphans[["clip_id", "transcript", "lang"]]])
 
     return meta.mapInPandas(gen, schema="clip_id string, transcript string, lang string")
+
+
+# --------------------------------------------- acoustic content-dup corpus
+
+_DUP_CODECS = np.array(
+    ["pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima"], dtype=object
+)
+
+
+def content_dup_clips(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    dup_rate: float = 0.4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Planted-ground-truth corpus for acoustic content-dup detection
+    (operators/audio_dedup.py): every clip is a 15-segment random "melody"
+    (segment tone drawn from 16 log-spaced bands) + per-row noise; odd
+    rows duplicate their left neighbor's CONTENT with probability
+    ``dup_rate`` — same melody, DIFFERENT codec and DIFFERENT noise
+    realization, so byte- and transcript-level dedup cannot find the pair
+    and only an acoustic match can. All five real codecs are exercised.
+
+    The signal is a pure function of ``content_key`` (no cross-row data
+    dependency, so generation stays embarrassingly parallel), the planted
+    pair set is exactly {(idx-1, idx) : is_dup} — no transitive chains
+    (only even rows are sources, only odd rows are dups), which keeps the
+    expected-pair oracle exact. Columns: idx, clip_id, codec, sr_hz,
+    dur_ms, bytes, is_dup, src_clip_id (null for non-dups).
+    """
+    sr = 16000
+    n_samp = sr  # 1 s clips: FP_SECONDS of audio, segment = 1066 samples
+    n_segs = 15
+    bands = np.geomspace(200.0, 3800.0, 16)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import encode_wav as _wav
+
+        t = np.arange(n_samp, dtype=np.float64) / sr
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            is_dup = (i % 2 == 1) & (_u01(i, 60, seed) < dup_rate)
+            content = np.where(is_dup, i - 1, i).astype(np.uint64)
+            codec_i = (_stream(i, 61, seed) % np.uint64(5)).astype(int)
+            # dup rows force a codec different from their source's draw
+            src_codec = (_stream(content, 61, seed) % np.uint64(5)).astype(int)
+            bump = 1 + (_stream(i, 62, seed) % np.uint64(4)).astype(int)
+            codec_i = np.where(is_dup, (src_codec + bump) % 5, codec_i)
+            # melody: per-(content, segment) band index
+            seg_bands = np.stack(
+                [(_stream(content, 50 + k, seed) % np.uint64(16)).astype(int)
+                 for k in range(n_segs)],
+                axis=1,
+            )
+            out_bytes: list[bytes] = []
+            seg_len = n_samp // n_segs
+            for r in range(len(i)):
+                sig = np.zeros(n_samp)
+                for k in range(n_segs):
+                    sl = slice(k * seg_len, (k + 1) * seg_len if k < n_segs - 1 else n_samp)
+                    sig[sl] = 0.5 * np.sin(2 * np.pi * bands[seg_bands[r, k]] * t[sl])
+                rng = np.random.Generator(np.random.Philox(key=int(i[r]) + seed))
+                sig += 0.02 * rng.standard_normal(n_samp)
+                enc = _ENCODERS.get(_DUP_CODECS[codec_i[r]], _wav)
+                out_bytes.append(enc(sig.astype(np.float32), sr))
+            yield pd.DataFrame(
+                {
+                    "idx": i,
+                    "clip_id": np.char.add("a", np.char.zfill(i.astype(str), 10)),
+                    "codec": _DUP_CODECS[codec_i],
+                    "sr_hz": np.full(len(i), sr, dtype=np.int32),
+                    "dur_ms": np.full(len(i), 1000, dtype=np.int32),
+                    "bytes": pd.Series(out_bytes, dtype=object),
+                    "is_dup": is_dup,
+                    "src_clip_id": pd.Series(
+                        np.where(
+                            is_dup,
+                            np.char.add("a", np.char.zfill((i - 1).astype(str), 10)),
+                            None,
+                        ),
+                        dtype=object,
+                    ),
+                }
+            )
+
+    rng = spark.range(0, n, numPartitions=num_partitions)
+    schema = (
+        "idx long, clip_id string, codec string, sr_hz int, dur_ms int,"
+        " bytes binary, is_dup boolean, src_clip_id string"
+    )
+    return rng.mapInPandas(gen, schema=schema)
