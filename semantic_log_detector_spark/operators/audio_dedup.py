@@ -110,14 +110,17 @@ def audio_fingerprint(
     id_col: str = "clip_id",
     bytes_col: str = "bytes",
     codec_col: str = "codec",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, fp, fake) per clip: 60-bit melody fingerprint of the decoded
-    payload. ``fp`` is null when the payload fails to decode or is too
-    short/low-rate for the window geometry; ``fake`` is true when the
-    codec routed through the deterministic-fake decoder (such rows can
-    only ever match other fake rows — exclude them for honest dedup,
-    which `audio_dup_pairs` does by default)."""
-    cols = [id_col, bytes_col, codec_col]
+    """(id, fp, fake[, passthrough…]) per clip: 60-bit melody fingerprint
+    of the decoded payload. ``fp`` is null when the payload fails to
+    decode or is too short/low-rate for the window geometry; ``fake`` is
+    true when the codec routed through the deterministic-fake decoder
+    (such rows can only ever match other fake rows — exclude them for
+    honest dedup, which `audio_dup_pairs` does by default).
+    ``passthrough`` columns are carried to the output unchanged (e.g. the
+    event-time column for the streaming twin)."""
+    cols = [id_col, bytes_col, codec_col, *passthrough]
 
     def gen(batches):
         import pyarrow as pa
@@ -151,15 +154,19 @@ def audio_fingerprint(
                     srs.append(0)
                     fakes.append(False)
             fps = _fingerprint_rows(pcms, srs)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].astype(str),
-                    "fp": pd.array(fps, dtype="Int64"),
-                    "fake": fakes,
-                }
-            )
+            out = {
+                "id": pdf[id_col].astype(str),
+                "fp": pd.array(fps, dtype="Int64"),
+                "fake": fakes,
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select(*cols).mapInPandas(gen, schema="id string, fp long, fake boolean")
+    schema = "id string, fp long, fake boolean"
+    for c in passthrough:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    return df.select(*cols).mapInPandas(gen, schema=schema)
 
 
 def audio_dup_pairs(

@@ -100,6 +100,54 @@ def stream_duplicate_ids(
     )
 
 
+def stream_audio_dups(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    window: str = "60 seconds",
+    watermark: str = "10 minutes",
+    max_ids: int = 20,
+) -> DataFrame:
+    """Online acoustic content-dup detection: the batch melody-fingerprint
+    kernel (`operators/audio_dedup.audio_fingerprint` — stateless
+    mapInPandas, so Structured Streaming runs it unchanged per
+    micro-batch) keyed into the same bounded-state window/watermark shape
+    as `stream_duplicate_ids`.
+
+    Two documented narrowings vs the batch authority (`audio_dup_pairs`):
+    matches are EXACT fingerprint equality (Hamming 0 — which is what the
+    codec-invariant fingerprint measures for true re-encodes; the
+    Hamming-≤3 banded search stays batch-side where state is free), and
+    pairs straddling windows past the watermark defer to the batch pass —
+    bounded state, never a silent contract.
+
+    Emits, in append mode once the watermark closes a window:
+    (window_start, window_end, fp, n_clips, clip_ids[≤max_ids])."""
+    from ..operators.audio_dedup import audio_fingerprint
+
+    fps = audio_fingerprint(
+        stream_df, id_col, bytes_col, codec_col, passthrough=(ts_col,)
+    ).filter((~F.col("fake")) & F.col("fp").isNotNull())
+    return (
+        fps.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.slice(F.sort_array(F.collect_set("id")), 1, max_ids).alias("clip_ids"),
+        )
+        .filter(F.col("n_clips") > 1)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "fp",
+            "n_clips",
+            "clip_ids",
+        )
+    )
+
+
 def stream_suite(
     stream_df: DataFrame,
     out_dir: str,

@@ -157,3 +157,66 @@ def test_stream_payload_violations(spark, tmp_path):
         ("sil1", "R064_silence"),
         ("bad1", "R060_decode"),
     }
+
+
+def test_stream_audio_dups(spark, tmp_path):
+    """Acoustic dup detection on a stream (append mode, the production
+    contract): planted cross-codec content duplicates emit as fingerprint
+    groups once sentinel batches advance the watermark past their window;
+    singletons and the sentinels themselves are not emitted."""
+    import glob
+    import os
+
+    from semantic_log_detector_spark.sources.synth import content_dup_clips
+    from semantic_log_detector_spark.streaming.stream_checks import stream_audio_dups
+
+    corpus = content_dup_clips(spark, 80, seed=5).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:30"))
+    )
+    expected = {
+        frozenset((r.src_clip_id, r.clip_id))
+        for r in corpus.filter("is_dup").collect()
+    }
+    assert expected
+    src = str(tmp_path / "adup_src")
+
+    def write_batch(df, mtime):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        df.select("clip_id", "codec", "bytes", "ts").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    write_batch(corpus, 1_000_000)
+    # sentinels (clean singleton content, n=1 => even idx, never a dup):
+    # batch 2 lifts the watermark past the corpus window, batch 3 triggers
+    # emission of every window the new watermark closes
+    for seed, ts, mtime in [
+        (98, "2026-01-01 00:30:00", 2_000_000),
+        (99, "2026-01-01 01:00:00", 3_000_000),
+    ]:
+        write_batch(
+            content_dup_clips(spark, 1, seed=seed).withColumn(
+                "ts", F.to_timestamp(F.lit(ts))
+            ),
+            mtime,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "clip_id string, codec string, bytes binary, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_audio_dups(stream, ts_col="ts", window="60 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("adup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM adup").collect()
+    got = {frozenset(r.clip_ids) for r in rows}
+    assert got == expected
+    assert all(r.n_clips == 2 for r in rows)
