@@ -1,0 +1,147 @@
+"""Scale-stress the acoustic dedup rung: 1x vs 5x clips.
+
+The 100 TB question for audio_dup_pairs: the payload pass (decode +
+fingerprint) must scale with CLIPS and the pair join with BUCKET sizes —
+never all-pairs. Evidence: the identical operator over 20k and 100k
+planted-dup clips (synth.content_dup_clips, all five real codecs),
+reporting the fingerprint-only wall (the scan stage), the end-to-end wall
+(scan + pigeonhole join), and exact recall/precision against the planted
+pair set at BOTH scales — correctness can't quietly degrade while the
+curve is measured.
+
+Usage: python BENCH/audio_stress.py [--out BENCH/AUDIO_STRESS.md]
+Corpora are materialized to parquet first (fixture generation is not
+engine time) and read back — the realistic input path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from semantic_log_detector_spark.operators.audio_dedup import (  # noqa: E402
+    audio_dup_pairs,
+    audio_fingerprint,
+)
+from semantic_log_detector_spark.session import get_spark  # noqa: E402
+from semantic_log_detector_spark.sources.synth import content_dup_clips  # noqa: E402
+
+CACHE = "/tmp/sld_bench_cache"
+
+
+def materialize(spark, n: int, seed: int = 7) -> str:
+    path = f"{CACHE}/dupaudio_{n}_{seed}"
+    if not (os.path.isdir(path) and any(f.endswith("parquet") for f in os.listdir(path))):
+        content_dup_clips(spark, n, seed=seed).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_level(spark, n: int) -> dict:
+    path = materialize(spark, n)
+    corpus = spark.read.parquet(path)
+    planted = {
+        (r.id_a, r.id_b)
+        for r in corpus.filter("is_dup")
+        .select(F.col("src_clip_id").alias("id_a"), F.col("clip_id").alias("id_b"))
+        .collect()
+    }
+
+    # untimed page-cache/JVM warm: this VM reads ~65 MB/s cold and the
+    # first large pass pays heap-growth + socket-buffer costs; best-of-2
+    # timed reps after it, per the bench.py additive-noise protocol
+    audio_fingerprint(corpus).write.format("noop").mode("overwrite").save()
+
+    fp_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        audio_fingerprint(corpus).write.format("noop").mode("overwrite").save()
+        fp_wall = min(fp_wall, time.time() - t0)
+
+    e2e_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        found = {
+            (r.id_a, r.id_b)
+            for r in audio_dup_pairs(corpus).select("id_a", "id_b").collect()
+        }
+        e2e_wall = min(e2e_wall, time.time() - t0)
+
+    missed = planted - found
+    false_pos = found - planted
+    return {
+        "clips": n,
+        "fingerprint_wall_s": round(fp_wall, 2),
+        "e2e_wall_s": round(e2e_wall, 2),
+        "clips_per_sec_e2e": round(n / e2e_wall, 1),
+        "planted_pairs": len(planted),
+        "found_pairs": len(found),
+        "missed": len(missed),
+        "false_positives": len(false_pos),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH/AUDIO_STRESS.md")
+    ap.add_argument("--levels", default="20000,100000")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+
+    spark = get_spark(app_name="audio_stress", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # untimed warmup: codegen + python worker spawn
+    warm = materialize(spark, 2000)
+    audio_dup_pairs(spark.read.parquet(warm)).write.format("noop").mode("overwrite").save()
+
+    res = [run_level(spark, n) for n in levels]
+    spark.stop()
+
+    growth = levels[1] / levels[0]
+    lo, hi = res
+    md = f"""# Acoustic-dedup scale stress: {levels[0] // 1000}k vs {levels[1] // 1000}k clips
+
+Identical operator (`audio_dup_pairs`: real-codec decode + 60-bit melody
+fingerprint + exact Hamming-≤3 pigeonhole join) over
+`synth.content_dup_clips` at two scales, local[32]. Reproduce with
+`python BENCH/audio_stress.py`.
+
+| metric | {levels[0] // 1000}k | {levels[1] // 1000}k | growth ({growth:.0f}x clips) |
+|---|---|---|---|
+| fingerprint-only wall s | {lo["fingerprint_wall_s"]} | {hi["fingerprint_wall_s"]} | {hi["fingerprint_wall_s"] / lo["fingerprint_wall_s"]:.1f}x |
+| end-to-end wall s | {lo["e2e_wall_s"]} | {hi["e2e_wall_s"]} | {hi["e2e_wall_s"] / lo["e2e_wall_s"]:.1f}x |
+| clips/sec end-to-end | {lo["clips_per_sec_e2e"]} | {hi["clips_per_sec_e2e"]} | — |
+| planted pairs | {lo["planted_pairs"]} | {hi["planted_pairs"]} | — |
+| found pairs | {lo["found_pairs"]} | {hi["found_pairs"]} | — |
+| missed / false positives | {lo["missed"]} / {lo["false_positives"]} | {hi["missed"]} / {hi["false_positives"]} | — |
+
+## Reading
+
+- **Recall and precision stay exact at both scales** (missed = 0, false
+  positives = 0 required): the fingerprint's cross-content Hamming margin
+  (≥16 measured vs the ≤3 threshold) doesn't erode as the corpus grows,
+  because melodies are independent draws — collision probability per pair
+  is ~1e-12, so even {levels[1]:,}²/2 pairs stay clean.
+- **The scan stage dominates and scales with clips**: decode + FFT is the
+  payload pass; the pigeonhole join only ever shuffles (id, 8-byte fp)
+  and joins within fingerprint-band buckets (planted pairs + hash
+  collisions), never all-pairs.
+
+Raw: {json.dumps(res)}
+"""
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(json.dumps({"levels": res}))
+    if hi["missed"] or hi["false_positives"] or lo["missed"] or lo["false_positives"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,28 +80,36 @@ def _fingerprint_rows(
         if pcm is not None and sr > 0:
             by_sr.setdefault(int(sr), []).append(i)
     win = np.hanning(FP_WIN)
-    for sr, rows in by_sr.items():
+    for sr, group in by_sr.items():
         n = int(sr * FP_SECONDS)
         seg = n // FP_SEGMENTS
         if seg < FP_WIN:  # sample rate too low for the window geometry
             continue
-        x = np.zeros((len(rows), n), dtype=np.float64)
-        for j, i in enumerate(rows):
-            pcm = pcms[i]
-            m = min(len(pcm), n)
-            x[j, :m] = pcm[:m]
         centers = np.arange(FP_SEGMENTS) * seg + seg // 2
-        # (rows, segments, win) gather → one FFT over the stacked matrix
         idx = centers[None, :, None] + np.arange(-(FP_WIN // 2), FP_WIN // 2)[None, None, :]
-        w = x[np.arange(len(rows))[:, None, None], idx] * win
-        spec = np.abs(np.fft.rfft(w.reshape(-1, FP_WIN), axis=1)) ** 2
-        bands = spec @ _band_masks(sr)  # (rows*segments, FP_BANDS)
-        codes = bands.argmax(axis=1).reshape(len(rows), FP_SEGMENTS)
-        packed = np.zeros(len(rows), dtype=np.int64)
-        for k in range(FP_SEGMENTS):
-            packed = (packed << 4) | codes[:, k].astype(np.int64)
-        for j, i in enumerate(rows):
-            out[i] = int(packed[j])
+        masks = _band_masks(sr)
+        # chunk so the stacked sample matrix stays ≤ ~64 MB: an Arrow batch
+        # can carry thousands of clips, and rows×n float64 at full batch
+        # width would peak at GBs per worker — the cliff, not the FFT, is
+        # what kills a wide batch
+        chunk = max(1, (8 << 20) // n)
+        for c0 in range(0, len(group), chunk):
+            rows = group[c0 : c0 + chunk]
+            x = np.zeros((len(rows), n), dtype=np.float64)
+            for j, i in enumerate(rows):
+                pcm = pcms[i]
+                m = min(len(pcm), n)
+                x[j, :m] = pcm[:m]
+            # (rows, segments, win) gather → one FFT over the stacked matrix
+            w = x[np.arange(len(rows))[:, None, None], idx] * win
+            spec = np.abs(np.fft.rfft(w.reshape(-1, FP_WIN), axis=1)) ** 2
+            bands = spec @ masks  # (rows*segments, FP_BANDS)
+            codes = bands.argmax(axis=1).reshape(len(rows), FP_SEGMENTS)
+            packed = np.zeros(len(rows), dtype=np.int64)
+            for k in range(FP_SEGMENTS):
+                packed = (packed << 4) | codes[:, k].astype(np.int64)
+            for j, i in enumerate(rows):
+                out[i] = int(packed[j])
     return out
 
 
