@@ -37,7 +37,7 @@ CACHE = "/tmp/sld_bench_cache"
 
 
 def materialize(spark, n: int, seed: int = 7) -> str:
-    path = f"{CACHE}/dupaudio_{n}_{seed}"
+    path = f"{CACHE}/dupaudio_v2_{n}_{seed}"
     if not (os.path.isdir(path) and any(f.endswith("parquet") for f in os.listdir(path))):
         content_dup_clips(spark, n, seed=seed).write.mode("overwrite").parquet(path)
     return path

@@ -845,8 +845,9 @@ _Q52_EXPORT = "/tmp/sldspark_oracle_q52_dup_audio_600.parquet"
 def _q52_audio_dup(spark, sf):
     """Acoustic content-dup detection against planted ground truth: 600
     synthetic melody clips, ~40% of odd rows duplicating their neighbor's
-    CONTENT under a different real codec and different noise
-    (sources/synth.py::content_dup_clips). The detector (60-bit melody
+    CONTENT under a different real codec, different noise and an
+    independently drawn sample rate (sources/synth.py::content_dup_clips).
+    The detector must be codec- AND rate-invariant to recover them. The detector (60-bit melody
     fingerprint + exact Hamming-≤3 pigeonhole join,
     operators/audio_dedup.py) must recover exactly the planted pair set:
     the oracle replays the planted pairs with found=TRUE from the export,

@@ -135,7 +135,7 @@ def main() -> None:
         audio_dup_pairs(corpus).write.format("noop").mode("overwrite").save()
 
     n_dup = int(os.environ.get("SPARK_GRAFT_BENCH_DUP_CLIPS", 20_000))
-    ddir = f"/tmp/sld_bench_cache/dupaudio_{n_dup}_7"
+    ddir = f"/tmp/sld_bench_cache/dupaudio_v2_{n_dup}_7"
     if not (os.path.isdir(ddir) and any(f.endswith("parquet") for f in os.listdir(ddir))):
         from semantic_log_detector_spark.sources.synth import content_dup_clips
 

@@ -42,6 +42,26 @@ def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + fmt + _DATA_HDR.pack(b"data", n) + data
 
 
+def resample_linear(pcm: np.ndarray, sr_hz: int, target_hz: int) -> np.ndarray:
+    """Linear-interpolation resample to ``target_hz`` (float32).
+
+    Sample-rate normalization for rate-invariant analysis (the acoustic
+    fingerprint canonicalizes every clip to one rate before the FFT).
+    Linear interp has a sinc² high-frequency rolloff and no anti-alias
+    filter on downsampling — adequate for band-energy comparisons below
+    the lower Nyquist, NOT a mastering-grade SRC (a production build
+    would register a polyphase resampler the same way it registers real
+    opus/mp3 decoders)."""
+    if sr_hz == target_hz:
+        return pcm
+    if sr_hz <= 0 or target_hz <= 0:
+        raise ValueError(f"invalid sample rates {sr_hz}->{target_hz}")
+    n_out = int(round(len(pcm) * target_hz / sr_hz))
+    xp = np.arange(len(pcm), dtype=np.float64) / sr_hz
+    xq = np.arange(n_out, dtype=np.float64) / target_hz
+    return np.interp(xq, xp, pcm).astype(np.float32)
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAV 16-bit mono → (float32 pcm in [-1,1], sr_hz).
 

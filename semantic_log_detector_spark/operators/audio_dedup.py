@@ -11,7 +11,10 @@ graft's payload axis with the same machinery the text ladder uses:
    60-bit **melody fingerprint**: the clip is cut into 15 equal segments,
    each segment's centered 512-sample Hann window is FFT'd, its energy is
    pooled into 16 log-spaced bands, and the dominant band index (4 bits)
-   is recorded — 15 × 4 = 60 bits. Dominant-band-per-segment is robust to
+   is recorded — 15 × 4 = 60 bits. Every clip is canonicalized to FP_SR
+   first (linear resample), so the fingerprint is sample-rate-invariant —
+   the same recording at 8 kHz mulaw and 16 kHz pcm matches.
+   Dominant-band-per-segment is robust to
    codec quantization noise (G.711 ≈37 dB, IMA ADPCM ≥15 dB: the tonal
    peak still wins its band) yet discriminative between contents (two
    random melodies agree on a segment with p = 1/16; Hamming ≤ 3 between
@@ -36,9 +39,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Fingerprint geometry. FP_SECONDS of audio is fingerprinted (shorter
-# clips are zero-padded, longer ones truncated — dup detection targets
-# same-content clips, which share duration); bands span speech-ish range.
+# Fingerprint geometry. Every clip is canonicalized to FP_SR before the
+# FFT (linear resample), so the fingerprint is SAMPLE-RATE-invariant: the
+# same content at 8 kHz mulaw and 16 kHz pcm matches. FP_SECONDS of audio
+# is fingerprinted (shorter clips are zero-padded, longer ones truncated —
+# dup detection targets same-content clips, which share duration); bands
+# span the speech-ish range, entirely below the 8 kHz-input Nyquist so
+# canonicalization never moves a dominant band.
+FP_SR = 16000
 FP_SEGMENTS = 15
 FP_BANDS = 16
 FP_WIN = 512
@@ -71,45 +79,47 @@ def _fingerprint_rows(
 ) -> list[int | None]:
     """60-bit melody fingerprints for a batch of decoded clips.
 
-    All rows with the same sample rate are fingerprinted together: their
-    15 segment windows are stacked into one (n_rows*15, 512) matrix —
-    a single rfft + band matmul + argmax for the whole group."""
+    Every clip is first canonicalized to FP_SR (linear resample — a no-op
+    for clips already at 16 kHz), then the 15 segment windows of a chunk
+    of rows are stacked into one (rows*15, 512) matrix — a single rfft +
+    band matmul + argmax per chunk."""
+    from ..functions.audio import resample_linear
+
     out: list[int | None] = [None] * len(pcms)
-    by_sr: dict[int, list[int]] = {}
-    for i, (pcm, sr) in enumerate(zip(pcms, srs)):
-        if pcm is not None and sr > 0:
-            by_sr.setdefault(int(sr), []).append(i)
+    group = [
+        i
+        for i, (pcm, sr) in enumerate(zip(pcms, srs))
+        if pcm is not None and sr > 0
+    ]
     win = np.hanning(FP_WIN)
-    for sr, group in by_sr.items():
-        n = int(sr * FP_SECONDS)
-        seg = n // FP_SEGMENTS
-        if seg < FP_WIN:  # sample rate too low for the window geometry
-            continue
-        centers = np.arange(FP_SEGMENTS) * seg + seg // 2
-        idx = centers[None, :, None] + np.arange(-(FP_WIN // 2), FP_WIN // 2)[None, None, :]
-        masks = _band_masks(sr)
-        # chunk so the stacked sample matrix stays ≤ ~64 MB: an Arrow batch
-        # can carry thousands of clips, and rows×n float64 at full batch
-        # width would peak at GBs per worker — the cliff, not the FFT, is
-        # what kills a wide batch
-        chunk = max(1, (8 << 20) // n)
-        for c0 in range(0, len(group), chunk):
-            rows = group[c0 : c0 + chunk]
-            x = np.zeros((len(rows), n), dtype=np.float64)
-            for j, i in enumerate(rows):
-                pcm = pcms[i]
-                m = min(len(pcm), n)
-                x[j, :m] = pcm[:m]
-            # (rows, segments, win) gather → one FFT over the stacked matrix
-            w = x[np.arange(len(rows))[:, None, None], idx] * win
-            spec = np.abs(np.fft.rfft(w.reshape(-1, FP_WIN), axis=1)) ** 2
-            bands = spec @ masks  # (rows*segments, FP_BANDS)
-            codes = bands.argmax(axis=1).reshape(len(rows), FP_SEGMENTS)
-            packed = np.zeros(len(rows), dtype=np.int64)
-            for k in range(FP_SEGMENTS):
-                packed = (packed << 4) | codes[:, k].astype(np.int64)
-            for j, i in enumerate(rows):
-                out[i] = int(packed[j])
+    n = int(FP_SR * FP_SECONDS)
+    seg = n // FP_SEGMENTS
+    centers = np.arange(FP_SEGMENTS) * seg + seg // 2
+    idx = centers[None, :, None] + np.arange(-(FP_WIN // 2), FP_WIN // 2)[None, None, :]
+    masks = _band_masks(FP_SR)
+    # chunk so the stacked sample matrix stays ≤ ~64 MB: an Arrow batch
+    # can carry thousands of clips, and rows×n float64 at full batch
+    # width would peak at GBs per worker — the cliff, not the FFT, is
+    # what kills a wide batch
+    chunk = max(1, (8 << 20) // n)
+    for c0 in range(0, len(group), chunk):
+        rows = group[c0 : c0 + chunk]
+        x = np.zeros((len(rows), n), dtype=np.float64)
+        for j, i in enumerate(rows):
+            # canonical rate: the fingerprint is sample-rate-invariant
+            pcm = resample_linear(pcms[i], int(srs[i]), FP_SR)
+            m = min(len(pcm), n)
+            x[j, :m] = pcm[:m]
+        # (rows, segments, win) gather → one FFT over the stacked matrix
+        w = x[np.arange(len(rows))[:, None, None], idx] * win
+        spec = np.abs(np.fft.rfft(w.reshape(-1, FP_WIN), axis=1)) ** 2
+        bands = spec @ masks  # (rows*segments, FP_BANDS)
+        codes = bands.argmax(axis=1).reshape(len(rows), FP_SEGMENTS)
+        packed = np.zeros(len(rows), dtype=np.int64)
+        for k in range(FP_SEGMENTS):
+            packed = (packed << 4) | codes[:, k].astype(np.int64)
+        for j, i in enumerate(rows):
+            out[i] = int(packed[j])
     return out
 
 
@@ -121,8 +131,9 @@ def audio_fingerprint(
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, fp, fake[, passthrough…]) per clip: 60-bit melody fingerprint
-    of the decoded payload. ``fp`` is null when the payload fails to
-    decode or is too short/low-rate for the window geometry; ``fake`` is
+    of the decoded payload, sample-rate-invariant (canonicalized to FP_SR
+    before the FFT). ``fp`` is null when the payload fails to decode or
+    reports a non-positive sample rate; ``fake`` is
     true when the codec routed through the deterministic-fake decoder
     (such rows can only ever match other fake rows — exclude them for
     honest dedup, which `audio_dup_pairs` does by default).

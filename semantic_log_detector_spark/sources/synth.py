@@ -324,9 +324,11 @@ def content_dup_clips(
     (operators/audio_dedup.py): every clip is a 15-segment random "melody"
     (segment tone drawn from 16 log-spaced bands) + per-row noise; odd
     rows duplicate their left neighbor's CONTENT with probability
-    ``dup_rate`` — same melody, DIFFERENT codec and DIFFERENT noise
-    realization, so byte- and transcript-level dedup cannot find the pair
-    and only an acoustic match can. All five real codecs are exercised.
+    ``dup_rate`` — same melody, DIFFERENT codec, DIFFERENT noise
+    realization and an independently drawn SAMPLE RATE (16 kHz or 8 kHz,
+    so ~half the planted pairs also cross rates), so byte- and
+    transcript-level dedup cannot find the pair and only a rate-invariant
+    acoustic match can. All five real codecs are exercised.
 
     The signal is a pure function of ``content_key`` (no cross-row data
     dependency, so generation stays embarrassingly parallel), the planted
@@ -335,18 +337,21 @@ def content_dup_clips(
     expected-pair oracle exact. Columns: idx, clip_id, codec, sr_hz,
     dur_ms, bytes, is_dup, src_clip_id (null for non-dups).
     """
-    sr = 16000
-    n_samp = sr  # 1 s clips: FP_SECONDS of audio, segment = 1066 samples
     n_segs = 15
     bands = np.geomspace(200.0, 3800.0, 16)
+    sr_choices = (16000, 8000)  # 1 s clips at either rate
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.audio import encode_wav as _wav
 
-        t = np.arange(n_samp, dtype=np.float64) / sr
+        ts = {r: np.arange(r, dtype=np.float64) / r for r in sr_choices}
         for pdf in batches:
             i = pdf["id"].to_numpy()
             is_dup = (i % 2 == 1) & (_u01(i, 60, seed) < dup_rate)
+            sr_row = np.where(
+                (_stream(i, 63, seed) % np.uint64(2)) == 0,
+                sr_choices[0], sr_choices[1],
+            )
             content = np.where(is_dup, i - 1, i).astype(np.uint64)
             codec_i = (_stream(i, 61, seed) % np.uint64(5)).astype(int)
             # dup rows force a codec different from their source's draw
@@ -360,8 +365,11 @@ def content_dup_clips(
                 axis=1,
             )
             out_bytes: list[bytes] = []
-            seg_len = n_samp // n_segs
             for r in range(len(i)):
+                sr_r = int(sr_row[r])
+                n_samp = sr_r  # 1 s
+                seg_len = n_samp // n_segs
+                t = ts[sr_r]
                 sig = np.zeros(n_samp)
                 for k in range(n_segs):
                     sl = slice(k * seg_len, (k + 1) * seg_len if k < n_segs - 1 else n_samp)
@@ -369,13 +377,13 @@ def content_dup_clips(
                 rng = np.random.Generator(np.random.Philox(key=int(i[r]) + seed))
                 sig += 0.02 * rng.standard_normal(n_samp)
                 enc = _ENCODERS.get(_DUP_CODECS[codec_i[r]], _wav)
-                out_bytes.append(enc(sig.astype(np.float32), sr))
+                out_bytes.append(enc(sig.astype(np.float32), sr_r))
             yield pd.DataFrame(
                 {
                     "idx": i,
                     "clip_id": np.char.add("a", np.char.zfill(i.astype(str), 10)),
                     "codec": _DUP_CODECS[codec_i],
-                    "sr_hz": np.full(len(i), sr, dtype=np.int32),
+                    "sr_hz": sr_row.astype(np.int32),
                     "dur_ms": np.full(len(i), 1000, dtype=np.int32),
                     "bytes": pd.Series(out_bytes, dtype=object),
                     "is_dup": is_dup,

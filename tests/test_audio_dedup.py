@@ -36,9 +36,11 @@ def test_planted_pairs_recovered_exactly(spark, corpus):
     assert found == expected  # recall AND precision 1.0
 
 
-def test_dup_pairs_cross_codec(corpus):
-    # every planted pair crosses codecs by construction — verify the
-    # corpus keeps that promise (the detector never sees equal bytes)
+def test_dup_pairs_cross_codec_and_rate(corpus):
+    # every planted pair crosses codecs by construction (the detector
+    # never sees equal bytes), and the independent sr draw makes ~half the
+    # pairs ALSO cross sample rates — so the recovered-exactly test above
+    # proves rate-invariant matching, not just codec-invariant
     pairs = (
         corpus.filter("is_dup")
         .alias("d")
@@ -46,10 +48,37 @@ def test_dup_pairs_cross_codec(corpus):
             corpus.alias("s"),
             F.col("d.src_clip_id") == F.col("s.clip_id"),
         )
-        .select(F.col("d.codec").alias("ca"), F.col("s.codec").alias("cb"))
+        .select(
+            F.col("d.codec").alias("ca"), F.col("s.codec").alias("cb"),
+            F.col("d.sr_hz").alias("ra"), F.col("s.sr_hz").alias("rb"),
+        )
         .collect()
     )
     assert pairs and all(r.ca != r.cb for r in pairs)
+    assert any(r.ra != r.rb for r in pairs)
+
+
+def test_fingerprint_rate_invariant(spark):
+    # one content rendered at 8 kHz and 16 kHz (different noise): same fp
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.audio import encode_wav
+
+    bands = np.geomspace(200.0, 3800.0, 16)
+    melody = np.random.default_rng(9).integers(0, 16, 15)
+    rows = []
+    for sr, nk in ((8000, 1), (16000, 2)):
+        t = np.arange(sr) / sr
+        seg = sr // 15
+        sig = np.zeros(sr)
+        for k in range(15):
+            sl = slice(k * seg, (k + 1) * seg if k < 14 else sr)
+            sig[sl] = 0.5 * np.sin(2 * np.pi * bands[melody[k]] * t[sl])
+        sig += 0.02 * np.random.default_rng(nk).standard_normal(sr)
+        rows.append((f"sr{sr}", encode_wav(sig.astype(np.float32), sr), "pcm_s16le"))
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+    fps = {r.id: r.fp for r in audio_fingerprint(spark.createDataFrame(pdf)).collect()}
+    assert fps["sr8000"] == fps["sr16000"] and fps["sr8000"] is not None
 
 
 def test_fingerprint_codec_invariant(spark):
