@@ -45,9 +45,18 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 64,
+    order: str = "hash",
 ) -> DataFrame:
     """Assign each document to a (bucket, window) slot under a greedy
     first-fit pack with per-window capacity ``context_tokens``.
+
+    ``order`` picks the in-bucket scan order, both deterministic:
+    ``"hash"`` (md5 order — the oracle-replayed default; content-agnostic,
+    so window composition is an unbiased shuffle of the bucket) or
+    ``"size"`` (first-fit-DECREASING: largest docs first, the classic
+    bin-packing heuristic — tighter windows, less padding, at the cost of
+    size-correlated windows; shuffle window order downstream if training
+    cares).
 
     Returns one row per input doc with a non-null id:
     ``(doc_id, bucket, window_idx, pos_in_window, n_tokens, oversize)``.
@@ -60,6 +69,8 @@ def pack_sequences(
         raise ValueError("context_tokens must be positive")
     if num_buckets <= 0:
         raise ValueError("num_buckets must be positive")
+    if order not in ("hash", "size"):
+        raise ValueError(f"order must be 'hash' or 'size', got {order!r}")
     from .textstats import token_count
 
     cap = int(context_tokens)
@@ -89,9 +100,16 @@ def pack_sequences(
     )
 
     def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__h", "doc_id"], kind="mergesort").reset_index(
-            drop=True
-        )
+        if order == "size":
+            pdf = pdf.sort_values(
+                ["n_tokens", "__h", "doc_id"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            ).reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(["__h", "doc_id"], kind="mergesort").reset_index(
+                drop=True
+            )
         n = pdf["n_tokens"].to_numpy()
         win = np.empty(len(pdf), dtype=np.int64)
         pos = np.empty(len(pdf), dtype=np.int64)

@@ -82,3 +82,36 @@ def test_pack_rejects_bad_params(docs):
         pack_sequences(docs, context_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, context_tokens=64, num_buckets=0)
+
+
+def test_pack_ffd_tighter_and_deterministic(docs):
+    hash_order = pack_sequences(docs, context_tokens=64, num_buckets=8)
+    ffd = pack_sequences(docs, context_tokens=64, num_buckets=8, order="size")
+    n_hash = hash_order.select("bucket", "window_idx").distinct().count()
+    n_ffd = ffd.select("bucket", "window_idx").distinct().count()
+    # first-fit-decreasing never needs more windows than hash order here,
+    # and on this size mix it strictly saves some
+    assert n_ffd <= n_hash
+    # capacity invariant holds in size order too
+    pdf = ffd.toPandas()
+    g = pdf.groupby(["bucket", "window_idx"]).agg(
+        fill=("n_tokens", "sum"), n=("doc_id", "count"), ov=("oversize", "max")
+    )
+    assert g[(g.fill > 64) & ~((g.n == 1) & g.ov)].empty
+    # deterministic across partitioning
+    a = ffd.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        pack_sequences(
+            docs.repartition(11, "text"), context_tokens=64, num_buckets=8,
+            order="size",
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_rejects_bad_order(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, context_tokens=64, order="random")
