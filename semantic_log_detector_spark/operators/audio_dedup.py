@@ -41,16 +41,24 @@ from pyspark.sql import functions as F
 
 # Fingerprint geometry. Every clip is canonicalized to FP_SR before the
 # FFT (linear resample), so the fingerprint is SAMPLE-RATE-invariant: the
-# same content at 8 kHz mulaw and 16 kHz pcm matches. FP_SECONDS of audio
-# is fingerprinted (shorter clips are zero-padded, longer ones truncated —
-# dup detection targets same-content clips, which share duration); bands
-# span the speech-ish range, entirely below the 8 kHz-input Nyquist so
-# canonicalization never moves a dominant band.
+# same content at 8 kHz mulaw and 16 kHz pcm matches. The FP_SEGMENTS
+# window centers are spread proportionally across the WHOLE clip (round 4;
+# previously only the first second was fingerprinted, so two distinct
+# clips sharing an intro jingle collided at Hamming 0 — the dominant
+# false-positive mode on real corpora). Clips shorter than one window are
+# zero-padded. Bands span the speech-ish range, entirely below the
+# 8 kHz-input Nyquist so canonicalization never moves a dominant band.
+#
+# Clips whose sampled windows carry no measurable energy (RMS below
+# FP_MIN_RMS — digital silence, DC, comfort noise at < −80 dBFS) get a
+# null fingerprint instead of the degenerate all-zero-bands code: silence
+# has no content identity, and letting every silent clip collide at fp=0
+# would flood the pair join with meaningless "duplicates".
 FP_SR = 16000
 FP_SEGMENTS = 15
 FP_BANDS = 16
 FP_WIN = 512
-FP_SECONDS = 1.0
+FP_MIN_RMS = 1e-4
 _BAND_LO, _BAND_HI = 200.0, 3800.0
 
 _MASK_CACHE: dict[int, np.ndarray] = {}
@@ -80,46 +88,58 @@ def _fingerprint_rows(
     """60-bit melody fingerprints for a batch of decoded clips.
 
     Every clip is first canonicalized to FP_SR (linear resample — a no-op
-    for clips already at 16 kHz), then the 15 segment windows of a chunk
-    of rows are stacked into one (rows*15, 512) matrix — a single rfft +
-    band matmul + argmax per chunk."""
+    for clips already at 16 kHz); the FP_SEGMENTS window centers are
+    spread proportionally over the WHOLE clip (center k at
+    (k+0.5)/FP_SEGMENTS of the canonicalized length, clamped so each
+    512-sample window fits), so two clips must agree along their entire
+    duration to collide — not just in the first second. Windows from a
+    chunk of rows are stacked into one (rows*15, 512) matrix — a single
+    rfft + band matmul + argmax per chunk; only the per-row resample +
+    gather (15×512 samples each) runs row-at-a-time.
+
+    Rows with no decoded samples, or whose sampled windows fall below the
+    FP_MIN_RMS energy floor, yield None (no content identity — see the
+    module constants)."""
     from ..functions.audio import resample_linear
 
     out: list[int | None] = [None] * len(pcms)
     group = [
         i
         for i, (pcm, sr) in enumerate(zip(pcms, srs))
-        if pcm is not None and sr > 0
+        if pcm is not None and len(pcm) > 0 and sr > 0
     ]
     win = np.hanning(FP_WIN)
-    n = int(FP_SR * FP_SECONDS)
-    seg = n // FP_SEGMENTS
-    centers = np.arange(FP_SEGMENTS) * seg + seg // 2
-    idx = centers[None, :, None] + np.arange(-(FP_WIN // 2), FP_WIN // 2)[None, None, :]
+    offs = np.arange(-(FP_WIN // 2), FP_WIN // 2)
     masks = _band_masks(FP_SR)
-    # chunk so the stacked sample matrix stays ≤ ~64 MB: an Arrow batch
-    # can carry thousands of clips, and rows×n float64 at full batch
-    # width would peak at GBs per worker — the cliff, not the FFT, is
-    # what kills a wide batch
-    chunk = max(1, (8 << 20) // n)
+    # chunk so the stacked window matrix stays bounded: each row
+    # contributes FP_SEGMENTS×FP_WIN float64 samples (~61 KB) regardless
+    # of clip length — the per-row resampled pcm is transient (gathered
+    # then dropped), so memory no longer scales with clip duration
+    chunk = max(1, (8 << 20) // (FP_SEGMENTS * FP_WIN))
     for c0 in range(0, len(group), chunk):
         rows = group[c0 : c0 + chunk]
-        x = np.zeros((len(rows), n), dtype=np.float64)
+        w = np.empty((len(rows), FP_SEGMENTS, FP_WIN), dtype=np.float64)
         for j, i in enumerate(rows):
             # canonical rate: the fingerprint is sample-rate-invariant
             pcm = resample_linear(pcms[i], int(srs[i]), FP_SR)
-            m = min(len(pcm), n)
-            x[j, :m] = pcm[:m]
-        # (rows, segments, win) gather → one FFT over the stacked matrix
-        w = x[np.arange(len(rows))[:, None, None], idx] * win
-        spec = np.abs(np.fft.rfft(w.reshape(-1, FP_WIN), axis=1)) ** 2
+            if len(pcm) < FP_WIN:
+                pcm = np.pad(pcm, (0, FP_WIN - len(pcm)))
+            n = len(pcm)
+            centers = ((np.arange(FP_SEGMENTS) + 0.5) * n / FP_SEGMENTS).astype(
+                np.int64
+            )
+            centers = np.clip(centers, FP_WIN // 2, n - FP_WIN // 2)
+            w[j] = pcm[centers[:, None] + offs[None, :]]
+        rms = np.sqrt(np.mean(w * w, axis=(1, 2)))
+        spec = np.abs(np.fft.rfft((w * win).reshape(-1, FP_WIN), axis=1)) ** 2
         bands = spec @ masks  # (rows*segments, FP_BANDS)
         codes = bands.argmax(axis=1).reshape(len(rows), FP_SEGMENTS)
         packed = np.zeros(len(rows), dtype=np.int64)
         for k in range(FP_SEGMENTS):
             packed = (packed << 4) | codes[:, k].astype(np.int64)
         for j, i in enumerate(rows):
-            out[i] = int(packed[j])
+            if rms[j] >= FP_MIN_RMS:
+                out[i] = int(packed[j])
     return out
 
 

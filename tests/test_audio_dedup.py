@@ -141,6 +141,90 @@ def test_fake_and_broken_rows_excluded(spark):
     assert audio_dup_pairs(df, include_fake=True).count() == 1
 
 
+def _melody(sr: int, seconds: float, band_idx: np.ndarray, seed: int) -> np.ndarray:
+    """Segment-tone melody (one tone per fingerprint segment) + noise."""
+    bands = np.geomspace(200.0, 3800.0, 16)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    seg = n // len(band_idx)
+    sig = np.zeros(n)
+    for k in range(len(band_idx)):
+        sl = slice(k * seg, (k + 1) * seg if k < len(band_idx) - 1 else n)
+        sig[sl] = 0.5 * np.sin(2 * np.pi * bands[band_idx[k]] * t[sl])
+    sig += 0.02 * np.random.default_rng(seed).standard_normal(n)
+    return sig.astype(np.float32)
+
+
+def test_zero_length_and_silent_clips_yield_null_fp(spark):
+    # ADVICE round 3: a valid WAV with a 0-byte data chunk must yield a
+    # null fp (not crash the mapInPandas task via np.interp on an empty
+    # array), and digitally-silent / sub-floor clips must NOT all collide
+    # at fp=0 as Hamming-0 "duplicates"
+    from semantic_log_detector_spark.functions.audio import encode_wav
+
+    sr = 16000
+    rows = [
+        ("empty8k", encode_wav(np.zeros(0, np.float32), 8000), "pcm_s16le"),
+        ("empty16k", encode_wav(np.zeros(0, np.float32), sr), "pcm_s16le"),
+        ("silent_a", encode_wav(np.zeros(sr, np.float32), sr), "pcm_s16le"),
+        ("silent_b", encode_wav(np.zeros(2 * sr, np.float32), sr), "pcm_s16le"),
+        (
+            "subfloor",
+            encode_wav(np.full(sr, 3e-5, np.float32), sr), "pcm_s16le",
+        ),
+        ("tone", encode_wav(_melody(sr, 1.0, np.arange(15) % 16, 5), sr), "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+    )
+    fps = {r.id: r.fp for r in audio_fingerprint(df).collect()}
+    assert fps["empty8k"] is None and fps["empty16k"] is None
+    assert fps["silent_a"] is None and fps["silent_b"] is None
+    assert fps["subfloor"] is None
+    assert fps["tone"] is not None
+    assert audio_dup_pairs(df).count() == 0
+
+
+def test_shared_intro_different_tail_not_paired(spark):
+    # round-3 verdict #3: with the fingerprint spread across the WHOLE
+    # clip, two clips sharing an identical first second (intro jingle)
+    # but diverging afterwards must NOT collide — while a true full-length
+    # re-encode of the same content still must
+    from semantic_log_detector_spark.functions.audio import encode_wav
+    from semantic_log_detector_spark.functions.g711 import encode_mulaw
+
+    sr = 16000
+    rng = np.random.default_rng(21)
+    intro = _melody(sr, 1.0, rng.integers(0, 16, 15), 30)
+    tail_a = _melody(sr, 1.0, rng.integers(0, 16, 15), 31)
+    tail_b = _melody(sr, 1.0, (rng.integers(0, 16, 15) + 8) % 16, 32)
+    a = np.concatenate([intro, tail_a])
+    b = np.concatenate([intro, tail_b])
+    rows = [
+        ("a", encode_wav(a, sr), "pcm_s16le"),
+        ("b", encode_wav(b, sr), "pcm_s16le"),
+        # true dup of a: same full content, different codec + noise
+        (
+            "a_dup",
+            encode_mulaw(
+                a + 0.02 * np.random.default_rng(33).standard_normal(len(a)).astype(
+                    np.float32
+                ),
+                sr,
+            ),
+            "mulaw",
+        ),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_dup_pairs(df).select("id_a", "id_b").collect()
+    }
+    assert pairs == {("a", "a_dup")}
+
+
 def test_fingerprint_deterministic_across_partitioning(corpus):
     a = {r.id: r.fp for r in audio_fingerprint(corpus).collect()}
     b = {
