@@ -74,10 +74,14 @@ def pack_sequences(
     from .textstats import token_count
 
     cap = int(context_tokens)
+    # the id keeps its NATIVE type end-to-end (string/hash-keyed corpora —
+    # the common case in LLM pipelines — must round-trip with identity
+    # intact; round 3 cast to long, silently nulling non-numeric ids)
+    id_type = df.schema[id_col].dataType.simpleString()
     d = (
         df.filter(F.col(id_col).isNotNull())
         .select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).alias("doc_id"),
             # Null text counts as 0 tokens (coalesce keeps the Arrow batch
             # integral; a null would float-ify the whole pandas column).
             F.coalesce(token_count(F.col(text_col)), F.lit(0))
@@ -95,7 +99,7 @@ def pack_sequences(
     )
 
     out_schema = (
-        "doc_id long, bucket long, window_idx long, pos_in_window long,"
+        f"doc_id {id_type}, bucket long, window_idx long, pos_in_window long,"
         " n_tokens long, oversize boolean"
     )
 

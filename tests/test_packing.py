@@ -112,6 +112,38 @@ def test_pack_ffd_tighter_and_deterministic(docs):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pack_string_ids_round_trip(spark):
+    # round-3 verdict #5: a string-keyed corpus (URLs, content hashes —
+    # the common case in LLM pipelines) must keep doc identity: the id
+    # column's NATIVE type survives to the output, no silent cast-to-long
+    # nulls
+    rows = [
+        (f"sha256:{i:04x}", " ".join(f"w{j}" for j in range((i * 19) % 70 + 3)))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    packed = pack_sequences(df, context_tokens=64, num_buckets=8)
+    assert packed.schema["doc_id"].dataType.simpleString() == "string"
+    pdf = packed.toPandas()
+    assert pdf.doc_id.notna().all()
+    assert set(pdf.doc_id) == {r[0] for r in rows}
+    # capacity invariant holds with string keys too
+    g = pdf.groupby(["bucket", "window_idx"]).agg(
+        fill=("n_tokens", "sum"), n=("doc_id", "count"), ov=("oversize", "max")
+    )
+    assert g[(g.fill > 64) & ~((g.n == 1) & g.ov)].empty
+    # deterministic across partitioning
+    b = (
+        pack_sequences(df.repartition(9, "text"), context_tokens=64, num_buckets=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        pdf.sort_values("doc_id").reset_index(drop=True), b
+    )
+
+
 def test_pack_rejects_bad_order(docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, context_tokens=64, order="random")
