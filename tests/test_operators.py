@@ -604,6 +604,45 @@ def test_curate_documents_end_to_end(spark, docs):
     assert row["total_tokens"] > 0 and 0.0 <= row["avg_quality"] <= 1.0
 
 
+def test_curate_lsh_default_path_known_answer(spark):
+    """Round-3 verdict #2: machine-check the DEFAULT curation branch
+    (exact_pairs=False → MinHash-LSH, the 100 TB path) end-to-end against
+    a planted corpus where LSH recall is PROVABLY 1.0: each planted dup
+    is a whitespace/case variant of its source — different bytes (so
+    byte-level dedup can't see it) but an IDENTICAL shingle set after
+    tokenization, hence identical MinHash signatures, hence a guaranteed
+    collision in every band; precision is guaranteed by the operator's
+    exact-Jaccard verification of candidates. The kept set is therefore
+    an exact known answer, not a statistical one."""
+    from semantic_log_detector_spark.operators.curate import curate_documents
+
+    rows = []
+    expected = set()
+    for i in range(120):
+        toks = [f"d{i}w{j}" for j in range(30)]  # disjoint vocabularies:
+        rows.append((2 * i, " ".join(toks)))  # cross-content jaccard = 0
+        expected.add(2 * i)
+        if i % 3 == 0:
+            # same token sequence, different bytes (case + spacing)
+            rows.append((2 * i + 1, "  " + "  ".join(t.upper() for t in toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    kept = curate_documents(
+        df, langs=(), min_quality=0.0, exact_pairs=False, drop_stats=stats
+    )
+    got = {r["id"] for r in kept.select("id").collect()}
+    assert got == expected  # every planted dup dropped, nothing else
+    assert stats["cc_converged"]
+    # and the default LSH branch agrees with the exact verification branch
+    exact = {
+        r["id"]
+        for r in curate_documents(
+            df, langs=(), min_quality=0.0, exact_pairs=True, drop_stats={}
+        ).select("id").collect()
+    }
+    assert got == exact
+
+
 def test_media_audio_real_decode(spark):
     import numpy as np
 
