@@ -223,7 +223,9 @@ def audio_dup_pairs(
     bits, found with the shared 4×15-bit pigeonhole join (complete for
     k ≤ 3, never all-pairs). Fake-decoded rows are excluded unless
     ``include_fake`` (a fake "match" says nothing about the audio).
-    Returns (id_a, id_b, hamming)."""
+    Bucket-drop accounting follows `dedup.hamming60_pairs`: guaranteed
+    only with a ``drop_stats`` dict; under AQE the default is
+    cap-with-WARNING, no counts. Returns (id_a, id_b, hamming)."""
     from .dedup import hamming60_pairs
 
     fps = audio_fingerprint(df, id_col, bytes_col, codec_col)

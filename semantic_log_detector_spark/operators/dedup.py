@@ -364,11 +364,14 @@ def minhash_lsh_pairs(
     Band width r = num_hashes/bands ⇒ candidate prob ≈ 1-(1-j^r)^bands.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
-    Over-sized LSH buckets (stop-word buckets) are dropped, never silently:
-    with a ``drop_stats`` dict the count is computed eagerly, logged and
-    written into it (dropped_buckets / dropped_bucket_rows); without one
-    the count rides the plan as observed metrics when AQE is off, and
-    falls back to the same eager count when AQE is on (see
+    Over-sized LSH buckets (stop-word buckets) are dropped with surfaced
+    accounting: with a ``drop_stats`` dict the count is computed eagerly,
+    logged and written into it (dropped_buckets / dropped_bucket_rows —
+    the GUARANTEED mode, used by every shipped pipeline entrypoint);
+    without one the count rides the plan as observed metrics when AQE is
+    off, but under AQE (the session default) the observation is
+    known-broken, so the cap still applies while the drop COUNTS are NOT
+    available — a build-time WARNING says so (see
     ``_surface_bucket_drops``). NOTE the eager count MATERIALIZES the
     signature checkpoint before the caller's job runs — the blocks are
     reused (no duplicate work) but a query that would have overlapped
@@ -520,8 +523,12 @@ def hamming60_pairs(
     whole band, so the banded self-join is COMPLETE — the result is
     exactly every pair with hamming(sh) ≤ k, which a SQL oracle can
     reproduce bit-for-bit (no LSH miss to excuse). The bucket guard
-    defaults high because dropping buckets would break completeness;
-    drops, if any, are surfaced via log + ``drop_stats``.
+    defaults high because dropping buckets would break completeness.
+    Drop accounting narrows with the session config: pass a
+    ``drop_stats`` dict for GUARANTEED counts (one tiny eager action);
+    with ``drop_stats=None`` counts ride observed metrics only when AQE
+    is off — under AQE (the session default) the cap still applies but
+    counts are unavailable and a build-time WARNING says so.
     Returns (id_a, id_b, hamming)."""
     base = base.localCheckpoint(eager=False)
     banded = base.select(
@@ -573,7 +580,10 @@ def simhash_hamming_pairs(
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """`hamming60_pairs` over the md5-60-bit text SimHash — the
-    SQL-oracle-reproducible exact Hamming-≤k near-dup search."""
+    SQL-oracle-reproducible exact Hamming-≤k near-dup search. Bucket-drop
+    accounting follows `hamming60_pairs`: guaranteed only with a
+    ``drop_stats`` dict; under AQE the default is cap-with-WARNING,
+    no counts."""
     base = df.select(
         F.col(id_col).alias("id"), simhash60_md5(F.col(text_col)).alias("sh")
     )

@@ -156,15 +156,23 @@ def ivf_topk(
     # full-base KMeans fit is itself a multi-pass ML job, and centroid
     # quality saturates long before 10^6 training points (n_cells ≤ a few
     # thousand). Full-probe results are centroid-INDEPENDENT (every cell is
-    # probed), so sampling the fit never changes the nprobe == n_cells
-    # answer — only which cells partial probes visit. Pass
-    # sample_fraction explicitly to override (1.0 = legacy full-base fit).
+    # probed), so bounding the fit never changes the nprobe == n_cells
+    # answer — only which cells partial probes visit.
+    #
+    # The default bound is limit(max_train_vectors) — NO extra Spark job:
+    # an eager b.count() here would be a full job over an arbitrary
+    # upstream plan (round-3 ADVICE; the same build-time-synchronous-job
+    # pattern the dedup guard deliberately avoids), and the fit's scan
+    # early-terminates after max_train_vectors rows instead. The trade:
+    # the training prefix follows partition order, so a sorted/clustered
+    # base can bias partial-probe centroids — pass sample_fraction
+    # explicitly for an unbiased Bernoulli fit (1.0 = full-base fit) when
+    # that matters; at n_base <= max_train_vectors the limit is the whole
+    # base and the fit is identical to sample_fraction=1.0.
     if sample_fraction is None:
-        n_base = b.count()  # metadata-cheap on columnar sources
-        sample_fraction = (
-            1.0 if n_base <= max_train_vectors else max_train_vectors / n_base
-        )
-    train = b if sample_fraction >= 1.0 else b.sample(sample_fraction, seed=seed)
+        train = b.limit(int(max_train_vectors))
+    else:
+        train = b if sample_fraction >= 1.0 else b.sample(sample_fraction, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell")
     model = km.fit(train.select(array_to_vector("__bv").alias("__feat")))
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]

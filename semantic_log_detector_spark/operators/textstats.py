@@ -82,10 +82,12 @@ def lang_id(col: Column) -> Column:
     """
     langs = list(STOPWORDS)
     # n > 0 always after trim-split, and ratios share the denominator —
-    # argmax over hits == argmax over hits/n; 'und' == all hits zero
+    # argmax over hits == argmax over hits/n; 'und' == all hits zero.
+    # NULL text must also map to 'und' (regexp_count(NULL) is NULL, so
+    # best<=0 would be NULL and the otherwise branch would emit NULL).
     hits = F.array(*[_stopword_hits(col, lang) for lang in langs])
     best = F.array_max(hits)
-    return F.when(best <= 0, F.lit("und")).otherwise(
+    return F.when(col.isNull() | (best <= 0), F.lit("und")).otherwise(
         F.element_at(
             F.array(*[F.lit(lang) for lang in langs]),
             F.array_position(hits, best).cast("int"),

@@ -146,6 +146,19 @@ def test_textstats(docs):
     assert 0.0 <= out[3]["q"] <= 1.0
 
 
+def test_lang_id_null_text_is_und(spark):
+    # ADVICE round 3: regexp_count(NULL) is NULL per language, so without
+    # an explicit null guard lang_id(NULL) leaked NULL instead of 'und'
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the cat sat on the mat")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select(
+        "id", lang_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert out[1] == "und" and out[2] == "und" and out[3] == "en"
+
+
 def test_media_plumbing(spark):
     media = synth_media(spark, 100)
     feats = extract_media_features(media)
