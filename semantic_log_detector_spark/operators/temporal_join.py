@@ -30,9 +30,12 @@ oracles (``epoch_us``) agree bit-for-bit at boundaries.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_LOG = logging.getLogger(__name__)
 
 
 def _us(col_name: str):
@@ -51,6 +54,8 @@ def asof_join(
     right_payload: list[str],
     direction: str = "backward",
     suffix: str = "_matched",
+    skew_stats: dict | None = None,
+    warn_key_rows: int = 10_000_000,
 ) -> DataFrame:
     """Left as-of join: every left row + the payload of the single right
     row with the greatest ``right_ts`` ≤ ``left_ts`` for the same key
@@ -65,7 +70,13 @@ def asof_join(
     Scale shape: one shuffle on ``key_cols`` (the union's window), map-side
     nothing else. Skewed keys behave like any window over a hot key —
     AQE cannot split a window partition, so pre-filter or pre-aggregate
-    degenerate keys upstream.
+    degenerate keys upstream. A degenerate key degrades LOUDLY, not into
+    a silent straggler task: pass a ``skew_stats`` dict (the same opt-in
+    device as the dedup bucket guards) and ONE eager agg over the unioned
+    key counts fills it (``hot_key``, ``hot_key_rows``, ``n_keys``) and
+    logs a WARNING when the hottest key exceeds ``warn_key_rows`` — the
+    row count one window partition must sort. With ``skew_stats=None``
+    (default) no extra job runs.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -88,6 +99,34 @@ def asof_join(
         *[F.col(c).alias(o) for c, o in zip(right_payload, out_payload)],
     ).select(*lcols, "__side", "__us", *out_payload)
     u = l_tagged.unionByName(r_tagged)
+    if isinstance(skew_stats, dict):
+        hot = (
+            u.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.max("__n").alias("hot_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max_by(F.struct(*key_cols), F.col("__n")).alias("hot_key"),
+            )
+            .first()
+        )
+        skew_stats.update(
+            {
+                "hot_key": None if hot["hot_key"] is None
+                else hot["hot_key"].asDict(),
+                "hot_key_rows": int(hot["hot_rows"] or 0),
+                "n_keys": int(hot["n_keys"]),
+                "warn_key_rows": int(warn_key_rows),
+            }
+        )
+        if skew_stats["hot_key_rows"] > warn_key_rows:
+            _LOG.warning(
+                "asof_join: hot key %s carries %d rows (> warn_key_rows=%d) — "
+                "one window partition must sort all of them (AQE cannot split "
+                "a window partition); pre-aggregate or pre-filter that key "
+                "upstream",
+                skew_stats["hot_key"], skew_stats["hot_key_rows"], warn_key_rows,
+            )
     if direction == "backward":
         # right rows (side 0) sort before left rows at equal ts → ties are
         # INCLUSIVE (right_ts == left_ts matches), like DuckDB ASOF >=
@@ -120,6 +159,8 @@ def range_interval_join(
     anchor_lo: str,
     anchor_hi: str,
     bucket_s: int = 600,
+    drop_stats: dict | None = None,
+    warn_cells_per_anchor: int = 1_000,
 ) -> DataFrame:
     """Inner join of probe rows onto anchor intervals: all (anchor, probe)
     pairs with ``anchor_lo ≤ probe_ts ≤ anchor_hi`` and equal keys —
@@ -127,9 +168,17 @@ def range_interval_join(
 
     ``anchor_lo``/``anchor_hi`` are timestamp COLUMN NAMES on ``anchors``.
     ``bucket_s`` is the cell width; each anchor explodes to
-    ``(hi-lo)/bucket_s + 1`` cells (keep the interval-to-bucket ratio
-    small — the explode factor is logged nowhere because it is bounded by
-    construction and visible in the plan's generator).
+    ``(hi-lo)/bucket_s + 1`` cells, so the explode factor is bounded only
+    by the caller's interval ≫ bucket discipline — a month-long interval
+    at the default 600 s bucket quietly fans out ~4,300× per anchor. The
+    factor is therefore OBSERVABLE through the same opt-in device as the
+    dedup bucket guards: pass a ``drop_stats`` dict and ONE eager agg over
+    the (typically small) anchor side fills it (``anchor_cells_max``,
+    ``anchor_cells_avg``, ``anchor_cells_total``, ``n_anchors``,
+    ``anchors_over_warn``) and logs a WARNING when any anchor exceeds
+    ``warn_cells_per_anchor`` cells. With ``drop_stats=None`` (default)
+    no extra job runs. Nothing is ever dropped either way — this is
+    accounting, not a cap.
 
     Columns collide → prefix anchor columns yourself before calling.
     Output: probe columns + anchor columns.
@@ -138,6 +187,39 @@ def range_interval_join(
     p = probe.withColumn(
         "__cell", (_us(probe_ts) / F.lit(b_us)).cast("long")
     )
+    if isinstance(drop_stats, dict):
+        n_cells = (
+            (_us(anchor_hi) / F.lit(b_us)).cast("long")
+            - (_us(anchor_lo) / F.lit(b_us)).cast("long")
+            + F.lit(1)
+        )
+        row = anchors.agg(
+            F.max(n_cells).alias("mx"),
+            F.avg(n_cells).alias("avg"),
+            F.sum(n_cells).alias("tot"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((n_cells > warn_cells_per_anchor).cast("long")).alias("over"),
+        ).first()
+        drop_stats.update(
+            {
+                "anchor_cells_max": int(row["mx"] or 0),
+                "anchor_cells_avg": float(row["avg"] or 0.0),
+                "anchor_cells_total": int(row["tot"] or 0),
+                "n_anchors": int(row["n"]),
+                "anchors_over_warn": int(row["over"] or 0),
+                "warn_cells_per_anchor": int(warn_cells_per_anchor),
+            }
+        )
+        if drop_stats["anchors_over_warn"]:
+            _LOG.warning(
+                "range_interval_join: %d of %d anchors explode to more than "
+                "%d cells each (max %d, bucket_s=%d) — the equi-join fans "
+                "out by that factor; widen bucket_s toward the interval "
+                "width or split degenerate intervals upstream",
+                drop_stats["anchors_over_warn"], drop_stats["n_anchors"],
+                warn_cells_per_anchor, drop_stats["anchor_cells_max"],
+                bucket_s,
+            )
     a = anchors.withColumn(
         "__cell",
         F.explode(

@@ -129,3 +129,74 @@ def test_sessionize_gap_edges(spark):
     assert out[(1, rows[1][1])] == 1   # gap == 1800 stays in-session
     assert out[(1, rows[2][1])] == 2   # gap > 1800 splits
     assert out[(2, base)] == 1
+
+
+def test_range_join_explode_factor_surfaced(spark, caplog):
+    # round-3 verdict #7: an anchor whose interval spans far more cells
+    # than bucket_s intends must trigger the surfaced accounting — the
+    # explode factor is never silent when the caller opts in
+    import logging
+
+    base = _ts("2024-03-01 00:00:00")
+    probes = spark.createDataFrame(
+        [(i, 0, base + dt.timedelta(seconds=600 * i)) for i in range(20)],
+        "pid int, k int, ts timestamp",
+    )
+    anchors = spark.createDataFrame(
+        [
+            # a sane 10-minute interval …
+            (0, 0, base, base + dt.timedelta(seconds=600)),
+            # … and a month-long one: 31*86400/600 ≈ 4,465 cells
+            (1, 0, base, base + dt.timedelta(days=31)),
+        ],
+        "aid int, k int, lo timestamp, hi timestamp",
+    )
+    stats = {}
+    with caplog.at_level(
+        logging.WARNING,
+        logger="semantic_log_detector_spark.operators.temporal_join",
+    ):
+        out = range_interval_join(
+            probes, anchors, ["k"], "ts", "lo", "hi",
+            bucket_s=600, drop_stats=stats,
+        )
+        n = out.count()
+    assert stats["n_anchors"] == 2
+    assert stats["anchors_over_warn"] == 1
+    assert stats["anchor_cells_max"] > 4000
+    assert any("explode" in r.message for r in caplog.records)
+    # accounting never changes the answer: month anchor matches all probes
+    assert n == 2 + 20
+
+
+def test_asof_hot_key_guard(spark, caplog):
+    # round-3 verdict #8: a degenerate key degrades loudly — the opt-in
+    # skew_stats dict carries the hottest key's row count and a WARNING
+    # fires above the threshold, while the join result is unchanged
+    import logging
+
+    base = _ts("2024-04-01 00:00:00")
+    left = spark.createDataFrame(
+        [(i, "hot" if i < 900 else f"k{i}", base + dt.timedelta(seconds=i))
+         for i in range(1000)],
+        "lid int, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("hot", base, 1.0), ("k950", base, 2.0)],
+        "sym string, ts timestamp, bid double",
+    )
+    stats = {}
+    with caplog.at_level(
+        logging.WARNING,
+        logger="semantic_log_detector_spark.operators.temporal_join",
+    ):
+        out = asof_join(
+            left, right, ["sym"], "ts", "ts", ["bid"],
+            skew_stats=stats, warn_key_rows=500,
+        ).collect()
+    assert stats["hot_key"] == {"sym": "hot"}
+    assert stats["hot_key_rows"] == 901  # 900 left + 1 right
+    assert stats["n_keys"] == 101
+    assert any("hot key" in r.message for r in caplog.records)
+    matched = {r["lid"]: r["bid_matched"] for r in out}
+    assert matched[0] == 1.0 and matched[950] == 2.0 and matched[999] is None
