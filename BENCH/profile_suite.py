@@ -39,8 +39,8 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="sld_profile_")
     try:
         t0 = time.time()
-        run_suite(spark, clips, transcripts, out_dir, SuiteConfig(),
-                  input_fingerprint=cdir, clips_path=cdir)
+        res = run_suite(spark, clips, transcripts, out_dir, SuiteConfig(),
+                        input_fingerprint=cdir, clips_path=cdir)
         wall = time.time() - t0
         ledger = spark.read.parquet(f"{out_dir}/ledger")
         rows = (ledger.groupBy("check_id")
@@ -55,6 +55,8 @@ def main() -> None:
         "suite_wall_s": round(wall, 2),
         "sum_checks_s": round(sum(per_check.values()), 2),
         "per_check_s": dict(sorted(per_check.items(), key=lambda kv: -kv[1])),
+        "runner_timings_s": {k: round(v, 2) for k, v in
+                             sorted(res.timings.items(), key=lambda kv: -kv[1])},
         "clips_per_sec": round(n_clips / wall, 1),
     }))
     spark.stop()

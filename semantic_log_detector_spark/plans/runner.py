@@ -55,6 +55,16 @@ class SuiteConfig:
     # reported per partition in the R062 verdict (never silent)
     strict_codecs: bool = False
     waves: int = 1
+    # AQE during the batched wave actions. The suite's verdict/violation
+    # plans have fixed shapes (per-part aggregates over a cached slice, one
+    # equi-join) that the static planner already gets right; AQE's
+    # stage-by-stage re-planning serializes the N independent check
+    # subtrees inside the one batched action (measured 3.4× on the
+    # collect: 7.7 s → 2.3 s at 60k clips / 32 cores). part_id is
+    # pmod(xxhash64) — uniform by construction — so skew splitting buys
+    # nothing here. Set True if the transcript join key is pathologically
+    # skewed. Session AQE settings are untouched outside the action window.
+    adaptive_wave_exec: bool = False
     stats_expectations: tuple = tuple(
         (c, tuple(exps)) for c, exps in DEFAULT_EXPECTATIONS.items()
     )
@@ -217,28 +227,68 @@ def run_suite(
                 built.append((check, pend, res, time.time() - t0))
 
             if built:
-                verdicts_all = None
-                violations_all = None
+                # Pad verdicts and violations to one superset schema and
+                # union EVERYTHING into a single persisted frame: every
+                # check's verdict AND violation subtree executes exactly
+                # once, inside one parallel job (independent map stages
+                # overlap). The previous 3-action shape (collect over a
+                # persisted verdict union, then a violations write) executed
+                # the violation subtrees — including the referential
+                # full_outer join — a second time in a second job.
+                VKIND, LKIND = "r", "v"
+                combined = None
                 for check, _, res, _ in built:
-                    v = res.verdicts.withColumn("__check", F.lit(check))
-                    verdicts_all = v if verdicts_all is None else verdicts_all.unionByName(v)
-                    violations_all = (
-                        res.violations if violations_all is None
-                        else violations_all.unionByName(res.violations)
+                    v = res.verdicts.select(
+                        "run_id", "part_id", "rule_id", "passed", "n_rows",
+                        "n_violations", "observed", "expected",
+                        F.lit(None).cast("string").alias("clip_id"),
+                        F.lit(None).cast("string").alias("column"),
+                        F.lit(None).cast("string").alias("severity"),
+                        F.lit(None).cast("string").alias("explanation"),
+                        F.lit(VKIND).alias("__kind"),
+                        F.lit(check).alias("__check"),
                     )
-                t0 = time.time()
-                verdicts_all.persist()
-                stats = (
-                    verdicts_all.groupBy("__check", "part_id")
-                    .agg(F.max("n_rows").alias("nr"), F.sum("n_violations").alias("nv"))
-                    .collect()
-                )
-                t1 = time.time()
-                verdicts_all.drop("__check").write.mode("append").parquet(f"{out_dir}/verdicts")
-                t2 = time.time()
-                violations_all.write.mode("append").parquet(f"{out_dir}/violations")
-                t3 = time.time()
-                verdicts_all.unpersist()
+                    l = res.violations.select(
+                        "run_id", "part_id", "rule_id",
+                        F.lit(None).cast("boolean").alias("passed"),
+                        F.lit(None).cast("long").alias("n_rows"),
+                        F.lit(None).cast("long").alias("n_violations"),
+                        "observed", "expected", "clip_id", "column",
+                        "severity", "explanation",
+                        F.lit(LKIND).alias("__kind"),
+                        F.lit(check).alias("__check"),
+                    )
+                    both = v.unionByName(l)
+                    combined = both if combined is None else combined.unionByName(both)
+                aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+                try:
+                    if not cfg.adaptive_wave_exec:
+                        spark.conf.set("spark.sql.adaptive.enabled", "false")
+                    t0 = time.time()
+                    combined.persist()
+                    stats = (
+                        combined.filter(F.col("__kind") == VKIND)
+                        .groupBy("__check", "part_id")
+                        .agg(F.max("n_rows").alias("nr"), F.sum("n_violations").alias("nv"))
+                        .collect()
+                    )
+                    t1 = time.time()
+                    # both writes read the persisted frame — no recompute.
+                    # verdicts are ≤ parts×rules rows → one file; violations
+                    # are sparse → a few files (not 100s of near-empty ones)
+                    combined.filter(F.col("__kind") == VKIND).select(
+                        "run_id", "part_id", "rule_id", "passed", "n_rows",
+                        "n_violations", "observed", "expected",
+                    ).coalesce(1).write.mode("append").parquet(f"{out_dir}/verdicts")
+                    t2 = time.time()
+                    combined.filter(F.col("__kind") == LKIND).select(
+                        "run_id", "part_id", "rule_id", "clip_id", "column",
+                        "observed", "expected", "severity", "explanation",
+                    ).coalesce(8).write.mode("append").parquet(f"{out_dir}/violations")
+                    t3 = time.time()
+                    combined.unpersist()
+                finally:
+                    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
                 tm = result.timings
                 tm["exec_collect_s"] = tm.get("exec_collect_s", 0.0) + (t1 - t0)
                 tm["write_verdicts_s"] = tm.get("write_verdicts_s", 0.0) + (t2 - t1)

@@ -59,6 +59,17 @@ def get_spark(
         # TASK (~25% slower at 8 cores, worse at higher parallelism where
         # 32 simultaneous interpreter spawns contend).
         .config("spark.python.worker.reuse", "true")
+        # Pin BLAS/OpenMP to one thread per Python worker. Task-level
+        # parallelism already saturates the cores; OpenBLAS spinning up its
+        # own threads inside every worker (numpy matmul in the mel
+        # filterbank, fingerprint band projection, IVF centroid scoring)
+        # oversubscribes the host — measured 4.0× on the 60k-clip decode
+        # pass at local[32] (12.9 s default → 3.25 s pinned, identical
+        # output). On a real cluster the same holds: cores are Spark's to
+        # schedule, not the library's.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # local mode: driver IS the executor; size for 32 concurrent tasks
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
