@@ -44,13 +44,14 @@ LEVELS = tuple(
 )
 
 
-def calibrate(seconds: float = 5.0) -> dict[int, float]:
+def calibrate(seconds: float = 5.0,
+              levels: tuple = (1, 4, 8, 16, 32)) -> dict[int, float]:
     """Raw multiprocess decode throughput at 1/4/8/16/32 processes — what
     the host actually delivers, independent of Spark. clips/sec aggregate."""
     from multiprocessing import Pool
 
     out: dict[int, float] = {}
-    for nproc in (1, 4, 8, 16, 32):
+    for nproc in levels:
         with Pool(nproc) as pool:
             counts = pool.starmap(_burn_one, [(seconds,)] * nproc)
         out[nproc] = round(sum(counts) / seconds, 0)

@@ -173,6 +173,15 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["clips_suite"] = round(suite_wall, 3)
 
+    # hardware calibration recorded ALONGSIDE the measurement: raw
+    # no-Spark decode throughput at 1 and 32 processes (BENCH/scaling.py's
+    # burn kernel). The shared VM shows up to 3x co-tenant swings; a calm
+    # host reads ~16,800 clips/s at 32 procs, so this field lets any
+    # recorded wall be interpreted against the host state that produced it.
+    from BENCH.scaling import calibrate as _hw_calibrate
+
+    cal = _hw_calibrate(seconds=2.0, levels=(1, 32))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline query suite + full clips validation wall time",
@@ -183,6 +192,7 @@ def main() -> None:
         "n_clips": n_clips,
         "clips_per_sec": round(n_clips / suite_wall, 1),
         "cpus": cpus,
+        "hw_calibration_clips_per_sec": {str(k): v for k, v in cal.items()},
     }))
     spark.stop()
 
