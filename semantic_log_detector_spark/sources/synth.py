@@ -404,3 +404,66 @@ def content_dup_clips(
         " bytes binary, is_dup boolean, src_clip_id string"
     )
     return rng.mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------- VAD ground-truth corpus
+
+def burst_clips(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Planted-ground-truth corpus for speech segmentation
+    (operators/segment.py): every clip is 3 s of digital silence with
+    1-3 tone bursts at exactly known offsets (deterministic in idx), so
+    a VAD's detected segments can be asserted against the planted
+    schedule. Bursts are >=300 ms, separated by >=400 ms (above the
+    default min_speech/min_gap), amplitude 0.5 at -6 dBFS against TRUE
+    zero silence; codec rotates through the lossless/real set with a
+    known noise character (pcm/flac bit-exact; mulaw ~37 dB SNR).
+    Columns: idx, clip_id, codec, sr_hz, dur_ms, bytes,
+    bursts array<struct<start_s double, end_s double>>."""
+    codecs = np.array(["pcm_s16le", "flac", "mulaw"], dtype=object)
+    base_sched = [(0.3, 0.8), (1.4, 1.9), (2.3, 2.7)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import encode_wav as _wav
+
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            n_bursts = 1 + (_stream(i, 70, seed) % np.uint64(3)).astype(int)
+            codec_i = (_stream(i, 71, seed) % np.uint64(3)).astype(int)
+            jit = (_stream(i, 72, seed) % np.uint64(8)).astype(int) * 0.01
+            freq = 440.0 + 40.0 * (_stream(i, 73, seed) % np.uint64(12)).astype(int)
+            sr = 16000
+            t = np.arange(3 * sr, dtype=np.float64) / sr
+            rows = []
+            for r in range(len(i)):
+                sig = np.zeros(3 * sr)
+                sched = []
+                for k in range(int(n_bursts[r])):
+                    t0 = base_sched[k][0] + float(jit[r])
+                    t1 = base_sched[k][1] + float(jit[r])
+                    s0, s1 = int(t0 * sr), int(t1 * sr)
+                    sig[s0:s1] = 0.5 * np.sin(2 * np.pi * freq[r] * t[s0:s1])
+                    sched.append({"start_s": round(t0, 4), "end_s": round(t1, 4)})
+                enc = _ENCODERS.get(codecs[codec_i[r]], _wav)
+                rows.append({
+                    "idx": int(i[r]),
+                    "clip_id": f"b{int(i[r]):010d}",
+                    "codec": codecs[codec_i[r]],
+                    "sr_hz": sr,
+                    "dur_ms": 3000,
+                    "bytes": enc(sig.astype(np.float32), sr),
+                    "bursts": sched,
+                })
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n, numPartitions=num_partitions)
+    schema = (
+        "idx long, clip_id string, codec string, sr_hz int, dur_ms int,"
+        " bytes binary,"
+        " bursts array<struct<start_s double, end_s double>>"
+    )
+    return rng.mapInPandas(gen, schema=schema)
