@@ -1,0 +1,249 @@
+"""Audio snippet search — query-by-content over a clip corpus.
+
+Given a short audio snippet (possibly re-encoded, resampled, and cut at
+an arbitrary offset), find which corpus clips CONTAIN it and where. This
+is the retrieval dual of `audio_dedup` (whole-clip identity): dedup asks
+"are these two clips the same recording", search asks "does this
+recording appear anywhere inside that one" — the op a training-data
+pipeline needs for provenance tracing (did a benchmark audio prompt leak
+into the corpus?) and clip-level decontamination, where the contaminant
+is a fragment, not the whole file.
+
+Design (landmark voting, the Wang/Shazam scheme re-expressed for Spark):
+
+1. ``audio_landmarks`` — one mapInPandas pass per table: decode (real
+   codec registry), canonicalize to FP_SR, compute the dominant log-band
+   per 512-sample window on a fixed hop, run-length-compress the band
+   sequence into note events, and emit one 20-bit key per consecutive
+   event TRIPLE: (band0, band1, band2, Δt1, Δt2) with the Δt's in
+   quantized hop units. Keys are time-offset-invariant (only Δt's are
+   encoded) and anchored at their first event's frame time, so a snippet
+   cut at any offset produces the same keys as the matching region of
+   its source, shifted by a constant.
+2. ``audio_snippet_search`` — broadcast the (small) query landmark table,
+   equi-join on key against the corpus landmarks (map-side: the corpus
+   table never shuffles), and VOTE: group matches by (query, clip,
+   quantized time offset) and score each candidate by its best
+   consistent-offset bucket. Random 20-bit collisions scatter across
+   offsets; a true containment concentrates at one.
+
+Scale shape: payload bytes stay in the scan stage of the landmark pass;
+the landmark table is ~(clip_seconds / note_length) rows of 20 bytes —
+three orders smaller than the audio. The search join is broadcast on the
+query side, so searching 10^12 corpus landmarks for a batch of snippets
+is one scan + a shuffle of only the matched votes. For a standing index,
+persist the corpus landmarks bucketed by key.
+
+No reference parity: the reference engine (log-line payloads) has no
+audio retrieval; public-knowledge basis is A. Wang, "An Industrial
+Strength Audio Search Algorithm" (ISMIR 2003).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .audio_dedup import FP_MIN_RMS, FP_SR, FP_WIN, _band_masks
+
+# Landmark geometry. 48 ms hop ≈ 6-8 windows per note at 250-400 ms notes;
+# Δt quantization of 2 hops absorbs the ±1-frame boundary jitter a
+# non-grid-aligned cut introduces (voting absorbs the keys it still
+# breaks). Δt saturates at 15 quanta = 30 hops ≈ 1.4 s between events.
+LM_HOP_MS = 48.0
+_DT_CAP = 15
+
+
+def _event_keys(bands: np.ndarray, times: np.ndarray):
+    """(keys, anchors) from a per-frame dominant-band sequence.
+
+    ``bands`` holds -1 for silent frames (skipped; a silence gap just
+    lengthens the Δt across it). Events are run-length starts; each
+    consecutive event triple packs into a 20-bit key."""
+    keep = bands >= 0
+    b, t = bands[keep], times[keep]
+    if len(b) < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.concatenate([[True], b[1:] != b[:-1]])
+    eb, et = b[starts], t[starts]
+    if len(eb) < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    dt1 = np.minimum((et[1:-1] - et[:-2] + 1) // 2, _DT_CAP)
+    dt2 = np.minimum((et[2:] - et[1:-1] + 1) // 2, _DT_CAP)
+    keys = (
+        (eb[:-2].astype(np.int64) << 16)
+        | (eb[1:-1].astype(np.int64) << 12)
+        | (eb[2:].astype(np.int64) << 8)
+        | (dt1.astype(np.int64) << 4)
+        | dt2.astype(np.int64)
+    )
+    return keys, et[:-2].astype(np.int64)
+
+
+def audio_landmarks(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    hop_ms: float = LM_HOP_MS,
+) -> DataFrame:
+    """(id, key, t, fake) — one row per landmark triple. ``t`` is the
+    anchor frame index on the ``hop_ms`` grid at FP_SR (offset-invariant
+    keys; ``t`` only feeds the vote). Undecodable or all-silent clips
+    emit no rows; ``fake`` marks fake-decoder rows (exclude downstream —
+    `audio_snippet_search` does by default)."""
+    cols = [id_col, bytes_col, codec_col]
+    hop = int(FP_SR * hop_ms / 1000.0)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..functions.audio import (
+            decode_clip_ex,
+            predecode_batch,
+            resample_linear,
+        )
+
+        win = np.hanning(FP_WIN)
+        masks = _band_masks(FP_SR)
+        half = FP_WIN // 2
+        for pdf in batches:
+            payloads = pdf[bytes_col].tolist()
+            codecs = pdf[codec_col].tolist()
+            ids = pdf[id_col].astype(str).tolist()
+            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+            # gather every row's frame windows, then ONE rfft + band
+            # matmul for the whole batch (same shape as the dedup kernel)
+            mats, spans = [], []  # spans: (row, n_frames, fake)
+            for i, (buf, codec) in enumerate(zip(payloads, codecs)):
+                try:
+                    hit = pre.get(i)
+                    if isinstance(hit, Exception):
+                        raise hit
+                    if hit is not None:
+                        pcm, sr = hit
+                        fake = False
+                    else:
+                        pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
+                except Exception:
+                    continue
+                if pcm is None or len(pcm) == 0 or sr <= 0:
+                    continue
+                pcm = resample_linear(np.asarray(pcm, np.float64), int(sr), FP_SR)
+                if len(pcm) < FP_WIN:
+                    continue
+                centers = np.arange(half, len(pcm) - half + 1, hop)
+                if len(centers) < 3:
+                    continue
+                w = pcm[centers[:, None] + np.arange(-half, half)[None, :]]
+                mats.append(w)
+                spans.append((i, len(centers), fake))
+            out = {"id": [], "key": [], "t": [], "fake": []}
+            if mats:
+                allw = np.concatenate(mats, axis=0)
+                rms = np.sqrt(np.mean(allw * allw, axis=1))
+                spec = np.abs(np.fft.rfft(allw * win, axis=1)) ** 2
+                dom = (spec @ masks).argmax(axis=1).astype(np.int64)
+                dom[rms < FP_MIN_RMS] = -1
+                pos = 0
+                for i, nf, fake in spans:
+                    bands = dom[pos : pos + nf]
+                    pos += nf
+                    keys, anchors = _event_keys(bands, np.arange(nf, dtype=np.int64))
+                    out["id"].extend([ids[i]] * len(keys))
+                    out["key"].extend(keys.tolist())
+                    out["t"].extend(anchors.tolist())
+                    out["fake"].extend([bool(fake)] * len(keys))
+            yield pd.DataFrame({
+                "id": pd.Series(out["id"], dtype=object),
+                "key": pd.Series(out["key"], dtype="int64"),
+                "t": pd.Series(out["t"], dtype="int64"),
+                "fake": pd.Series(out["fake"], dtype=bool),
+            })
+
+    return df.select(*cols).mapInPandas(
+        gen, schema="id string, key long, t long, fake boolean"
+    )
+
+
+def audio_snippet_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 3,
+    min_votes: int = 3,
+    hop_ms: float = LM_HOP_MS,
+    include_fake: bool = False,
+    landmarks: bool = False,
+) -> DataFrame:
+    """Find corpus clips containing each query snippet.
+
+    ``corpus``/``queries`` are clip tables (clip_id, bytes, codec) — or,
+    with ``landmarks=True``, pre-built `audio_landmarks` outputs (build
+    the corpus side once and persist it when serving many query batches).
+    Returns (query_id, clip_id, votes, offset_s): up to ``top_k`` corpus
+    clips per query with at least ``min_votes`` landmark triples agreeing
+    on one time offset; ``offset_s`` is where the snippet starts inside
+    the matched clip. The query side is broadcast (a query batch is small
+    by construction), so the corpus landmark table never shuffles — only
+    matched votes do."""
+    c_lm = corpus if landmarks else audio_landmarks(corpus, hop_ms=hop_ms)
+    q_lm = queries if landmarks else audio_landmarks(queries, hop_ms=hop_ms)
+    if not include_fake:
+        c_lm = c_lm.filter(~F.col("fake"))
+        q_lm = q_lm.filter(~F.col("fake"))
+    hop_s = hop_ms / 1000.0
+
+    q = q_lm.select(
+        F.col("id").alias("query_id"),
+        "key",
+        F.col("t").alias("tq"),
+    )
+    votes = (
+        c_lm.join(F.broadcast(q), "key")
+        # ±1-hop anchor jitter → quantize the offset by 3 hops; a true
+        # containment still concentrates (worst case splits across two
+        # adjacent buckets, each far above any random-collision count)
+        .select(
+            "query_id",
+            F.col("id").alias("clip_id"),
+            F.floor((F.col("t") - F.col("tq")) / F.lit(3)).alias("off_q"),
+            (F.col("t") - F.col("tq")).alias("off"),
+        )
+        .groupBy("query_id", "clip_id", "off_q")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.min("off").alias("off_min"),
+        )
+        .filter(F.col("votes") >= min_votes)
+    )
+    best = (
+        votes.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id", "clip_id")
+                .orderBy(F.desc("votes"), F.asc("off_q"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("votes"), F.asc("clip_id"))
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "clip_id",
+            "votes",
+            F.round(F.greatest(F.col("off_min") * hop_s, F.lit(0.0)), 3)
+            .alias("offset_s"),
+            "rank",
+        )
+    )

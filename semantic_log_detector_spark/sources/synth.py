@@ -467,3 +467,64 @@ def burst_clips(
         " bursts array<struct<start_s double, end_s double>>"
     )
     return rng.mapInPandas(gen, schema=schema)
+
+
+# ------------------------------------------------ snippet-search corpus
+
+def melody_clips(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    dur_s: float = 8.0,
+    note_ms: int = 250,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Long-melody corpus for audio snippet search
+    (operators/audio_search.py): each clip is ``dur_s`` seconds of
+    ``note_ms`` random tones from the 16 log-spaced fingerprint bands
+    (deterministic in idx) + per-row noise, 16 kHz, rotating through the
+    real codec set. Tests cut snippets from decoded clips at arbitrary
+    (non-grid-aligned) offsets and re-encode them to assert retrieval.
+    Columns: idx, clip_id, codec, sr_hz, dur_ms, bytes."""
+    bands = np.geomspace(200.0, 3800.0, 16)
+    codecs = np.array(["pcm_s16le", "flac", "mulaw", "adpcm_ima"], dtype=object)
+    sr = 16000
+    n_samp = int(dur_s * sr)
+    note_len = int(note_ms * sr / 1000.0)
+    n_notes = (n_samp + note_len - 1) // note_len
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import encode_wav as _wav
+
+        t = np.arange(n_samp, dtype=np.float64) / sr
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            codec_i = (_stream(i, 80, seed) % np.uint64(4)).astype(int)
+            notes = np.stack(
+                [(_stream(i, 81 + k, seed) % np.uint64(16)).astype(int)
+                 for k in range(n_notes)],
+                axis=1,
+            )
+            rows = []
+            for r in range(len(i)):
+                sig = np.zeros(n_samp)
+                for k in range(n_notes):
+                    sl = slice(k * note_len, min((k + 1) * note_len, n_samp))
+                    sig[sl] = 0.5 * np.sin(2 * np.pi * bands[notes[r, k]] * t[sl])
+                rng = np.random.Generator(np.random.Philox(key=int(i[r]) + seed))
+                sig += 0.02 * rng.standard_normal(n_samp)
+                enc = _ENCODERS.get(codecs[codec_i[r]], _wav)
+                rows.append({
+                    "idx": int(i[r]),
+                    "clip_id": f"m{int(i[r]):010d}",
+                    "codec": codecs[codec_i[r]],
+                    "sr_hz": sr,
+                    "dur_ms": int(dur_s * 1000),
+                    "bytes": enc(sig.astype(np.float32), sr),
+                })
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n, numPartitions=num_partitions)
+    schema = ("idx long, clip_id string, codec string, sr_hz int,"
+              " dur_ms int, bytes binary")
+    return rng.mapInPandas(gen, schema=schema)
