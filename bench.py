@@ -147,6 +147,62 @@ def main() -> None:
         best = min(best, time.time() - t0)
     timings["audio_dedup_20k"] = round(best, 3)
 
+    # audio snippet search over a materialized 5k-clip / 11-hour melody
+    # corpus: 20 re-encoded, non-grid-aligned snippet queries (16 planted,
+    # 4 out-of-corpus). Times the full retrieval: corpus landmark pass
+    # (decode + FFT, payloads stay in the scan stage) + broadcast join +
+    # offset voting. Fixture prep (corpus materialization, snippet
+    # cutting) is untimed — it is input generation, not engine time.
+    n_mel = int(os.environ.get("SPARK_GRAFT_BENCH_MELODY_CLIPS", 5_000))
+    mdir = f"/tmp/sld_bench_cache/melody_{n_mel}_3"
+    if not (os.path.isdir(mdir) and any(f.endswith("parquet") for f in os.listdir(mdir))):
+        from semantic_log_detector_spark.sources.synth import melody_clips
+
+        melody_clips(spark, n_mel, seed=3).write.mode("overwrite").parquet(mdir)
+
+    def snippet_queries(corpus_df):
+        import numpy as np
+
+        from semantic_log_detector_spark.functions.audio import (
+            decode_clip, resample_linear,
+        )
+        from semantic_log_detector_spark.functions.g711 import encode_mulaw
+        from semantic_log_detector_spark.sources.synth import melody_clips
+
+        rows = corpus_df.filter("idx % 311 = 7").limit(16).collect()
+        qs = []
+        for j, r in enumerate(rows):
+            pcm, sr = decode_clip(bytes(r["bytes"]), r["codec"])
+            s0 = int((0.017 + 0.61 * (j % 9)) * sr)
+            piece = resample_linear(pcm[s0 : s0 + 3 * sr], sr, 8000)
+            qs.append((f"q{j}", encode_mulaw(piece.astype(np.float32), 8000), "mulaw"))
+        for j, r in enumerate(melody_clips(spark, 4, seed=777).collect()):
+            pcm, sr = decode_clip(bytes(r["bytes"]), r["codec"])
+            piece = resample_linear(pcm[sr : 4 * sr], sr, 8000)
+            qs.append((f"neg{j}", encode_mulaw(piece.astype(np.float32), 8000), "mulaw"))
+        return spark.createDataFrame(qs, "clip_id string, bytes binary, codec string")
+
+    def snippet_search_bench():
+        from semantic_log_detector_spark.operators.audio_search import (
+            audio_snippet_search,
+        )
+
+        corpus = spark.read.parquet(mdir)
+        audio_snippet_search(corpus, qdf).write.format("noop").mode("overwrite").save()
+
+    qdf = snippet_queries(spark.read.parquet(mdir))
+    # untimed page-cache warm of the payload column (~1 GB; the VM's cold
+    # disk reads ~65 MB/s, which would otherwise dominate the first rep)
+    from pyspark.sql import functions as _F
+
+    spark.read.parquet(mdir).select(_F.sum(_F.length("bytes"))).collect()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        snippet_search_bench()
+        best = min(best, time.time() - t0)
+    timings["snippet_search_5k"] = round(best, 3)
+
     # untimed warmup suite on a small table: first-run codegen + python
     # worker spawn + page-cache effects cost 3-5× the steady-state wall
     # (measured 105s -> 40s -> 19.5s across reps at 32 cores); steady-state

@@ -99,18 +99,26 @@ def _encode_blocks(x16: np.ndarray):
 
 
 def _decode_blocks(h_pred, h_idx, nibbles, n_samples: int) -> np.ndarray:
+    # The SPB-step state loop reads one nibble COLUMN and writes one output
+    # COLUMN per step; in row-major layout each such access touches nblk
+    # cache lines (stride SPB), ~600 MB of cache-line traffic for a 10k-block
+    # batch — memory-bandwidth-pathological when 32 workers run it at once.
+    # Transposing once up front makes every per-step access contiguous
+    # (nblk×4 bytes), so the loop's traffic drops ~15× and the batch decode
+    # stays fast under full-host concurrency.
     nblk = len(h_pred)
-    out = np.zeros((nblk, SPB), dtype=np.int32)
+    nib_t = np.ascontiguousarray(nibbles.T)  # (SPB-1, nblk)
+    out = np.empty((SPB, nblk), dtype=np.int32)
     pred = h_pred.astype(np.int32)
     idx = np.clip(h_idx.astype(np.int32), 0, 88)
-    out[:, 0] = pred
+    out[0] = pred
     for j in range(1, SPB):
         step = STEP_TABLE[idx]
-        delta = nibbles[:, j - 1].astype(np.int32)
+        delta = nib_t[j - 1].astype(np.int32)
         pred = np.clip(pred + _dequant(delta, step), -32768, 32767)
         idx = np.clip(idx + INDEX_TABLE[delta], 0, 88)
-        out[:, j] = pred
-    return out.reshape(-1)[:n_samples].astype(np.int16)
+        out[j] = pred
+    return out.T.reshape(-1)[:n_samples].astype(np.int16)
 
 
 # ------------------------------------------------------------- WAV container
