@@ -1,0 +1,206 @@
+"""Audio-corpus curation capstone: ONE payload pass → gates → dedup keep.
+
+The audio analogue of `curate.curate_documents`: select the training-worthy
+subset of a clip corpus. A speech corpus is curated on different axes than
+text — decodability (and decode HONESTY: fake-decoded rows must never
+swim through), speech content (energy VAD ratio, not token counts), and
+acoustic duplication (same recording re-encoded) — but the composition is
+the same ladder: per-item profile → quality gates → canonical keep over
+the near-dup cluster graph.
+
+Scale design: `audio_profile` computes EVERYTHING curation needs from the
+payload — the 60-bit acoustic fingerprint (audio_dedup kernel), the VAD
+speech ratio (segment kernel), decode status/honesty — in ONE decode pass,
+so the corpus bytes are read exactly once (two independent operators would
+decode twice; at 100 TB the decode pass IS the cost). The profile is a
+thin per-clip frame (~50 B/row) that persists across its two uses (gates +
+pair graph); payload bytes never leave the scan stage. Gates run BEFORE
+the pair search, so ineligible clips (silence, fakes, undecodables) never
+enter the pigeonhole join — both cheaper and semantically right (silence
+colliding with silence is not duplication). Drop accounting is total:
+every input clip lands in exactly one `audio_curation_summary` bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .audio_dedup import _fingerprint_rows
+from .segment import (
+    DEFAULT_THRESHOLD_DBFS,
+    FRAME_MS,
+    HOP_MS,
+    _frame_rms_db,
+    _segments_from_mask,
+)
+
+
+def audio_profile(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    threshold_dbfs: float = DEFAULT_THRESHOLD_DBFS,
+    min_speech_ms: float = 100.0,
+    min_gap_ms: float = 150.0,
+) -> DataFrame:
+    """Per-clip curation profile from ONE decode of the payload:
+    (clip_id, decode_ok, fake, fp, total_s, speech_s, speech_ratio,
+    n_segments). ``fp`` is the 60-bit acoustic fingerprint (null for
+    silence/undecodable — see audio_dedup), speech fields come from the
+    energy-VAD kernel (segment.py). Undecodable clips keep their row with
+    decode_ok=false and nulls — accounting needs them."""
+    cols = [id_col, bytes_col, codec_col]
+    frame_s, hop_s = FRAME_MS / 1000.0, HOP_MS / 1000.0
+    min_speech_s, min_gap_s = min_speech_ms / 1000.0, min_gap_ms / 1000.0
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..functions.audio import decode_clip_ex, predecode_batch
+
+        for pdf in batches:
+            payloads = pdf[bytes_col].tolist()
+            codecs = pdf[codec_col].tolist()
+            n = len(payloads)
+            pcms: list = [None] * n
+            srs = [0] * n
+            fakes = [False] * n
+            ok = [False] * n
+            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+            for i, (buf, codec) in enumerate(zip(payloads, codecs)):
+                try:
+                    hit = pre.get(i)
+                    if isinstance(hit, Exception):
+                        raise hit
+                    if hit is not None:
+                        pcm, sr = hit
+                        fake = False
+                    else:
+                        pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
+                    if pcm is not None and len(pcm) > 0 and sr > 0:
+                        pcms[i], srs[i], fakes[i], ok[i] = (
+                            np.asarray(pcm, np.float64), int(sr), bool(fake), True,
+                        )
+                except Exception:
+                    pass
+            fps = _fingerprint_rows(pcms, srs)
+            total_s = [None] * n
+            speech_s = [None] * n
+            n_segs = [None] * n
+            for i in range(n):
+                if not ok[i]:
+                    continue
+                db = _frame_rms_db(pcms[i], srs[i], FRAME_MS, HOP_MS)
+                segs = _segments_from_mask(db >= threshold_dbfs, hop_s, frame_s,
+                                           min_speech_s, min_gap_s)
+                dur = len(pcms[i]) / float(srs[i])
+                total_s[i] = round(dur, 4)
+                speech_s[i] = round(sum(min(t1, dur) - t0 for t0, t1 in segs), 4)
+                n_segs[i] = len(segs)
+            yield pd.DataFrame({
+                "clip_id": pdf[id_col].astype(str),
+                "decode_ok": pd.Series(ok, dtype=bool),
+                "fake": pd.Series(fakes, dtype=bool),
+                "fp": pd.array(fps, dtype="Int64"),
+                "total_s": pd.array(total_s, dtype="Float64"),
+                "speech_s": pd.array(speech_s, dtype="Float64"),
+                "speech_ratio": pd.array(
+                    [None if (t is None or t <= 0) else round(s / t, 4)
+                     for s, t in zip(speech_s, total_s)],
+                    dtype="Float64"),
+                "n_segments": pd.array(n_segs, dtype="Int32"),
+            })
+
+    schema = ("clip_id string, decode_ok boolean, fake boolean, fp long,"
+              " total_s double, speech_s double, speech_ratio double,"
+              " n_segments int")
+    return df.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def curate_audio_corpus(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    min_speech_ratio: float = 0.3,
+    min_dur_s: float = 0.0,
+    max_dur_s: float | None = None,
+    max_hamming: int = 3,
+    cc_max_iters: int = 25,
+    drop_stats: dict | None = None,
+    artifacts: dict | None = None,
+) -> DataFrame:
+    """Curated clip set: profile gates + acoustic-dup canonical keep.
+
+    Keeps clips that (a) decode through a REAL codec (fake-decoded rows
+    are never curated in), (b) have VAD speech_ratio ≥ ``min_speech_ratio``
+    and duration within bounds, and (c) are the canonical representative
+    (min id) of their acoustic-duplicate cluster, or duplicate nothing.
+    Returns one row per KEPT clip (the `audio_profile` row). Gates run
+    BEFORE the pair search: ineligible clips never enter the pigeonhole
+    join. ``artifacts`` receives ``['profile']`` (per-clip, all rows) and
+    ``['clusters']`` (edge-scale) for reports; the persisted profile is
+    recorded in ``drop_stats['persisted']`` per the dedup convention —
+    release with `dedup.unpersist_all`."""
+    from .dedup import dup_clusters, hamming60_pairs
+
+    prof = audio_profile(clips, id_col, bytes_col, codec_col).persist()
+    if drop_stats is not None:
+        drop_stats.setdefault("persisted", []).append(prof)
+    if artifacts is not None:
+        artifacts["profile"] = prof
+
+    eligible = prof.filter(
+        F.col("decode_ok") & ~F.col("fake")
+        & (F.col("speech_ratio") >= F.lit(min_speech_ratio))
+        & (F.col("total_s") >= F.lit(min_dur_s))
+        & (F.lit(max_dur_s).isNull() | (F.col("total_s") <= F.lit(max_dur_s)))
+    )
+    base = eligible.filter(F.col("fp").isNotNull()).select(
+        F.col("clip_id").alias("id"), F.col("fp").alias("sh")
+    )
+    pairs = hamming60_pairs(base, max_hamming, drop_stats=drop_stats,
+                            op="curate_audio_corpus")
+    clusters = dup_clusters(pairs, max_iters=cc_max_iters, drop_stats=drop_stats)
+    if artifacts is not None:
+        artifacts["clusters"] = clusters
+    non_canonical = clusters.filter(~F.col("is_canonical")).select(
+        F.col("id").alias("clip_id")
+    )
+    return eligible.join(non_canonical, "clip_id", "left_anti")
+
+
+def audio_curation_summary(
+    profile: DataFrame,
+    kept: DataFrame,
+    min_speech_ratio: float = 0.3,
+    min_dur_s: float = 0.0,
+    max_dur_s: float | None = None,
+) -> DataFrame:
+    """One-row total accounting: every input clip lands in exactly one
+    bucket (undecodable / fake / low_speech / out_of_duration / dup_removed
+    / kept), so n_total is provably the sum — the "no silent drops"
+    contract at corpus level."""
+    k = kept.select("clip_id", F.lit(True).alias("__kept"))
+    p = profile.join(k, "clip_id", "left")
+    reason = (
+        F.when(~F.col("decode_ok"), "undecodable")
+        .when(F.col("fake"), "fake_decode")
+        .when(F.col("speech_ratio") < min_speech_ratio, "low_speech")
+        .when(F.col("total_s") < min_dur_s, "out_of_duration")
+        .when(
+            F.lit(max_dur_s).isNotNull() & (F.col("total_s") > max_dur_s),
+            "out_of_duration",
+        )
+        .when(F.col("__kept").isNull(), "dup_removed")
+        .otherwise("kept")
+    )
+    return (
+        p.select(reason.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_clips"))
+    )

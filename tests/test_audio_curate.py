@@ -1,0 +1,143 @@
+"""Audio-corpus curation: planted corpus → exact kept set + total accounting."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_log_detector_spark.functions.audio import encode_wav
+from semantic_log_detector_spark.operators.audio_curate import (
+    audio_curation_summary,
+    audio_profile,
+    curate_audio_corpus,
+)
+from semantic_log_detector_spark.operators.dedup import unpersist_all
+from semantic_log_detector_spark.sources.synth import content_dup_clips, melody_clips
+
+SCHEMA = "clip_id string, codec string, bytes binary"
+
+
+def _low_speech_clip(i):
+    # 3 s with a single 0.3 s burst → speech_ratio ≈ 0.1
+    sr = 16000
+    sig = np.zeros(3 * sr)
+    s0 = int(0.5 * sr)
+    sig[s0 : s0 + int(0.3 * sr)] = 0.5 * np.sin(
+        2 * np.pi * (500 + 60 * i) * np.arange(int(0.3 * sr)) / sr
+    )
+    return (f"low{i:03d}", "pcm_s16le", encode_wav(sig.astype(np.float32), sr))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 40 unique full-speech melodies (kept) + 40 clips with planted
+    # cross-codec acoustic dups (canonical keeps only) + 6 low-speech +
+    # 2 fake-codec + 2 undecodable + 1 digital-silence clip
+    melodies = melody_clips(spark, 40, seed=11, dur_s=2.0).select(
+        "clip_id", "codec", "bytes"
+    )
+    dups = content_dup_clips(spark, 40, seed=12, dup_rate=0.9).select(
+        "clip_id", "codec", "bytes", "is_dup", "src_clip_id"
+    )
+    extras = [_low_speech_clip(i) for i in range(6)]
+    tone = 0.5 * np.sin(2 * np.pi * 600 * np.arange(16000) / 16000)
+    extras += [
+        (f"fake{i}", "opus", encode_wav(tone.astype(np.float32), 16000))
+        for i in range(2)
+    ]
+    extras += [(f"junk{i}", "pcm_s16le", b"\x01\x02" * 10) for i in range(2)]
+    extras += [("silent0", "pcm_s16le",
+                encode_wav(np.zeros(16000, dtype=np.float32), 16000))]
+    extras_df = spark.createDataFrame(extras, SCHEMA)
+    full = (
+        melodies.unionByName(dups.select("clip_id", "codec", "bytes"))
+        .unionByName(extras_df)
+        .cache()
+    )
+    full.count()
+    dup_truth = dups.select("clip_id", "is_dup", "src_clip_id").toPandas()
+    yield full, dup_truth
+    full.unpersist()
+
+
+def test_curate_exact_kept_set(spark, corpus):
+    full, dup_truth = corpus
+    stats, arts = {}, {}
+    kept = curate_audio_corpus(
+        full, min_speech_ratio=0.3, drop_stats=stats, artifacts=arts
+    )
+    got = set(r["clip_id"] for r in kept.select("clip_id").collect())
+
+    melody_ids = {f"m{i:010d}" for i in range(40)}
+    dup_ids = set(dup_truth[dup_truth["is_dup"]]["clip_id"])
+    all_dup_corpus = set(dup_truth["clip_id"])
+    want = melody_ids | (all_dup_corpus - dup_ids)
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+    # clusters artifact names exactly the planted dup pairs' members
+    cl = arts["clusters"].toPandas()
+    clustered = set(cl["id"])
+    expected_members = dup_ids | set(
+        dup_truth[dup_truth["is_dup"]]["src_clip_id"]
+    )
+    assert clustered == expected_members
+    canon = set(cl[cl["is_canonical"]]["id"])
+    assert canon == set(dup_truth[dup_truth["is_dup"]]["src_clip_id"])
+    unpersist_all(stats)
+
+
+def test_summary_buckets_account_for_every_clip(spark, corpus):
+    full, dup_truth = corpus
+    stats = {}
+    kept = curate_audio_corpus(full, min_speech_ratio=0.3, drop_stats=stats)
+    prof = audio_profile(full)
+    buckets = {
+        r["bucket"]: r["n_clips"]
+        for r in audio_curation_summary(prof, kept, min_speech_ratio=0.3).collect()
+    }
+    n_dups = int(dup_truth["is_dup"].sum())
+    assert buckets["undecodable"] == 2
+    assert buckets["fake_decode"] == 2
+    # 6 low-speech bursts + the all-silence clip (ratio 0.0)
+    assert buckets["low_speech"] == 7
+    assert buckets["dup_removed"] == n_dups
+    assert buckets["kept"] == 40 + (40 - n_dups)
+    assert sum(buckets.values()) == full.count()
+    unpersist_all(stats)
+
+
+def test_profile_single_pass_fields(spark, corpus):
+    full, _ = corpus
+    prof = audio_profile(full).toPandas().set_index("clip_id")
+    assert not prof.loc["junk0", "decode_ok"]
+    assert prof.loc["fake0", "fake"] and prof.loc["fake0", "decode_ok"]
+    assert prof.loc["silent0", "speech_ratio"] == 0.0
+    assert prof.loc["silent0", "fp"] is None or np.isnan(prof.loc["silent0", "fp"])
+    m0 = prof.loc["m0000000000"]
+    assert m0["decode_ok"] and not m0["fake"]
+    assert m0["speech_ratio"] > 0.9 and abs(m0["total_s"] - 2.0) < 0.01
+    assert m0["fp"] is not None
+
+
+def test_duration_gate_and_bucket(spark):
+    sr = 16000
+    rows = [
+        ("short", "pcm_s16le",
+         encode_wav((0.5 * np.sin(2 * np.pi * 700 * np.arange(sr // 4) / sr)
+                     ).astype(np.float32), sr)),
+        ("long", "pcm_s16le",
+         encode_wav((0.5 * np.sin(2 * np.pi * 900 * np.arange(2 * sr) / sr)
+                     ).astype(np.float32), sr)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    stats = {}
+    kept = curate_audio_corpus(df, min_speech_ratio=0.3, min_dur_s=1.0,
+                               drop_stats=stats)
+    assert [r["clip_id"] for r in kept.collect()] == ["long"]
+    buckets = {
+        r["bucket"]: r["n_clips"]
+        for r in audio_curation_summary(
+            audio_profile(df), kept, min_speech_ratio=0.3, min_dur_s=1.0
+        ).collect()
+    }
+    assert buckets == {"out_of_duration": 1, "kept": 1}
+    unpersist_all(stats)
