@@ -46,14 +46,17 @@ def audio_profile(
     threshold_dbfs: float = DEFAULT_THRESHOLD_DBFS,
     min_speech_ms: float = 100.0,
     min_gap_ms: float = 150.0,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-clip curation profile from ONE decode of the payload:
     (clip_id, decode_ok, fake, fp, total_s, speech_s, speech_ratio,
-    n_segments). ``fp`` is the 60-bit acoustic fingerprint (null for
-    silence/undecodable — see audio_dedup), speech fields come from the
-    energy-VAD kernel (segment.py). Undecodable clips keep their row with
-    decode_ok=false and nulls — accounting needs them."""
-    cols = [id_col, bytes_col, codec_col]
+    n_segments[, passthrough…]). ``fp`` is the 60-bit acoustic
+    fingerprint (null for silence/undecodable — see audio_dedup), speech
+    fields come from the energy-VAD kernel (segment.py). Undecodable
+    clips keep their row with decode_ok=false and nulls — accounting
+    needs them. ``passthrough`` columns are carried unchanged (e.g. the
+    event-time column for the streaming twin)."""
+    cols = [id_col, bytes_col, codec_col, *passthrough]
     frame_s, hop_s = FRAME_MS / 1000.0, HOP_MS / 1000.0
     min_speech_s, min_gap_s = min_speech_ms / 1000.0, min_gap_ms / 1000.0
 
@@ -101,7 +104,7 @@ def audio_profile(
                 total_s[i] = round(dur, 4)
                 speech_s[i] = round(sum(min(t1, dur) - t0 for t0, t1 in segs), 4)
                 n_segs[i] = len(segs)
-            yield pd.DataFrame({
+            out = {
                 "clip_id": pdf[id_col].astype(str),
                 "decode_ok": pd.Series(ok, dtype=bool),
                 "fake": pd.Series(fakes, dtype=bool),
@@ -113,11 +116,16 @@ def audio_profile(
                      for s, t in zip(speech_s, total_s)],
                     dtype="Float64"),
                 "n_segments": pd.array(n_segs, dtype="Int32"),
-            })
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     schema = ("clip_id string, decode_ok boolean, fake boolean, fp long,"
               " total_s double, speech_s double, speech_ratio double,"
               " n_segments int")
+    for c in passthrough:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return df.select(*cols).mapInPandas(gen, schema=schema)
 
 

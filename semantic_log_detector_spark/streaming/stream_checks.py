@@ -196,3 +196,53 @@ def stream_payload_violations(stream_df: DataFrame, ctx: RunContext) -> DataFram
             "expected",
         )
     )
+
+
+def stream_speech_health(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "60 seconds",
+    watermark: str = "2 minutes",
+    min_speech_ratio: float = 0.3,
+) -> DataFrame:
+    """Windowed speech-health monitor on a clip stream: is a feed going
+    silent, undecodable, or fake-routed? The per-clip kernel is
+    `audio_curate.audio_profile` — the SAME one-decode pass the batch
+    curation capstone runs, unchanged per micro-batch (stateless
+    mapInPandas; Structured Streaming only adds the window/watermark agg
+    on the thin profile rows, never on payloads). Append-mode compatible.
+
+    Emits per (window): n_clips, n_undecodable, n_fake, n_low_speech,
+    n_speech_ok, mean_speech_ratio (over honestly-decoded clips), and
+    speech_s_total — the numbers an ingest operator alerts on. The batch
+    authority for anything deeper (dedup, curation keep/drop) remains
+    `curate_audio_corpus`; this twin deliberately carries NO cross-window
+    state (same deferral contract as stream_audio_dups)."""
+    from ..operators.audio_curate import audio_profile
+
+    prof = audio_profile(stream_df, passthrough=(ts_col,))
+    real = F.col("decode_ok") & ~F.col("fake")
+    low = real & (F.col("speech_ratio") < min_speech_ratio)
+    return (
+        prof.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum((~F.col("decode_ok")).cast("long")).alias("n_undecodable"),
+            F.sum(F.col("fake").cast("long")).alias("n_fake"),
+            F.sum(low.cast("long")).alias("n_low_speech"),
+            F.sum((real & ~low).cast("long")).alias("n_speech_ok"),
+            F.round(
+                F.avg(F.when(real, F.col("speech_ratio"))), 4
+            ).alias("mean_speech_ratio"),
+            F.round(
+                F.sum(F.when(real, F.col("speech_s")).otherwise(F.lit(0.0))), 3
+            ).alias("speech_s_total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_clips", "n_undecodable", "n_fake", "n_low_speech",
+            "n_speech_ok", "mean_speech_ratio", "speech_s_total",
+        )
+    )

@@ -220,3 +220,82 @@ def test_stream_audio_dups(spark, tmp_path):
     got = {frozenset(r.clip_ids) for r in rows}
     assert got == expected
     assert all(r.n_clips == 2 for r in rows)
+
+
+def test_stream_speech_health(spark, tmp_path):
+    """Windowed speech-health monitor: one micro-batch of planted clips
+    (full-speech, low-speech, fake-codec, undecodable) emits exactly one
+    closed window with the exact per-bucket counts once sentinel batches
+    advance the watermark."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.audio import encode_wav
+    from semantic_log_detector_spark.streaming.stream_checks import (
+        stream_speech_health,
+    )
+
+    sr = 16000
+    tone = (0.5 * np.sin(2 * np.pi * 500 * np.arange(sr) / sr)).astype(np.float32)
+    low = np.zeros(2 * sr, dtype=np.float32)
+    low[: sr // 5] = tone[: sr // 5]  # 0.2 s of speech in 2 s => ratio 0.1
+    rows = [
+        ("ok1", "pcm_s16le", encode_wav(tone, sr)),
+        ("ok2", "pcm_s16le", encode_wav(tone, sr)),
+        ("ok3", "pcm_s16le", encode_wav(tone, sr)),
+        ("low1", "pcm_s16le", encode_wav(low, sr)),
+        ("fake1", "opus", encode_wav(tone, sr)),
+        ("bad1", "pcm_s16le", b"corrupt"),
+    ]
+    src = str(tmp_path / "health_src")
+
+    def write_batch(df, mtime):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        df.repartition(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(f, (mtime, mtime))
+
+    main = spark.createDataFrame(
+        rows, "clip_id string, codec string, bytes binary"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:30")))
+    write_batch(main, 1_000_000)
+    for i, (ts, mtime) in enumerate(
+        [("2026-01-01 00:30:00", 2_000_000), ("2026-01-01 01:00:00", 3_000_000)]
+    ):
+        write_batch(
+            spark.createDataFrame(
+                [(f"s{i}", "pcm_s16le", rows[0][2])],
+                "clip_id string, codec string, bytes binary",
+            ).withColumn("ts", F.to_timestamp(F.lit(ts))),
+            mtime,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "clip_id string, codec string, bytes binary, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_speech_health(stream, ts_col="ts", window="60 seconds",
+                               min_speech_ratio=0.3)
+    q = (
+        out.writeStream.format("memory").queryName("health")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT * FROM health WHERE window_start = '2026-01-01 00:00:00'"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_clips == 6
+    assert r.n_undecodable == 1
+    assert r.n_fake == 1
+    assert r.n_low_speech == 1
+    assert r.n_speech_ok == 3
+    # mean over the 4 honestly-decoded clips: (3 x ~1.0 + 0.1) / 4
+    assert 0.7 < r.mean_speech_ratio < 0.85
+    assert 3.0 < r.speech_s_total < 3.5
