@@ -97,8 +97,22 @@ def _q03_topk_orders(spark, sf):
 
 
 def _q04_freq_priority(spark, sf):
+    """Frequency table + the label CASE-map (former q17, merged in round 4
+    to free a 50-slot registry entry for the round-4 capstones)."""
     o = _t(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt")).orderBy("o_orderpriority")
+    lab = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority").rlike("LOW"), "low")
+        .otherwise("normal")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("label", lab)
+        .select("o_orderpriority", "label", "cnt")
+        .orderBy("o_orderpriority")
+    )
 
 
 def _q05_quantiles(spark, sf):
@@ -111,22 +125,21 @@ def _q05_quantiles(spark, sf):
     )
 
 
-def _q06_distinct_parts(spark, sf):
-    l = _t(spark, sf, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n_parts"),
-             F.countDistinct("l_suppkey").alias("n_supps"))
-        .orderBy("l_returnflag")
-    )
-
-
-def _q07_union_nations(spark, sf):
+def _q07_set_ops(spark, sf):
+    """Set-operations rung in one slot: UNION ALL of two sources with
+    provenance tags, per-key DISTINCT-source count and member count
+    (subsumes the former q06 countDistinct and q07 union+distinct,
+    merged in round 4 to free 50-slot registry entries)."""
     c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    u = c.select(F.col("c_nationkey").alias("nationkey"), F.lit("c").alias("src")).union(
+        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("s").alias("src"))
+    )
     return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .union(s.select(F.col("s_nationkey").alias("nationkey")))
-        .distinct()
+        u.groupBy("nationkey")
+        .agg(
+            F.countDistinct("src").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
         .orderBy("nationkey")
     )
 
@@ -249,17 +262,6 @@ def _q15_doc_scalars(spark, sf):
     )
 
 
-def _q17_label_map(spark, sf):
-    o = _t(spark, sf, "orders")
-    lab = (
-        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
-        .when(F.col("o_orderpriority") == "2-HIGH", "high")
-        .when(F.col("o_orderpriority").rlike("LOW"), "low")
-        .otherwise("normal")
-    )
-    return o.groupBy(lab.alias("label")).agg(F.count(F.lit(1)).alias("cnt")).orderBy("label")
-
-
 def _q18_confusion(spark, sf):
     e = _t(spark, sf, "events")
     y = (F.col("event_type") == "error").cast("int")
@@ -353,11 +355,28 @@ def _q23_embedding_topk(spark, sf):
     return brute_force_topk(q, b, k=5, metric="cosine").orderBy("q_id", "rank")
 
 
-def _q24_norm_stats(spark, sf):
+def _q24_embedding_profile(spark, sf):
+    """Embedding-distribution profile in one slot: per-label norm stats
+    (former q24) UNION per-dimension stats (former q38), tagged by a
+    ``grp`` key — merged in round 4 to free a 50-slot registry entry."""
     emb = _t(spark, sf, "embeddings")
-    from semantic_log_detector_spark.operators.knn import norm_stats
+    from semantic_log_detector_spark.operators.knn import dim_stats, norm_stats
 
-    return norm_stats(emb, "label").orderBy("label")
+    a = norm_stats(emb, "label").select(
+        F.concat(F.lit("label:"), F.col("label")).alias("grp"),
+        "n",
+        F.col("norm_mean").alias("mean"),
+        F.col("norm_std").alias("std"),
+        F.col("norm_min").alias("mn"),
+        F.col("norm_max").alias("mx"),
+    )
+    b = dim_stats(emb).select(
+        F.concat(
+            F.lit("dim:"), F.lpad(F.col("dim").cast("string"), 2, "0")
+        ).alias("grp"),
+        "n", "mean", "std", "mn", "mx",
+    )
+    return a.unionByName(b).orderBy("grp")
 
 
 def _q25_textstats(spark, sf):
@@ -590,13 +609,6 @@ def _q37_media_features(spark, sf):
         F.col("feat_idx").cast("long").alias("feat_idx"),
         (F.round("feat_value", 6) + 0.0).alias("feat_value"),
     )
-
-
-def _q38_dim_stats(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    from semantic_log_detector_spark.operators.knn import dim_stats
-
-    return dim_stats(emb)
 
 
 def _q39_embedding_dups(spark, sf):
@@ -881,6 +893,214 @@ def _q52_audio_dup(spark, sf):
     )
 
 
+_Q53_EXPORT = "/tmp/sldspark_oracle_q53_bimodal_400.parquet"
+
+
+def _q53_crossmodal_dup(spark, sf):
+    """Cross-modal duplicate pairs (operators/crossmodal.py) with a fully
+    RECOMPUTING oracle: 400 planted content-dup clips get deterministic
+    transcripts where groups of 7 share the exact text, so duplicates hide
+    in BOTH modalities. The per-clip (fp, fake, transcript) table is
+    exported; DuckDB then independently recomputes the text rung end to
+    end (the q34 SimHash twin over the raw transcripts), re-derives the
+    audio rung from the fingerprints with bit_count(xor) <= 3, and replays
+    the union + per-pair modality-flag aggregation — so the pigeonhole
+    join's completeness, the modality union, and the flag agg are all
+    machine-checked, not just replayed from a planted answer key."""
+    import os
+
+    from semantic_log_detector_spark.operators.audio_dedup import audio_fingerprint
+    from semantic_log_detector_spark.operators.crossmodal import (
+        cross_modal_dup_pairs,
+    )
+    from semantic_log_detector_spark.sources.synth import content_dup_clips
+
+    base = content_dup_clips(spark, 400, seed=13)
+    grp = F.floor(F.col("idx") / F.lit(7)).cast("long").cast("string")
+    clips = base.withColumn(
+        "transcript",
+        F.concat_ws(
+            " ",
+            F.lit("grp"), grp,
+            F.substring(F.md5(grp), 1, 8),
+            F.substring(F.md5(F.concat(grp, F.lit("x"))), 1, 8),
+            F.lit("shared filler words common to every clip"),
+        ),
+    )
+    pdf = (
+        audio_fingerprint(clips, passthrough=("transcript",))
+        .toPandas()
+        .sort_values("id")
+    )
+    tmp = f"{_Q53_EXPORT}.{os.getpid()}.tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, _Q53_EXPORT)  # atomic, idempotent: pure fn of (n, seed)
+    return cross_modal_dup_pairs(
+        clips.select("clip_id", "bytes", "codec"),
+        clips.select("clip_id", "transcript"),
+    ).orderBy("id_a", "id_b")
+
+
+_Q54_EXPORT = "/tmp/sldspark_oracle_q54_segments_400.parquet"
+
+
+def _q54_speech_segments(spark, sf):
+    """Energy-VAD speech segmentation (operators/segment.py) against a
+    single-process reference: 400 planted burst clips
+    (sources/synth.py::burst_clips) restricted to the bit-exact codecs
+    (pcm_s16le WAV + the pure-numpy FLAC: int16 round-trip is lossless),
+    so the distributed decode must reproduce the local reference EXACTLY
+    — segment boundaries, durations and mean frame dB to the rounded
+    digit. The oracle replays segments computed locally over the
+    re-synthesized, int16-quantized signal; what the comparison
+    machine-checks is the distributed path: codec round-trip, Arrow
+    batching, mapInPandas schema, and the segment/rounding arithmetic."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from semantic_log_detector_spark.operators.segment import (
+        DEFAULT_THRESHOLD_DBFS, FRAME_MS, HOP_MS,
+        _frame_rms_db, _segments_from_mask, speech_segments,
+    )
+    from semantic_log_detector_spark.sources.synth import _stream, burst_clips
+
+    n, seed, sr = 400, 5, 16000
+    clips = burst_clips(spark, n, seed=seed).filter(F.col("codec") != "mulaw")
+
+    # local reference: mirror burst_clips' signal arithmetic (same hash
+    # streams, same float ops) + encode_wav/encode_flac's shared int16
+    # quantization, then run the same kernel single-process.
+    i = np.arange(n, dtype=np.int64)
+    n_bursts = 1 + (_stream(i, 70, seed) % np.uint64(3)).astype(int)
+    codec_i = (_stream(i, 71, seed) % np.uint64(3)).astype(int)
+    jit = (_stream(i, 72, seed) % np.uint64(8)).astype(int) * 0.01
+    freq = 440.0 + 40.0 * (_stream(i, 73, seed) % np.uint64(12)).astype(int)
+    base_sched = [(0.3, 0.8), (1.4, 1.9), (2.3, 2.7)]
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    frame_s, hop_s = FRAME_MS / 1000.0, HOP_MS / 1000.0
+    rows = []
+    for r in range(n):
+        if codec_i[r] == 2:  # mulaw rotates third; excluded above (lossy)
+            continue
+        sig = np.zeros(3 * sr)
+        for k in range(int(n_bursts[r])):
+            t0 = base_sched[k][0] + float(jit[r])
+            t1 = base_sched[k][1] + float(jit[r])
+            s0, s1 = int(t0 * sr), int(t1 * sr)
+            sig[s0:s1] = 0.5 * np.sin(2 * np.pi * freq[r] * t[s0:s1])
+        ints = np.clip(
+            sig.astype(np.float32).astype(np.float64) * 32767.0, -32768, 32767
+        ).astype("<i2")
+        pcm = ints.astype(np.float32) / 32767.0
+        db = _frame_rms_db(np.asarray(pcm, dtype=np.float64), sr, FRAME_MS, HOP_MS)
+        segs = _segments_from_mask(
+            db >= DEFAULT_THRESHOLD_DBFS, hop_s, frame_s, 0.1, 0.15
+        )
+        dur_total = len(pcm) / float(sr)
+        for k2, (a, b) in enumerate(segs):
+            b = min(b, dur_total)
+            f0 = int(a / hop_s)
+            f1 = max(f0 + 1, min(int(np.ceil(b / hop_s)), len(db)))
+            ra, rb = round(a, 4), round(b, 4)
+            rows.append({
+                "clip_id": f"b{r:010d}",
+                "seg_idx": k2,
+                "start_s": ra,
+                "end_s": rb,
+                "dur_s": round(rb - ra, 4),
+                "rms_db": round(float(np.mean(db[f0:f1])), 2),
+            })
+    exp = pd.DataFrame(rows)
+    tmp = f"{_Q54_EXPORT}.{os.getpid()}.tmp"
+    exp.to_parquet(tmp, index=False)
+    os.replace(tmp, _Q54_EXPORT)  # atomic, idempotent: pure fn of (n, seed)
+    return (
+        speech_segments(clips)
+        .select("clip_id", "seg_idx", "start_s", "end_s", "dur_s", "rms_db")
+        .orderBy("clip_id", "seg_idx")
+    )
+
+
+_Q55_EXPORT = "/tmp/sldspark_oracle_q55_snippets_300.parquet"
+
+
+def _q55_snippet_search(spark, sf):
+    """Landmark-voting snippet retrieval (operators/audio_search.py)
+    against planted ground truth: 12 snippets cut from a 300-clip melody
+    corpus at non-grid offsets, downsampled 16k->8k and re-encoded to
+    G.711 mu-law (so retrieval must be rate- and codec-invariant), plus 3
+    out-of-corpus negatives. The oracle replays the planted
+    (query -> source clip) table with found/offset_ok TRUE: a missed
+    positive flips found, a wrong clip changes the value, a drifted
+    offset flips offset_ok, and a false positive on a negative query
+    changes the rowcount — recall AND precision machine-checked, the q52
+    scheme."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from semantic_log_detector_spark.functions.audio import (
+        decode_clip, resample_linear,
+    )
+    from semantic_log_detector_spark.functions.g711 import encode_mulaw
+    from semantic_log_detector_spark.operators.audio_search import (
+        audio_snippet_search,
+    )
+    from semantic_log_detector_spark.sources.synth import melody_clips
+
+    corpus = melody_clips(spark, 300, seed=11)
+    picks = sorted(
+        corpus.filter("idx % 17 = 3 AND idx < 204").collect(),
+        key=lambda x: x["idx"],
+    )  # exactly 12 deterministic rows: idx 3, 20, ..., 190
+    qrows, truth = [], []
+    for j, r in enumerate(picks):
+        pcm, sr0 = decode_clip(bytes(r["bytes"]), r["codec"])
+        off = 0.23 + 0.41 * (j % 7)
+        s0 = int(off * sr0)
+        piece = resample_linear(
+            np.asarray(pcm[s0 : s0 + int(2.5 * sr0)], np.float64), sr0, 8000
+        )
+        qrows.append((f"q{j:02d}", encode_mulaw(piece.astype(np.float32), 8000),
+                      "mulaw"))
+        truth.append({"query_id": f"q{j:02d}", "clip_id": r["clip_id"],
+                      "exp_offset": float(off)})
+    for j, r in enumerate(melody_clips(spark, 3, seed=888).collect()):
+        pcm, sr0 = decode_clip(bytes(r["bytes"]), r["codec"])
+        piece = resample_linear(
+            np.asarray(pcm[sr0 : 3 * sr0], np.float64), sr0, 8000
+        )
+        qrows.append((f"neg{j}", encode_mulaw(piece.astype(np.float32), 8000),
+                      "mulaw"))
+    exp_pdf = pd.DataFrame(truth)
+    tmp = f"{_Q55_EXPORT}.{os.getpid()}.tmp"
+    exp_pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, _Q55_EXPORT)  # atomic, idempotent: pure fn of the seeds
+    qdf = spark.createDataFrame(qrows, "clip_id string, bytes binary, codec string")
+    res = audio_snippet_search(corpus, qdf, top_k=1)
+    exp = spark.createDataFrame(exp_pdf).select(
+        "query_id",
+        F.col("clip_id").alias("exp_clip"),
+        "exp_offset",
+    )
+    return (
+        exp.join(res, "query_id", "full")
+        .select(
+            "query_id",
+            F.coalesce(F.col("clip_id"), F.lit("MISS")).alias("clip_id"),
+            F.col("clip_id").isNotNull().alias("found"),
+            F.coalesce(
+                F.abs(F.col("offset_s") - F.col("exp_offset")) <= 0.25,
+                F.lit(False),
+            ).alias("offset_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -888,8 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_topk_orders": _q03_topk_orders,
         "q04_freq_priority": _q04_freq_priority,
         "q05_quantiles": _q05_quantiles,
-        "q06_distinct_parts": _q06_distinct_parts,
-        "q07_union_nations": _q07_union_nations,
+        "q07_set_ops": _q07_set_ops,
         "q08_sliding_avg": _q08_sliding_avg,
         "q09_burst_flag": _q09_burst_flag,
         "q10_decay": _q10_decay,
@@ -898,14 +1117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_window_alerts": _q13_window_alerts,
         "q14_severity": _q14_severity,
         "q15_doc_scalars": _q15_doc_scalars,
-        "q17_label_map": _q17_label_map,
         "q18_confusion": _q18_confusion,
         "q19_best_threshold": _q19_best_threshold,
         "q20_percentile_filter": _q20_percentile_filter,
         "q21_exact_dup_docs": _q21_exact_dup_docs,
         "q22_ngram_jaccard": _q22_ngram_jaccard,
         "q23_embedding_topk": _q23_embedding_topk,
-        "q24_norm_stats": _q24_norm_stats,
+        "q24_embedding_profile": _q24_embedding_profile,
         "q25_textstats": _q25_textstats,
         "q27_psi_split": _q27_psi_split,
         "q28_stats_profile": _q28_stats_profile,
@@ -918,7 +1136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_lsh_topk": _q35_lsh_topk,
         "q36_clips_suite": _q36_clips_suite,
         "q37_media_features": _q37_media_features,
-        "q38_dim_stats": _q38_dim_stats,
         "q39_embedding_dups": _q39_embedding_dups,
         "q40_dup_clusters": _q40_dup_clusters,
         "q41_ivf_topk": _q41_ivf_topk,
@@ -933,6 +1150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_repetition": _q50_repetition,
         "q51_pack_sequences": _q51_pack_sequences,
         "q52_audio_dup": _q52_audio_dup,
+        "q53_crossmodal_dup": _q53_crossmodal_dup,
+        "q54_speech_segments": _q54_speech_segments,
+        "q55_snippet_search": _q55_snippet_search,
     }
 
 
@@ -960,7 +1180,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,
         "q04_freq_priority": """
-            SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                        WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                        WHEN regexp_matches(o_orderpriority, 'LOW') THEN 'low'
+                        ELSE 'normal' END AS label,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "q05_quantiles": """
             SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25,
@@ -969,14 +1195,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
             FROM lineitem
         """,
-        "q06_distinct_parts": """
-            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-                   count(DISTINCT l_suppkey) AS n_supps
-            FROM lineitem GROUP BY 1 ORDER BY 1
-        """,
-        "q07_union_nations": """
-            SELECT DISTINCT c_nationkey AS nationkey FROM customer
-            UNION SELECT DISTINCT s_nationkey FROM supplier ORDER BY 1
+        "q07_set_ops": """
+            SELECT nationkey, count(DISTINCT src) AS n_sources,
+                   count(*) AS n_members
+            FROM (SELECT c_nationkey AS nationkey, 'c' AS src FROM customer
+                  UNION ALL
+                  SELECT s_nationkey AS nationkey, 's' AS src FROM supplier)
+            GROUP BY 1 ORDER BY 1
         """,
         "q08_sliding_avg": """
             SELECT event_id, user_id,
@@ -1046,14 +1271,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_min([md5(array_to_string(t[i:i+2], ' ')) FOR i IN range(1, len(t) - 1)])
                         END AS fingerprint
             FROM toks
-        """,
-        "q17_label_map": """
-            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
-                        WHEN o_orderpriority = '2-HIGH' THEN 'high'
-                        WHEN regexp_matches(o_orderpriority, 'LOW') THEN 'low'
-                        ELSE 'normal' END AS label,
-                   count(*) AS cnt
-            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "q18_confusion": """
             WITH c AS (
@@ -1129,15 +1346,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10)
             WHERE rank <= 5 ORDER BY q_id, rank
         """,
-        "q24_norm_stats": """
-            SELECT label, count(*) AS n,
-                   round(avg(nrm), 6) AS norm_mean,
-                   round(stddev_samp(nrm), 6) AS norm_std,
-                   round(min(nrm), 6) AS norm_min,
-                   round(max(nrm), 6) AS norm_max
-            FROM (SELECT label, sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-                  FROM embeddings)
-            GROUP BY 1 ORDER BY 1
+        "q24_embedding_profile": """
+            SELECT grp, n, mean, std, mn, mx FROM (
+              SELECT 'label:' || label AS grp, count(*) AS n,
+                     round(avg(nrm), 6) AS mean,
+                     round(stddev_samp(nrm), 6) AS std,
+                     round(min(nrm), 6) AS mn,
+                     round(max(nrm), 6) AS mx
+              FROM (SELECT label, sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+                    FROM embeddings)
+              GROUP BY 1
+              UNION ALL
+              SELECT 'dim:' || lpad(CAST(i AS VARCHAR), 2, '0') AS grp,
+                     count(*) AS n,
+                     round(sum(v::DECIMAL(30,12))::DOUBLE / count(*), 6) + 0.0 AS mean,
+                     round(sqrt((sum((v * v)::DECIMAL(30,10))::DOUBLE
+                                 - sum(v::DECIMAL(30,12))::DOUBLE
+                                   * sum(v::DECIMAL(30,12))::DOUBLE / count(*))
+                                / (count(*) - 1)), 6) + 0.0 AS std,
+                     round(min(v), 6) + 0.0 AS mn,
+                     round(max(v), 6) + 0.0 AS mx
+              FROM (SELECT i, embedding[i + 1]::DOUBLE AS v
+                    FROM embeddings, range(64) t(i))
+              GROUP BY 1
+            ) ORDER BY grp
         """,
         "q27_psi_split": """
             WITH binned AS (
@@ -1238,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             rules(rule_id) AS (
               VALUES ('R010_sr_null'), ('R011_sr_range'), ('R012_dur_null'),
                      ('R013_dur_range'), ('R014_codec_allowed'),
-                     ('R015_transcript_nonempty')
+                     ('R015_transcript_nonempty'), ('R018_speaking_rate')
             ),
             viol AS (
               SELECT part_id, 'R010_sr_null' AS rule_id FROM clips WHERE sr_hz IS NULL
@@ -1256,6 +1488,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT part_id, 'R015_transcript_nonempty' FROM clips
                 WHERE transcript IS NULL OR length(trim(transcript)) = 0
+              UNION ALL
+              SELECT part_id, 'R018_speaking_rate' FROM clips
+                WHERE transcript IS NOT NULL AND length(trim(transcript)) > 0
+                  AND dur_ms IS NOT NULL AND dur_ms > 0
+                  AND NOT (length(trim(transcript)) * 1000.0 / dur_ms
+                           BETWEEN 6.5 AND 26.5)
             ),
             vc AS (SELECT part_id, rule_id, count(*) AS n_violations FROM viol GROUP BY 1, 2)
             SELECT
@@ -1306,19 +1544,6 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(('0x' || substr(h, 8*i+5, 2)) AS INT)
                         + CAST(('0x' || substr(h, 8*i+7, 2)) AS INT)) / 1020.0, 6) + 0.0 AS feat_value
             FROM m, range(8) t(i)
-        """,
-        "q38_dim_stats": """
-            SELECT i AS dim, count(*) AS n,
-                   round(sum(v::DECIMAL(30,12))::DOUBLE / count(*), 6) + 0.0 AS mean,
-                   round(sqrt((sum((v * v)::DECIMAL(30,10))::DOUBLE
-                               - sum(v::DECIMAL(30,12))::DOUBLE
-                                 * sum(v::DECIMAL(30,12))::DOUBLE / count(*))
-                              / (count(*) - 1)), 6) + 0.0 AS std,
-                   round(min(v), 6) + 0.0 AS mn,
-                   round(max(v), 6) + 0.0 AS mx
-            FROM (SELECT i, embedding[i + 1]::DOUBLE AS v
-                  FROM embeddings, range(64) t(i))
-            GROUP BY 1 ORDER BY 1
         """,
         "q40_dup_clusters": r"""
             WITH RECURSIVE toks AS (
@@ -1524,6 +1749,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, TRUE AS found
             FROM read_parquet('{_Q52_EXPORT}')
             ORDER BY id_a, id_b
+        """,
+        # q53: fully recomputing oracle — the text rung (SimHash) is
+        # re-derived from the raw transcripts (the q34 twin), the audio
+        # rung from the exported fingerprints, then the union + modality
+        # flags are replayed in SQL. Only the fingerprint kernel itself is
+        # taken from the export (it is oracled separately by q52).
+        "q53_crossmodal_dup": rf"""
+            WITH exp AS (SELECT * FROM read_parquet('{_Q53_EXPORT}')),
+            toks AS (
+              SELECT id,
+                     list_distinct(string_split_regex(trim(lower(transcript)), '\s+')) AS t
+              FROM exp),
+            tok AS (
+              SELECT id, CAST(('0x' || substr(md5(unnest(t)), 1, 15)) AS BIGINT) AS h
+              FROM toks),
+            bits AS (
+              SELECT id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM tok, range(60) r(b) GROUP BY 1, 2),
+            sh AS (
+              SELECT id,
+                     sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS s
+              FROM bits GROUP BY 1),
+            tpairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sh a JOIN sh b ON a.id < b.id
+              WHERE bit_count(xor(a.s, b.s)) <= 3),
+            apairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM exp a JOIN exp b ON a.id < b.id
+              WHERE NOT a.fake AND NOT b.fake
+                AND a.fp IS NOT NULL AND b.fp IS NOT NULL
+                AND bit_count(xor(a.fp, b.fp)) <= 3)
+            SELECT coalesce(ap.id_a, tp.id_a) AS id_a,
+                   coalesce(ap.id_b, tp.id_b) AS id_b,
+                   (ap.id_a IS NOT NULL) AS via_audio,
+                   (tp.id_a IS NOT NULL) AS via_text
+            FROM apairs ap FULL OUTER JOIN tpairs tp
+              ON ap.id_a = tp.id_a AND ap.id_b = tp.id_b
+            ORDER BY 1, 2
+        """,
+        # q54: single-process reference — segments computed locally by the
+        # same kernel over the locally re-synthesized int16-quantized
+        # signal (bit-exact codecs only); the comparison machine-checks
+        # the distributed decode + Arrow + segment arithmetic.
+        "q54_speech_segments": f"""
+            SELECT clip_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+                   start_s, end_s, dur_s, rms_db
+            FROM read_parquet('{_Q54_EXPORT}')
+            ORDER BY clip_id, seg_idx
+        """,
+        # q55: planted-known-answer (q52 scheme) — the oracle replays the
+        # planted snippet->source table with found/offset_ok TRUE.
+        "q55_snippet_search": f"""
+            SELECT query_id, clip_id, TRUE AS found, TRUE AS offset_ok
+            FROM read_parquet('{_Q55_EXPORT}')
+            ORDER BY query_id
         """,
     } | _long_oracles()
 

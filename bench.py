@@ -41,7 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "q01_pricing_summary",
     "q02_nation_revenue",
-    "q06_distinct_parts",
+    "q07_set_ops",  # round 4: absorbed q06_distinct_parts (same agg shape)
     "q08_sliding_avg",
     "q12_zscore_window",
     "q19_best_threshold",

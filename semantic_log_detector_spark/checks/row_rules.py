@@ -33,12 +33,22 @@ class RowRule:
 
 def default_clip_rules(allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3"),
                        sr_range: tuple[int, int] = (4000, 96000),
-                       dur_range: tuple[int, int] = (1, 12 * 3600 * 1000)) -> list[RowRule]:
+                       dur_range: tuple[int, int] = (1, 12 * 3600 * 1000),
+                       rate_range: tuple[float, float] = (6.5, 26.5)) -> list[RowRule]:
     """The declarative rule set for the clips input contract (FIXTURES.md §1).
 
     Rule-id scheme follows the reference (R001.. in rules/engine.py:30-52).
+
+    ``rate_range`` bounds R018's transcript speaking rate in chars/sec —
+    a cross-column consistency gate (transcript length vs audio duration)
+    that catches truncated transcripts on long clips and runaway ASR
+    output on short ones. Real speech sits around 12-18 chars/s; the wide
+    default band flags only implausible pairs. try_divide keeps the
+    predicate ANSI-safe for dur_ms == 0 rows (they are R013's job).
     """
     c = F.col
+    rate = F.try_divide(F.length(F.trim(c("transcript"))) * F.lit(1000.0),
+                        c("dur_ms"))
     return [
         RowRule("R010_sr_null", "sr_hz", c("sr_hz").isNull(),
                 "sr_hz IS NOT NULL", "High", "sample rate missing"),
@@ -60,6 +70,14 @@ def default_clip_rules(allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "
                 "transcript non-empty", "Low", "missing/empty transcript"),
         RowRule("R016_bytes_present", "bytes", c("bytes").isNull(),
                 "bytes IS NOT NULL", "Critical", "audio payload missing"),
+        RowRule("R018_speaking_rate", "transcript",
+                c("transcript").isNotNull()
+                & (F.length(F.trim(c("transcript"))) > 0)
+                & c("dur_ms").isNotNull() & (c("dur_ms") > 0)
+                & ~rate.between(*rate_range),
+                f"transcript chars/sec IN [{rate_range[0]}, {rate_range[1]}]",
+                "Medium",
+                "transcript length inconsistent with audio duration"),
     ]
 
 

@@ -12,6 +12,7 @@ Example checks.yaml:
     checks: [schema, row_rules, stats, uniqueness, referential, frequency, drift]
     allowed_codecs: [pcm_s16le, flac, mulaw, alaw, adpcm_ima, opus, mp3]
     sr_range: [4000, 96000]
+    rate_range: [6.5, 26.5]   # R018 transcript chars/sec band
     psi_threshold: 0.2
     stats_expectations:
       sr_hz:
@@ -58,6 +59,11 @@ def from_dict(raw: dict) -> SuiteConfig:
             if len(v) != 2 or v[0] > v[1]:
                 raise ValueError(f"{key} must be [lo, hi] with lo <= hi, got {v}")
             kw[key] = (int(v[0]), int(v[1]))
+    if "rate_range" in kw:
+        v = kw["rate_range"]
+        if len(v) != 2 or v[0] > v[1]:
+            raise ValueError(f"rate_range must be [lo, hi] with lo <= hi, got {v}")
+        kw["rate_range"] = (float(v[0]), float(v[1]))
     if "stats_expectations" in kw:
         kw["stats_expectations"] = tuple(
             (col, tuple((f, op, float(t)) for f, op, t in exps))

@@ -235,3 +235,141 @@ def audio_dup_pairs(
     return hamming60_pairs(
         base, max_hamming, max_bucket, drop_stats, op="audio_dup_pairs"
     )
+
+
+def _banded_fps(fps: DataFrame, id_alias: str, fp_alias: str) -> DataFrame:
+    """Explode a (id, fp) table into its 4×15-bit pigeonhole bands — the
+    cross-table sibling of the banding inside `dedup.hamming60_pairs`
+    (any pair within Hamming ≤ 3 of 60 bits agrees on at least one whole
+    band, so a band equi-join is COMPLETE for k ≤ 3)."""
+    return fps.select(
+        F.col("id").alias(id_alias),
+        F.col("fp").alias(fp_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_alias, fp_alias, "bb.band", "bb.key")
+
+
+def audio_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    bench_id_col: str | None = None,
+    max_hamming: int = 3,
+    max_broadcast_fps: int = 5_000_000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """Benchmark contamination on the AUDIO axis: corpus clips whose
+    acoustic fingerprint is within ``max_hamming`` bits of an eval-set
+    clip's — the same recording re-encoded, resampled or re-noised into
+    the training corpus. Text decontamination
+    (`dedup.contamination_pairs`, the transcript twin) cannot see this
+    leakage: a re-ASR'd copy shares no text. Fragment-level containment
+    (an eval snippet CUT INTO a longer training clip) is
+    `audio_search.audio_snippet_search`'s job — use the eval clips as the
+    query side there.
+
+    Scale shape mirrors the text twin: both sides run the one-pass
+    fingerprint kernel (payloads never leave the scan stage); the
+    benchmark is small by nature, so its banded fingerprints are
+    BROADCAST when they fit — guarded by one cheap count on the BENCH
+    side only (the corpus is never counted; recorded under
+    ``drop_stats['bench_fp_bands']`` when a dict is passed). Above
+    ``max_broadcast_fps`` banded rows the hint is dropped and the join
+    falls back to a shuffle join instead of failing at runtime. The
+    10^12-row corpus is scanned once with a narrow projection + hash
+    join; only band collisions (rare) reach the Hamming filter.
+    Fake-decoded and null-fingerprint rows are excluded on BOTH sides (a
+    fake match attests nothing about audio; silence has no identity).
+    Returns (clip_id, bench_id, hamming)."""
+    from .dedup import hamming64
+
+    bench_id_col = bench_id_col or id_col
+    corp_fps = (
+        audio_fingerprint(corpus, id_col, bytes_col, codec_col)
+        .filter(~F.col("fake") & F.col("fp").isNotNull())
+    )
+    bench_fps = (
+        audio_fingerprint(benchmark, bench_id_col, bytes_col, codec_col)
+        .filter(~F.col("fake") & F.col("fp").isNotNull())
+    )
+    from .dedup import _track_persist
+
+    # persist before the guard count so the benchmark decodes ONCE (the
+    # count materializes the cache the join then reuses); released via
+    # dedup.unpersist_all(drop_stats) or ContextCleaner GC
+    bench_banded = _track_persist(
+        _banded_fps(bench_fps, "bench_id", "bench_fp"), drop_stats
+    )
+    n_bands = bench_banded.count()  # bench side only — small by contract
+    if isinstance(drop_stats, dict):
+        drop_stats["bench_fp_bands"] = n_bands
+    if n_bands <= max_broadcast_fps:
+        bench_banded = F.broadcast(bench_banded)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"audio_contamination_pairs: benchmark bands ({n_bands}) exceed "
+            f"max_broadcast_fps={max_broadcast_fps}; falling back to a "
+            "shuffle join",
+            stacklevel=2,
+        )
+    corp_banded = _banded_fps(corp_fps, "clip_id", "clip_fp")
+    return (
+        corp_banded.join(bench_banded, ["band", "key"])
+        .filter(hamming64(F.col("clip_fp"), F.col("bench_fp")) <= max_hamming)
+        .select(
+            "clip_id",
+            "bench_id",
+            hamming64(F.col("clip_fp"), F.col("bench_fp")).alias("hamming"),
+        )
+        .dropDuplicates(["clip_id", "bench_id"])
+    )
+
+
+def audio_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    bench_id_col: str | None = None,
+    max_hamming: int = 3,
+    max_broadcast_fps: int = 5_000_000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """Corpus minus acoustically contaminated clips: null-safe left_anti
+    against the flagged ids from `audio_contamination_pairs` (same
+    kwargs) — the audio rung of the decontamination story
+    (`dedup.decontaminate` is the transcript rung; run both on a bimodal
+    corpus). With a ``drop_stats`` dict the flagged-id set is counted
+    eagerly (``decontaminated_clips``)."""
+    flagged = (
+        audio_contamination_pairs(
+            corpus, benchmark, id_col, bytes_col, codec_col,
+            bench_id_col, max_hamming, max_broadcast_fps, drop_stats,
+        )
+        .select(F.col("clip_id").alias("__flagged_id"))
+        .distinct()
+    )
+    if isinstance(drop_stats, dict):
+        drop_stats["decontaminated_clips"] = flagged.count()
+    return corpus.join(
+        flagged,
+        F.col(id_col).eqNullSafe(F.col("__flagged_id")),
+        "left_anti",
+    )

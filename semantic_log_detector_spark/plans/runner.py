@@ -48,6 +48,7 @@ class SuiteConfig:
     allowed_codecs: tuple[str, ...] = ("pcm_s16le", "flac", "mulaw", "alaw", "adpcm_ima", "opus", "mp3")
     sr_range: tuple[int, int] = (4000, 96000)
     dur_range: tuple[int, int] = (1, 12 * 3600 * 1000)
+    rate_range: tuple[float, float] = (6.5, 26.5)  # R018 chars/sec band
     psi_threshold: float = 0.2
     ks_threshold: float = 0.2
     # strict: clips whose declared codec has no REGISTERED real decoder are
@@ -202,7 +203,8 @@ def run_suite(
                 if check == "row_rules":
                     res = run_row_rules(
                         sub_meta,
-                        default_clip_rules(cfg.allowed_codecs, cfg.sr_range, cfg.dur_range),
+                        default_clip_rules(cfg.allowed_codecs, cfg.sr_range,
+                                           cfg.dur_range, cfg.rate_range),
                         ctx)
                 elif check == "stats":
                     res = stats_check(sub_meta, ctx,

@@ -232,3 +232,82 @@ def test_fingerprint_deterministic_across_partitioning(corpus):
         for r in audio_fingerprint(corpus.repartition(7, "codec")).collect()
     }
     assert a == b
+
+
+def test_audio_decontaminate_planted(spark):
+    """Acoustic decontamination: a training corpus containing re-encoded,
+    resampled copies of eval-set clips loses EXACTLY those clips — clean
+    clips survive, out-of-corpus eval items flag nothing."""
+    from semantic_log_detector_spark.functions.audio import (
+        decode_clip,
+        resample_linear,
+    )
+    from semantic_log_detector_spark.functions.g711 import encode_mulaw
+    from semantic_log_detector_spark.operators.audio_dedup import (
+        audio_contamination_pairs,
+        audio_decontaminate,
+    )
+    from semantic_log_detector_spark.sources.synth import melody_clips
+
+    corpus = melody_clips(spark, 40, seed=21).cache()
+    # benchmark = 5 corpus clips re-encoded 16k -> 8k mulaw (leaked) + 3
+    # clips from a disjoint seed (clean eval items)
+    leaked = sorted(
+        corpus.filter("idx % 8 = 2").collect(), key=lambda r: r["idx"]
+    )[:5]
+    bench_rows = []
+    for j, r in enumerate(leaked):
+        pcm, sr = decode_clip(bytes(r["bytes"]), r["codec"])
+        piece = resample_linear(np.asarray(pcm, np.float64), sr, 8000)
+        bench_rows.append(
+            (f"e{j}", encode_mulaw(piece.astype(np.float32), 8000), "mulaw")
+        )
+    for j, r in enumerate(melody_clips(spark, 3, seed=777).collect()):
+        bench_rows.append((f"clean{j}", bytes(r["bytes"]), r["codec"]))
+    bench = spark.createDataFrame(
+        bench_rows, "clip_id string, bytes binary, codec string"
+    )
+
+    stats = {}
+    pairs = audio_contamination_pairs(corpus, bench, drop_stats=stats)
+    flagged = {r.clip_id for r in pairs.select("clip_id").collect()}
+    assert flagged == {r["clip_id"] for r in leaked}
+    assert stats["bench_fp_bands"] == 8 * 4  # every bench clip fingerprinted
+
+    kept = audio_decontaminate(corpus, bench, drop_stats=stats)
+    kept_ids = {r.clip_id for r in kept.select("clip_id").collect()}
+    assert kept_ids == (
+        {r.clip_id for r in corpus.select("clip_id").collect()}
+        - {r["clip_id"] for r in leaked}
+    )
+    assert stats["decontaminated_clips"] == 5
+    from semantic_log_detector_spark.operators.dedup import unpersist_all
+
+    unpersist_all(stats)
+    corpus.unpersist()
+
+
+def test_audio_contamination_broadcast_guard(spark):
+    """Above max_broadcast_fps the broadcast hint is dropped (warning) and
+    the join still returns the same pairs via shuffle."""
+    import warnings as _w
+
+    from semantic_log_detector_spark.operators.audio_dedup import (
+        audio_contamination_pairs,
+    )
+    from semantic_log_detector_spark.sources.synth import melody_clips
+
+    corpus = melody_clips(spark, 12, seed=31).cache()
+    bench = corpus.limit(4).select("clip_id", "bytes", "codec")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pairs = audio_contamination_pairs(
+            corpus, bench, max_broadcast_fps=2
+        )
+        got = {(r.clip_id, r.bench_id) for r in pairs.collect()}
+    assert any("max_broadcast_fps" in str(w.message) for w in rec)
+    # each bench clip is its own corpus source: identity pairs present
+    assert {(a, b) for a, b in got if a == b} == {
+        (r.clip_id, r.clip_id) for r in bench.select("clip_id").collect()
+    }
+    corpus.unpersist()

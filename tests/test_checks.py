@@ -32,10 +32,35 @@ def test_row_rules_match_planted_defects(meta_4k):
     ).count()
 
 
+def test_speaking_rate_rule_planted(spark):
+    """R018 fires exactly for implausible transcript-length/duration pairs
+    and stays quiet on nulls and zero durations (those are R010-R015's
+    job — the try_divide guard keeps the predicate ANSI-safe)."""
+    rows = [
+        # (clip_id, sr_hz, dur_ms, codec, transcript)
+        ("ok", 16000, 1000, "pcm_s16le", "ten chars."),          # 10.0 c/s
+        ("slow", 16000, 60000, "pcm_s16le", "hi"),               # 0.03 c/s
+        ("fast", 16000, 100, "pcm_s16le", "way too many characters"),  # 230 c/s
+        ("nodur", 16000, None, "pcm_s16le", "some words here"),  # R012's job
+        ("zerodur", 16000, 0, "pcm_s16le", "some words here"),   # R013's job
+        ("notext", 16000, 1000, "pcm_s16le", None),              # R015's job
+        ("empty", 16000, 1000, "pcm_s16le", "   "),              # R015's job
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, sr_hz int, dur_ms int, codec string, transcript string"
+    ).withColumn("part_id", F.lit(0))
+    res = run_row_rules(df, default_clip_rules(), CTX)
+    hit = {
+        r["clip_id"]
+        for r in res.violations.filter("rule_id = 'R018_speaking_rate'").collect()
+    }
+    assert hit == {"slow", "fast"}
+
+
 def test_row_rules_verdict_grid_complete(meta_4k):
     res = run_row_rules(meta_4k, default_clip_rules(), CTX)
     n_parts = meta_4k.select("part_id").distinct().count()
-    n_rules = 6  # bytes rule skipped (metadata-only input)
+    n_rules = 7  # bytes rule skipped (metadata-only input)
     assert res.verdicts.count() == n_parts * n_rules
     # passed ⇔ zero violations
     assert res.verdicts.filter("passed AND n_violations > 0").count() == 0

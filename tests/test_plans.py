@@ -81,10 +81,10 @@ def test_flagship_agg_is_whole_stage_codegen(spark):
 
 @pytest.mark.parametrize("name", [
     "q01_pricing_summary", "q02_nation_revenue", "q03_topk_orders",
-    "q06_distinct_parts", "q08_sliding_avg", "q13_window_alerts",
+    "q07_set_ops", "q08_sliding_avg", "q13_window_alerts",
     "q21_exact_dup_docs", "q22_ngram_jaccard", "q28_stats_profile",
     "q29_orders_without_lineitem", "q30_dim_lookup", "q31_semi_blocklist",
-    "q32_topk_per_group", "q34_simhash_pairs", "q38_dim_stats",
+    "q32_topk_per_group", "q34_simhash_pairs", "q24_embedding_profile",
     "q42_stratified_split", "q44_decontamination",
 ])
 def test_no_cartesian_product(spark, name):
