@@ -40,7 +40,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.audio import clip_features, decode_clip, decode_clip_ex
+from ..functions.audio import (
+    clip_features,
+    clip_features_ex,
+    decode_clip,
+    decode_clip_ex,
+)
 from .base import (
     CheckResult,
     RunContext,
@@ -64,6 +69,20 @@ R_DC = "R065_dc_offset"
 CLIP_LEVEL, CLIP_MAX_RATIO = 0.97, 0.02
 SIL_LEVEL, SIL_MIN_RATIO = 2e-3, 0.98
 DC_MAX = 0.1
+
+# R066 effective bandwidth: flag clips whose spectral energy at/above
+# HF_FRAC × Nyquist is below HF_FLOOR_DB of the total — the signature of
+# audio upsampled from a lower rate (8 kHz telephony resold as 16 kHz is
+# the classic corpus contaminant) or brutally lowpassed. Calibrated on the
+# codec roundtrips: genuine full-band clips sit ≥ −25 dB (broadband noise
+# floor), band-limited clips through PCM/FLAC/G.711 sit ≤ −40 dB. IMA
+# ADPCM is exempt by default: its own quantization noise floor is ≈ −24 dB
+# broadband, which refills the high band and masks the evidence — a
+# per-codec floor from the operator is the only honest way to scan ADPCM.
+R_BANDWIDTH = "R066_bandwidth"
+HF_FRAC = 0.55
+HF_FLOOR_DB = -32.0
+HF_EXEMPT_CODECS = frozenset({"adpcm_ima"})
 R_PSI = "R050_drift_psi"
 R_KS = "R051_drift_ks"
 
@@ -194,11 +213,19 @@ def stats_record_batch(
                 pcm = pcm + (noise[0] * rms) * rng.standard_normal(
                     len(pcm)
                 ).astype(np.float32)
-            fv = clip_features(pcm, sr, n_mfcc=N_MFCC)
+            fv, hf_db = clip_features_ex(pcm, sr, n_mfcc=N_MFCC, hf_frac=HF_FRAC)
             if not np.isfinite(fv).all():
                 raise ValueError("non-finite features")
             feats[i] = fv
             ok[i] = True
+            # R066 effective bandwidth: only on honestly-decoded PCM (fake
+            # decodes carry synthetic spectra) and outside the exempt
+            # codecs whose quantization floor masks the high band
+            if (not fake[i] and codecs[i] not in HF_EXEMPT_CODECS
+                    and hf_db < HF_FLOOR_DB):
+                viol(R_BANDWIDTH, parts[i], clip_ids[i],
+                     f"hf_ratio_db={hf_db:.1f}",
+                     f"energy >= {HF_FRAC:.2f}*nyquist above {HF_FLOOR_DB} dB")
             # payload-quality rules on the decoded PCM (same pass, no
             # extra read): clipping, near-silence, DC-offset bias
             absd = np.abs(pcm)
@@ -675,7 +702,7 @@ def drift_check(
         )
         is_decode = F.col("feature") == R_DECODE
         is_codec = F.col("feature") == R_CODEC
-        is_quality = F.col("feature").isin(R_CLIPPING, R_SILENCE, R_DC)
+        is_quality = F.col("feature").isin(R_CLIPPING, R_SILENCE, R_DC, R_BANDWIDTH)
         viol_rows = stats.filter(F.col("kind") == "v").select(
             F.lit(ctx.run_id).alias("run_id"),
             F.col("part_id").cast("int").alias("part_id"),
@@ -704,6 +731,9 @@ def drift_check(
             ).when(
                 F.col("feature") == R_DC,
                 F.lit("decoded waveform carries a DC-offset bias"),
+            ).when(
+                F.col("feature") == R_BANDWIDTH,
+                F.lit("effective bandwidth far below Nyquist (upsampled or lowpassed audio)"),
             ).otherwise(F.lit("decoded duration differs from declared dur_ms")).alias("explanation"),
         )
 
@@ -763,9 +793,8 @@ def drift_check(
                 F.col("worst_feature"), F.lit(")"),
             ).alias("explanation"),
         )
-        decode_rules = [R_DECODE, R_DURATION, R_CLIPPING, R_SILENCE, R_DC] + (
-            [R_CODEC] if strict_codecs else []
-        )
+        decode_rules = [R_DECODE, R_DURATION, R_CLIPPING, R_SILENCE, R_DC,
+                        R_BANDWIDTH] + ([R_CODEC] if strict_codecs else [])
         decode_verdicts = verdicts_from_violations(
             viol_rows.withColumnRenamed("part_id", ctx.part_col),
             part_counts,

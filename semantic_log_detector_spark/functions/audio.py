@@ -309,6 +309,28 @@ def clip_features(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13,
     histograms, where 2× fewer frames is statistically indistinguishable
     and halves the dominant FFT cost.
     """
+    return clip_features_ex(pcm, sr_hz, n_mfcc=n_mfcc, n_mels=n_mels)[0]
+
+
+def clip_features_ex(
+    pcm: np.ndarray,
+    sr_hz: int,
+    n_mfcc: int = 13,
+    n_mels: int = 20,
+    hf_frac: float = 0.55,
+) -> tuple[np.ndarray, float]:
+    """`clip_features` plus the high-band energy ratio in dB — the fraction
+    of mean spectral power at or above ``hf_frac`` × Nyquist, from the SAME
+    power spectrum (zero extra FFT work).
+
+    The ratio is the effective-bandwidth signal behind R066_bandwidth:
+    genuinely full-band audio keeps a broadband noise floor all the way to
+    Nyquist (≳ −25 dB here), while audio that was upsampled from a lower
+    rate (or aggressively lowpassed) has nothing above the original Nyquist
+    but the codec's own quantization noise (≤ −40 dB for PCM/FLAC/G.711).
+    An all-zero clip reads ≈ ``10*log10(hf_frac)`` (the +1e-12 bin floor is
+    uniform), safely above any sane flagging threshold.
+    """
     power, n_fft = _power_frames(pcm, sr_hz, 25.0, 20.0)
     mel = power @ _cached_fb(sr_hz, n_fft, n_mels)
     lm = np.log(mel + 1e-10)
@@ -316,8 +338,11 @@ def clip_features(pcm: np.ndarray, sr_hz: int, n_mfcc: int = 13,
     rms = float(np.sqrt(np.mean(np.asarray(pcm, dtype=np.float64) ** 2) + 1e-12))
     mean_spec = power.mean(axis=0) + 1e-12
     freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr_hz)
-    centroid = float((mean_spec * freqs).sum() / mean_spec.sum())
-    return np.concatenate([m, [rms, centroid]]).astype(np.float64)
+    tot = float(mean_spec.sum())
+    centroid = float((mean_spec * freqs).sum() / tot)
+    hf = float(mean_spec[freqs >= hf_frac * (sr_hz / 2.0)].sum())
+    hf_db = float(10.0 * np.log10(hf / tot + 1e-15))
+    return np.concatenate([m, [rms, centroid]]).astype(np.float64), hf_db
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:

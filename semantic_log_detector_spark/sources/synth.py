@@ -110,6 +110,12 @@ DEFECT_RATES = {
     "audio_clipped": 0.0015,
     "audio_silent": 0.0015,
     "audio_dc": 0.001,
+    # upsample contamination (R066): content brick-wall lowpassed at sr/4,
+    # i.e. half-rate audio resold at the declared rate. Planted on every
+    # codec; detectability is codec-physics (PCM/FLAC/G.711 yes, ADPCM's
+    # own quantization floor masks it, fake-decoded opus/mp3 never carry
+    # the planted spectrum) — the R066 test accounts for exactly that.
+    "audio_upsampled": 0.0015,
 }
 
 
@@ -211,6 +217,7 @@ def with_audio(
             u_clip = _u01(i_arr, 25, seed) < DEFECT_RATES["audio_clipped"]
             u_sil = _u01(i_arr, 26, seed) < DEFECT_RATES["audio_silent"]
             u_dc = _u01(i_arr, 27, seed) < DEFECT_RATES["audio_dc"]
+            u_ups = _u01(i_arr, 28, seed) < DEFECT_RATES["audio_upsampled"]
             for row_n, (idx, sr, dur, part, codec) in enumerate(
                 zip(i_arr, pdf["sr_hz"], pdf["dur_ms"], pdf["part_id"], pdf["codec"])
             ):
@@ -224,7 +231,7 @@ def with_audio(
                 t = np.arange(max(ns, 16), dtype=np.float64) / sr_i
                 rng = np.random.Generator(np.random.Philox(key=int(idx) + seed))
                 pcm = u_amp[row_n] * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
-                # planted payload-quality defects (R063/R064/R065): the
+                # planted payload-quality defects (R063/R064/R065/R066): the
                 # encoder's int16 clamp turns the 4× gain into flat tops
                 if u_clip[row_n]:
                     pcm = pcm * 4.0
@@ -232,6 +239,12 @@ def with_audio(
                     pcm = pcm * 0.0005
                 elif u_dc[row_n]:
                     pcm = pcm * 0.5 + 0.4
+                elif u_ups[row_n]:
+                    # half-rate content at the declared rate: brick-wall
+                    # lowpass at sr/4 (what a naive 2× upsample leaves)
+                    sp = np.fft.rfft(pcm)
+                    fgrid = np.fft.rfftfreq(len(pcm), 1.0 / sr_i)
+                    pcm = np.fft.irfft(sp * (fgrid < sr_i / 4.0), n=len(pcm))
                 enc = _ENCODERS.get(codec, encode_wav)
                 buf = enc(pcm.astype(np.float32), sr_i)
                 if u_trunc[row_n]:

@@ -175,7 +175,8 @@ def stream_suite(
 
 def stream_payload_violations(stream_df: DataFrame, ctx: RunContext) -> DataFrame:
     """Per-clip payload violations (R060 decode, R061 duration, R063
-    clipping, R064 silence, R065 DC offset) on a STREAM of clips.
+    clipping, R064 silence, R065 DC offset, R066 bandwidth) on a STREAM
+    of clips.
 
     Stateless: ``checks.drift.decode_stats`` is a mapInArrow kernel, which
     Structured Streaming runs unchanged per micro-batch — the exact batch

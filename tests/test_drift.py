@@ -105,6 +105,45 @@ def test_payload_quality_rules_flag_exactly_planted(spark):
     assert got == planted
 
 
+def test_bandwidth_rule_flags_exactly_planted_upsamples(spark):
+    """R066 fires on exactly the planted half-rate (upsampled) clips whose
+    codec roundtrip preserves the band-limit evidence — PCM/FLAC/G.711 —
+    and NEVER on clean full-band clips. ADPCM-planted upsamples are
+    exempt by design (its quantization floor ≈ −24 dB refills the high
+    band; see HF_EXEMPT_CODECS), and fake-decoded opus/mp3 never carry
+    the planted spectrum."""
+    import numpy as np
+
+    from semantic_log_detector_spark.checks.drift import decode_stats
+    from semantic_log_detector_spark.sources.synth import (
+        _CODEC_WEIGHTS, _CODECS, _u01, _weighted_pick, DEFECT_RATES,
+        clips_table)
+
+    n = 20000
+    i = np.arange(n)
+    u_ups = _u01(i, 28, 42) < DEFECT_RATES["audio_upsampled"]
+    # the planting is the LAST elif of the defect chain — rows that drew an
+    # earlier payload defect are not band-limited
+    prior = (
+        (_u01(i, 25, 42) < DEFECT_RATES["audio_clipped"])
+        | (_u01(i, 26, 42) < DEFECT_RATES["audio_silent"])
+        | (_u01(i, 27, 42) < DEFECT_RATES["audio_dc"])
+    )
+    codec = _weighted_pick(_u01(i, 10, 42), _CODECS, _CODEC_WEIGHTS).astype(object)
+    codec[_u01(i, 11, 42) < DEFECT_RATES["codec_unknown"]] = "vorbis??"
+    truncated = _u01(i, 22, 42) < DEFECT_RATES["bytes_truncated"]
+    detectable = np.isin(codec.astype(str), ["pcm_s16le", "flac", "mulaw", "alaw"])
+    expected = int((u_ups & ~prior & detectable & ~truncated).sum())
+    assert expected > 0  # the fixture plants detectable upsamples
+
+    stats = decode_stats(clips_table(spark, n, with_bytes=True), CTX16)
+    got = (
+        stats.filter((F.col("kind") == "v") & (F.col("feature") == "R066_bandwidth"))
+        .count()
+    )
+    assert got == expected
+
+
 def test_payload_quality_verdicts_in_suite(spark):
     """The quality rules surface as per-partition verdict rows of the
     drift check (pass/fail + violation rows), like R060/R061."""

