@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--max-waves", type=int, default=None)
     run.add_argument("--checks", default=",".join(SuiteConfig().checks))
     run.add_argument("--config", help="checks.yaml / checks.json (overrides other check flags)")
+    run.add_argument("--quarantine", action="store_true",
+                     help="after the suite, write <out>/clean and "
+                          "<out>/quarantined corpus views (quarantined rows "
+                          "carry their violation rule sets)")
     run.add_argument("--master", default=None)
     rob = sub.add_parser(
         "robustness",
@@ -91,12 +95,40 @@ def main(argv: list[str] | None = None) -> int:
                      help="connected-components round cap (pointer jumping: "
                           "handles cluster diameter up to ~2^N)")
     cur.add_argument("--master", default=None)
+    cmp = sub.add_parser(
+        "compare",
+        help="run-over-run quality diff between two completed run dirs",
+    )
+    cmp.add_argument("prev", help="previous run --out dir")
+    cmp.add_argument("cur", help="current run --out dir")
+    cmp.add_argument("--tolerance", type=float, default=0.0,
+                     help="pass-rate slack treated as STABLE")
+    cmp.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "robustness":
         return _run_robustness(args)
     if args.cmd == "curate":
         return _run_curate(args)
+    if args.cmd == "compare":
+        from .plans.compare import compare_runs
+
+        spark, owned = _session(args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            rows = compare_runs(spark, args.prev, args.cur, args.tolerance).collect()
+            for r in rows:
+                print(f"{r['rule_id']:32s} {str(r['pass_rate_prev']):>10s} -> "
+                      f"{str(r['pass_rate_cur']):>10s}  "
+                      f"viol {str(r['n_violations_prev']):>8s} -> "
+                      f"{str(r['n_violations_cur']):>8s}  {r['status']}")
+            n_reg = sum(r["status"] == "REGRESSED" for r in rows)
+            print(f"regressed={n_reg}")
+            return 1 if n_reg else 0
+        finally:
+            if owned:
+                spark.stop()
 
     spark, owned = _session(args.master)
     spark.sparkContext.setLogLevel("WARN")
@@ -135,9 +167,21 @@ def main(argv: list[str] | None = None) -> int:
             clips_path=payload_path,
         )
         report = write_report(spark, args.out)
+        qmsg = ""
+        if args.quarantine:
+            from .plans.quarantine import split_quarantine
+
+            viol = spark.read.parquet(os.path.join(args.out, "violations"))
+            qr = split_quarantine(clips, viol)
+            qr.quarantined.write.mode("overwrite").parquet(
+                os.path.join(args.out, "quarantined"))
+            qr.clean.write.mode("overwrite").parquet(os.path.join(args.out, "clean"))
+            qmsg = (f" quarantined={spark.read.parquet(os.path.join(args.out, 'quarantined')).count()}"
+                    f" clean={spark.read.parquet(os.path.join(args.out, 'clean')).count()}")
         print(
             f"run={result.run_id} waves={result.waves_run} checks={result.checks_run} "
             f"wall={result.wall_s:.1f}s overall={'PASS' if report['overall_passed'] else 'FAIL'}"
+            f"{qmsg}"
         )
         return 0
     finally:
