@@ -83,6 +83,18 @@ def main() -> None:
     n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", 60_000))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
+    # hardware calibration BEFORE the SparkSession exists: raw no-Spark
+    # decode throughput at 1/32 processes (BENCH/scaling.py's burn kernel).
+    # Measured pre-session because a live local[32] JVM contends with the
+    # calibration pool and understates the host by 3-8x (observed 2,378
+    # vs 18,833 clips/s minutes apart). The shared VM shows up to 3x
+    # co-tenant swings; a calm host reads ~16,800+ clips/s at 32 procs, so
+    # this field lets any recorded wall be interpreted against the host
+    # state that produced it.
+    from BENCH.scaling import calibrate as _hw_calibrate
+
+    cal = _hw_calibrate(seconds=2.0, levels=(1, 32))
+
     from semantic_log_detector_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
@@ -228,15 +240,6 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["clips_suite"] = round(suite_wall, 3)
-
-    # hardware calibration recorded ALONGSIDE the measurement: raw
-    # no-Spark decode throughput at 1 and 32 processes (BENCH/scaling.py's
-    # burn kernel). The shared VM shows up to 3x co-tenant swings; a calm
-    # host reads ~16,800 clips/s at 32 procs, so this field lets any
-    # recorded wall be interpreted against the host state that produced it.
-    from BENCH.scaling import calibrate as _hw_calibrate
-
-    cal = _hw_calibrate(seconds=2.0, levels=(1, 32))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

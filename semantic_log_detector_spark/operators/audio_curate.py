@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.loudness import integrated_lufs
 from .audio_dedup import _fingerprint_rows
 from .segment import (
     DEFAULT_THRESHOLD_DBFS,
@@ -47,15 +48,19 @@ def audio_profile(
     min_speech_ms: float = 100.0,
     min_gap_ms: float = 150.0,
     passthrough: tuple[str, ...] = (),
+    with_loudness: bool = True,
 ) -> DataFrame:
     """Per-clip curation profile from ONE decode of the payload:
     (clip_id, decode_ok, fake, fp, total_s, speech_s, speech_ratio,
-    n_segments[, passthrough…]). ``fp`` is the 60-bit acoustic
-    fingerprint (null for silence/undecodable — see audio_dedup), speech
-    fields come from the energy-VAD kernel (segment.py). Undecodable
-    clips keep their row with decode_ok=false and nulls — accounting
-    needs them. ``passthrough`` columns are carried unchanged (e.g. the
-    event-time column for the streaming twin)."""
+    n_segments, loudness_lufs[, passthrough…]). ``fp`` is the 60-bit
+    acoustic fingerprint (null for silence/undecodable — see audio_dedup),
+    speech fields come from the energy-VAD kernel (segment.py),
+    ``loudness_lufs`` is the BS.1770-style gated integrated loudness
+    (functions/loudness.py; null for silence/undecodable, or everywhere
+    when ``with_loudness=False`` skips its FFT). Undecodable clips keep
+    their row with decode_ok=false and nulls — accounting needs them.
+    ``passthrough`` columns are carried unchanged (e.g. the event-time
+    column for the streaming twin)."""
     cols = [id_col, bytes_col, codec_col, *passthrough]
     frame_s, hop_s = FRAME_MS / 1000.0, HOP_MS / 1000.0
     min_speech_s, min_gap_s = min_speech_ms / 1000.0, min_gap_ms / 1000.0
@@ -94,6 +99,7 @@ def audio_profile(
             total_s = [None] * n
             speech_s = [None] * n
             n_segs = [None] * n
+            lufs = [None] * n
             for i in range(n):
                 if not ok[i]:
                     continue
@@ -104,6 +110,9 @@ def audio_profile(
                 total_s[i] = round(dur, 4)
                 speech_s[i] = round(sum(min(t1, dur) - t0 for t0, t1 in segs), 4)
                 n_segs[i] = len(segs)
+                if with_loudness:
+                    lv = integrated_lufs(pcms[i], srs[i])
+                    lufs[i] = None if lv is None else round(lv, 2)
             out = {
                 "clip_id": pdf[id_col].astype(str),
                 "decode_ok": pd.Series(ok, dtype=bool),
@@ -116,6 +125,7 @@ def audio_profile(
                      for s, t in zip(speech_s, total_s)],
                     dtype="Float64"),
                 "n_segments": pd.array(n_segs, dtype="Int32"),
+                "loudness_lufs": pd.array(lufs, dtype="Float64"),
             }
             for c in passthrough:
                 out[c] = pdf[c]
@@ -123,7 +133,7 @@ def audio_profile(
 
     schema = ("clip_id string, decode_ok boolean, fake boolean, fp long,"
               " total_s double, speech_s double, speech_ratio double,"
-              " n_segments int")
+              " n_segments int, loudness_lufs double")
     for c in passthrough:
         schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return df.select(*cols).mapInPandas(gen, schema=schema)
@@ -137,6 +147,8 @@ def curate_audio_corpus(
     min_speech_ratio: float = 0.3,
     min_dur_s: float = 0.0,
     max_dur_s: float | None = None,
+    min_lufs: float | None = None,
+    max_lufs: float | None = None,
     max_hamming: int = 3,
     cc_max_iters: int = 25,
     drop_stats: dict | None = None,
@@ -145,8 +157,11 @@ def curate_audio_corpus(
     """Curated clip set: profile gates + acoustic-dup canonical keep.
 
     Keeps clips that (a) decode through a REAL codec (fake-decoded rows
-    are never curated in), (b) have VAD speech_ratio ≥ ``min_speech_ratio``
-    and duration within bounds, and (c) are the canonical representative
+    are never curated in), (b) have VAD speech_ratio ≥ ``min_speech_ratio``,
+    duration within bounds, and — when ``min_lufs``/``max_lufs`` are given —
+    integrated loudness within [min_lufs, max_lufs] (clips with no
+    measurable loudness fail an enabled loudness gate: un-measurable is
+    not in-range), and (c) are the canonical representative
     (min id) of their acoustic-duplicate cluster, or duplicate nothing.
     Returns one row per KEPT clip (the `audio_profile` row). Gates run
     BEFORE the pair search: ineligible clips never enter the pigeonhole
@@ -156,18 +171,25 @@ def curate_audio_corpus(
     release with `dedup.unpersist_all`."""
     from .dedup import dup_clusters, hamming60_pairs
 
-    prof = audio_profile(clips, id_col, bytes_col, codec_col).persist()
+    with_loudness = min_lufs is not None or max_lufs is not None
+    prof = audio_profile(clips, id_col, bytes_col, codec_col,
+                         with_loudness=with_loudness).persist()
     if drop_stats is not None:
         drop_stats.setdefault("persisted", []).append(prof)
     if artifacts is not None:
         artifacts["profile"] = prof
 
-    eligible = prof.filter(
+    gate = (
         F.col("decode_ok") & ~F.col("fake")
         & (F.col("speech_ratio") >= F.lit(min_speech_ratio))
         & (F.col("total_s") >= F.lit(min_dur_s))
         & (F.lit(max_dur_s).isNull() | (F.col("total_s") <= F.lit(max_dur_s)))
     )
+    if min_lufs is not None:
+        gate = gate & (F.col("loudness_lufs") >= F.lit(min_lufs))
+    if max_lufs is not None:
+        gate = gate & (F.col("loudness_lufs") <= F.lit(max_lufs))
+    eligible = prof.filter(gate)
     base = eligible.filter(F.col("fp").isNotNull()).select(
         F.col("clip_id").alias("id"), F.col("fp").alias("sh")
     )
@@ -188,13 +210,20 @@ def audio_curation_summary(
     min_speech_ratio: float = 0.3,
     min_dur_s: float = 0.0,
     max_dur_s: float | None = None,
+    min_lufs: float | None = None,
+    max_lufs: float | None = None,
 ) -> DataFrame:
     """One-row total accounting: every input clip lands in exactly one
-    bucket (undecodable / fake / low_speech / out_of_duration / dup_removed
-    / kept), so n_total is provably the sum — the "no silent drops"
-    contract at corpus level."""
+    bucket (undecodable / fake / low_speech / out_of_duration /
+    out_of_loudness / dup_removed / kept), so n_total is provably the
+    sum — the "no silent drops" contract at corpus level."""
     k = kept.select("clip_id", F.lit(True).alias("__kept"))
     p = profile.join(k, "clip_id", "left")
+    loudness_ok = F.lit(True)
+    if min_lufs is not None:
+        loudness_ok = loudness_ok & (F.col("loudness_lufs") >= F.lit(min_lufs))
+    if max_lufs is not None:
+        loudness_ok = loudness_ok & (F.col("loudness_lufs") <= F.lit(max_lufs))
     reason = (
         F.when(~F.col("decode_ok"), "undecodable")
         .when(F.col("fake"), "fake_decode")
@@ -204,6 +233,8 @@ def audio_curation_summary(
             F.lit(max_dur_s).isNotNull() & (F.col("total_s") > max_dur_s),
             "out_of_duration",
         )
+        # NULL-safe: an enabled gate drops un-measurable loudness too
+        .when(~F.coalesce(loudness_ok, F.lit(False)), "out_of_loudness")
         .when(F.col("__kept").isNull(), "dup_removed")
         .otherwise("kept")
     )

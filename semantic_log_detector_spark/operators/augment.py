@@ -80,14 +80,15 @@ def rms_normalize(pcm: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
 
 @dataclass(frozen=True)
 class AugSpec:
-    """One augmentation: ``kind`` ∈ {speed, gain, noise, rms_norm};
-    ``name`` suffixes the output clip_id (``<clip_id>#<name>``)."""
+    """One augmentation: ``kind`` ∈ {speed, gain, noise, rms_norm,
+    lufs_norm}; ``name`` suffixes the output clip_id
+    (``<clip_id>#<name>``)."""
 
     name: str
     kind: str
     params: dict = field(default_factory=dict)
 
-    def apply(self, pcm: np.ndarray, key: int) -> np.ndarray:
+    def apply(self, pcm: np.ndarray, sr: int, key: int) -> np.ndarray:
         if self.kind == "speed":
             return speed_perturb(pcm, float(self.params["factor"]))
         if self.kind == "gain":
@@ -96,6 +97,14 @@ class AugSpec:
             return add_noise_snr(pcm, float(self.params["snr_db"]), key)
         if self.kind == "rms_norm":
             return rms_normalize(pcm, float(self.params.get("target_dbfs", -20.0)))
+        if self.kind == "lufs_norm":
+            # BS.1770 integrated-loudness normalization (the broadcast/ASR
+            # standard; rms_norm is the cheap cousin). Silence keeps 0 dB
+            # gain — same policy as rms_normalize.
+            from ..functions.loudness import lufs_gain_db
+
+            g = lufs_gain_db(pcm, sr, float(self.params.get("target_lufs", -23.0)))
+            return gain(pcm, g)
         raise ValueError(f"unknown augmentation kind {self.kind!r}")
 
 
@@ -191,7 +200,7 @@ def augment_clips(
                         continue
                     key = xxhash64(f"{ids[i]}|{spec.name}".encode("utf-8")) ^ (
                         seed & 0xFFFFFFFF)
-                    aug = spec.apply(np.asarray(pcm, np.float32), key)
+                    aug = spec.apply(np.asarray(pcm, np.float32), sr, key)
                     out_rows["ok"].append(True)
                     out_rows["err"].append(None)
                     out_rows["bytes"].append(encode_wav(aug, sr))
