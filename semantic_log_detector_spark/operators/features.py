@@ -1,0 +1,188 @@
+"""Feature export + CMVN — the feature-store step of an audio pipeline.
+
+Training stacks consume per-frame acoustic features (MFCC / log-mel), not
+waveforms; the corpus-level mean/variance of each coefficient (CMVN —
+cepstral mean and variance normalization) is the standard input
+normalization every ASR recipe computes first. This operator materializes
+both from ONE decode pass: per-clip frame matrices as nested arrays, plus
+per-clip partial sums (Σx, Σx², n) per coefficient so the corpus CMVN
+statistics aggregate WITHOUT ever re-touching the big frame arrays — the
+classic partial-aggregate trick, map-side combined by construction.
+(Extends the reference's encoder seam, src/ids/embeddings.py:31-58, from
+per-log embedding vectors to the per-frame feature tensors an audio
+trainer actually reads.)
+
+Scale: payload bytes and frame tensors stay in the scan stage; the CMVN
+agg moves clips × n_coeffs tiny rows (posexplode of the partials, then a
+groupBy over at most n_coeffs keys). `apply_cmvn` is pure JVM column work
+(transform + zip_with over broadcast literal stats) — no second Python
+pass over the frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    kind: str = "mfcc",
+    n_coeffs: int = 13,
+    n_mels: int = 20,
+    skip_fake: bool = True,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-clip frame features from one decode pass.
+
+    Output: (clip_id, ok, err, sr_hz, n_frames, feats, f_sum, f_sumsq
+    [, passthrough…]) where ``feats`` is array<array<float>> — one inner
+    array per 25 ms/10 ms frame — and f_sum/f_sumsq are the per-coefficient
+    partials that make `cmvn_stats` cheap. ``kind`` ∈ {mfcc, logmel}
+    (logmel emits ``n_mels`` coefficients; n_coeffs applies to mfcc).
+    Undecodable (and, with ``skip_fake``, fake-decoded) clips keep their
+    row with ok=false and nulls — accounting never loses a clip.
+    """
+    if kind not in ("mfcc", "logmel"):
+        raise ValueError(f"kind must be mfcc|logmel, got {kind!r}")
+    passthrough = tuple(c for c in passthrough if c in df.columns)
+    cols = [id_col, bytes_col, codec_col, *passthrough]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..functions.audio import (
+            decode_clip_ex,
+            log_mel_frames,
+            mfcc,
+            predecode_batch,
+        )
+
+        for pdf in batches:
+            payloads = pdf[bytes_col].tolist()
+            codecs = pdf[codec_col].tolist()
+            n = len(payloads)
+            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+            out = {
+                "clip_id": pdf[id_col].astype(str),
+                "ok": [False] * n, "err": [None] * n, "sr_hz": [None] * n,
+                "n_frames": [None] * n, "feats": [None] * n,
+                "f_sum": [None] * n, "f_sumsq": [None] * n,
+            }
+            for i in range(n):
+                try:
+                    hit = pre.get(i)
+                    if isinstance(hit, Exception):
+                        raise hit
+                    if hit is not None:
+                        pcm, sr, fake = hit[0], hit[1], False
+                    else:
+                        buf = payloads[i]
+                        pcm, sr, fake = decode_clip_ex(
+                            None if buf is None else bytes(buf), codecs[i])
+                    if fake and skip_fake:
+                        out["err"][i] = "fake_decode"
+                        continue
+                    if pcm is None or len(pcm) == 0 or sr <= 0:
+                        out["err"][i] = "empty_decode"
+                        continue
+                    if kind == "mfcc":
+                        m = mfcc(np.asarray(pcm, np.float64), sr,
+                                 n_mfcc=n_coeffs, n_mels=n_mels)
+                    else:
+                        m = log_mel_frames(np.asarray(pcm, np.float64), sr,
+                                           n_mels=n_mels)
+                    m = np.atleast_2d(np.asarray(m, np.float64))
+                    out["ok"][i] = True
+                    out["sr_hz"][i] = int(sr)
+                    out["n_frames"][i] = int(m.shape[0])
+                    out["feats"][i] = [row.astype(np.float32).tolist()
+                                       for row in m]
+                    out["f_sum"][i] = m.sum(axis=0).tolist()
+                    out["f_sumsq"][i] = (m * m).sum(axis=0).tolist()
+                except Exception as e:
+                    out["err"][i] = f"{type(e).__name__}: {e}"[:200]
+            res = pd.DataFrame({
+                "clip_id": out["clip_id"],
+                "ok": pd.Series(out["ok"], dtype=bool),
+                "err": out["err"],
+                "sr_hz": pd.array(out["sr_hz"], dtype="Int32"),
+                "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                "feats": pd.Series(out["feats"], dtype=object),
+                "f_sum": pd.Series(out["f_sum"], dtype=object),
+                "f_sumsq": pd.Series(out["f_sumsq"], dtype=object),
+            })
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
+
+    schema = ("clip_id string, ok boolean, err string, sr_hz int,"
+              " n_frames int, feats array<array<float>>,"
+              " f_sum array<double>, f_sumsq array<double>")
+    for c in passthrough:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    return df.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def cmvn_stats(feats: DataFrame) -> DataFrame:
+    """Corpus CMVN statistics from the per-clip partials: one row per
+    coefficient (coeff, mean, std, n_frames). Moves clips × n_coeffs tiny
+    rows, never the frame arrays; Catalyst map-side-combines the sums."""
+    ok = feats.filter(F.col("ok"))
+    exploded = ok.select(
+        F.col("n_frames").cast("long").alias("nf"),
+        F.posexplode("f_sum").alias("coeff", "s"),
+        F.col("f_sumsq"),
+    ).select(
+        "coeff", "s", "nf",
+        F.element_at("f_sumsq", F.col("coeff") + 1).alias("ss"),
+    )
+    return exploded.groupBy("coeff").agg(
+        (F.sum("s") / F.sum("nf")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.sum("ss") / F.sum("nf")
+                - (F.sum("s") / F.sum("nf")) ** 2,
+                F.lit(0.0),
+            )
+        ).alias("std"),
+        F.sum("nf").alias("n_frames"),
+    ).orderBy("coeff")
+
+
+def apply_cmvn(
+    feats: DataFrame,
+    stats: DataFrame,
+    eps: float = 1e-8,
+    out_col: str = "feats_cmvn",
+) -> DataFrame:
+    """Normalize every frame to (x − mean)/max(std, eps) using the corpus
+    stats — pure JVM column work (transform + zip_with over literal
+    arrays); the frame tensors never visit Python again. ``stats`` is a
+    `cmvn_stats` result (collected driver-side: n_coeffs rows, trivially
+    small by construction)."""
+    rows = sorted(stats.collect(), key=lambda r: r["coeff"])
+    if not rows:
+        raise ValueError("empty CMVN stats — no decodable clips?")
+    mean = F.array(*[F.lit(float(r["mean"])) for r in rows])
+    std = F.array(*[F.lit(max(float(r["std"]), eps)) for r in rows])
+    return feats.withColumn(
+        out_col,
+        F.when(
+            F.col("ok"),
+            F.transform(
+                "feats",
+                lambda fr: F.zip_with(
+                    fr,
+                    F.zip_with(mean, std, lambda m, s: F.struct(
+                        m.alias("m"), s.alias("s"))),
+                    lambda x, ms: ((x - ms["m"]) / ms["s"]).cast("float"),
+                ),
+            ),
+        ),
+    )

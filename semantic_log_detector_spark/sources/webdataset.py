@@ -108,6 +108,20 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                             if ext == ".wav":
                                 r["sr_hz"], r["dur_ms"] = _wav_header_meta(
                                     buf[:1024])
+                            elif ext == ".flac":
+                                # STREAMINFO is a header-only read too; the
+                                # decode pass stays the validating authority
+                                try:
+                                    from ..functions.flac import _parse_streaminfo
+
+                                    sr, _ch, _bps, total, _md5, _off = (
+                                        _parse_streaminfo(buf))
+                                    if total > 0:
+                                        r["sr_hz"] = int(sr)
+                                        r["dur_ms"] = int(
+                                            round(total * 1000.0 / sr))
+                                except Exception:
+                                    pass  # null metadata, row rules flag it
                         elif ext in _TRANSCRIPT_EXTS:
                             r["transcript"] = (
                                 tf.extractfile(m).read().decode(
