@@ -241,6 +241,30 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
     timings["clips_suite"] = round(suite_wall, 3)
 
+    # feature-store throughput: MFCC frame-tensor export + corpus CMVN over
+    # a ~10k-clip hash slice of the (page-warm, post-suite) bench corpus —
+    # decode + framed FFT + DCT per clip, partial-aggregate CMVN on top
+    def features_bench():
+        from pyspark.sql import functions as _F
+
+        from semantic_log_detector_spark.operators.features import (
+            cmvn_stats, extract_features,
+        )
+
+        sl = spark.read.parquet(cdir).filter(
+            _F.pmod(_F.xxhash64("clip_id"), _F.lit(6)) == 0)
+        # single action: tensors stream through the scan stage, only the
+        # clips × n_coeffs partials reach the CMVN agg
+        cmvn_stats(extract_features(sl)).write.format("noop") \
+            .mode("overwrite").save()
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        features_bench()
+        best = min(best, time.time() - t0)
+    timings["features_cmvn_10k"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline query suite + full clips validation wall time",
