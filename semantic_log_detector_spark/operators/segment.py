@@ -197,3 +197,141 @@ def speech_ratio(
             F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
         )
     )
+
+
+def cut_segments(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    threshold_dbfs: float = DEFAULT_THRESHOLD_DBFS,
+    min_speech_ms: float = 100.0,
+    min_gap_ms: float = 150.0,
+    pad_ms: float = 100.0,
+    max_segment_s: float | None = None,
+    skip_fake: bool = True,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Utterance extraction: cut every detected speech segment out of its
+    clip as a NEW payload row — the long-recording → utterances step at
+    the front of every ASR/audio-LM ingest (sox/ffmpeg silence-split, done
+    as a corpus operator).
+
+    Output: (clip_id = `<src>#sNN`, src_clip_id, seg_idx, start_s, end_s,
+    ok, err, bytes, codec, sr_hz, dur_ms[, passthrough…]). Segments are
+    re-encoded pcm_s16le WAV at the source rate, padded ``pad_ms`` into
+    the surrounding context on both sides (clamped to the clip);
+    ``max_segment_s`` chops over-long speech runs into deterministic
+    fixed-size pieces (models cap input length; the split is at exact
+    sample boundaries, seg_idx keeps counting). No silent drops: clips
+    with no decodable speech emit ONE row with ok=false and the reason
+    (undecodable / fake_decode / no_speech), so output accounting always
+    covers every input clip. Same scale shape as the VAD pass: one decode
+    per clip, payloads stay in the scan stage, no shuffle.
+    """
+    passthrough = tuple(c for c in passthrough if c in df.columns)
+    cols = [id_col, bytes_col, codec_col, *passthrough]
+    frame_s, hop_s = FRAME_MS / 1000.0, HOP_MS / 1000.0
+    min_speech_s, min_gap_s = min_speech_ms / 1000.0, min_gap_ms / 1000.0
+    pad_s = pad_ms / 1000.0
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..functions.audio import decode_clip_ex, encode_wav, predecode_batch
+
+        for pdf in batches:
+            payloads = pdf[bytes_col].tolist()
+            codecs = pdf[codec_col].tolist()
+            ids = pdf[id_col].astype(str).tolist()
+            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+            rows: dict[str, list] = {
+                "clip_id": [], "src_clip_id": [], "seg_idx": [],
+                "start_s": [], "end_s": [], "ok": [], "err": [],
+                "bytes": [], "codec": [], "sr_hz": [], "dur_ms": [],
+            }
+            pass_vals: dict[str, list] = {c: [] for c in passthrough}
+
+            def emit(i, seg_idx, t0, t1, ok, err, buf, sr):
+                rows["src_clip_id"].append(ids[i])
+                rows["clip_id"].append(
+                    f"{ids[i]}#s{seg_idx:02d}" if ok else ids[i])
+                rows["seg_idx"].append(seg_idx if ok else None)
+                rows["start_s"].append(round(t0, 4) if ok else None)
+                rows["end_s"].append(round(t1, 4) if ok else None)
+                rows["ok"].append(ok)
+                rows["err"].append(err)
+                rows["bytes"].append(buf)
+                rows["codec"].append("pcm_s16le" if ok else None)
+                rows["sr_hz"].append(sr if ok else None)
+                rows["dur_ms"].append(
+                    int(round((t1 - t0) * 1000.0)) if ok else None)
+                for c in passthrough:
+                    pass_vals[c].append(pdf[c].iloc[i])
+
+            for i, (buf, codec) in enumerate(zip(payloads, codecs)):
+                pcm, sr, err = None, 0, None
+                try:
+                    hit = pre.get(i)
+                    if isinstance(hit, Exception):
+                        raise hit
+                    if hit is not None:
+                        pcm, sr, fake = hit[0], hit[1], False
+                    else:
+                        pcm, sr, fake = decode_clip_ex(
+                            None if buf is None else bytes(buf), codec)
+                    if fake and skip_fake:
+                        pcm, err = None, "fake_decode"
+                    elif pcm is None or len(pcm) == 0 or sr <= 0:
+                        pcm, err = None, "empty_decode"
+                except Exception as e:
+                    pcm, err = None, f"{type(e).__name__}: {e}"[:200]
+                if pcm is None:
+                    emit(i, -1, 0.0, 0.0, False, err, None, 0)
+                    continue
+                pcm = np.asarray(pcm, dtype=np.float64)
+                db = _frame_rms_db(pcm, int(sr), FRAME_MS, HOP_MS)
+                segs = _segments_from_mask(db >= threshold_dbfs, hop_s,
+                                           frame_s, min_speech_s, min_gap_s)
+                dur_total = len(pcm) / float(sr)
+                pieces = []
+                for (t0, t1) in segs:
+                    t0, t1 = max(t0 - pad_s, 0.0), min(t1 + pad_s, dur_total)
+                    if max_segment_s is not None and t1 - t0 > max_segment_s:
+                        edges = np.arange(t0, t1, max_segment_s).tolist() + [t1]
+                        pieces += [(a, b) for a, b in zip(edges, edges[1:])
+                                   if b - a > 1e-9]
+                    else:
+                        pieces.append((t0, t1))
+                if not pieces:
+                    emit(i, -1, 0.0, 0.0, False, "no_speech", None, 0)
+                    continue
+                for k, (t0, t1) in enumerate(pieces):
+                    s0, s1 = int(round(t0 * sr)), int(round(t1 * sr))
+                    seg_pcm = pcm[s0:max(s1, s0 + 1)].astype(np.float32)
+                    emit(i, k, t0, t1, True, None,
+                         encode_wav(seg_pcm, int(sr)), int(sr))
+
+            out = pd.DataFrame({
+                "clip_id": rows["clip_id"],
+                "src_clip_id": rows["src_clip_id"],
+                "seg_idx": pd.array(rows["seg_idx"], dtype="Int32"),
+                "start_s": pd.array(rows["start_s"], dtype="Float64"),
+                "end_s": pd.array(rows["end_s"], dtype="Float64"),
+                "ok": pd.Series(rows["ok"], dtype=bool),
+                "err": rows["err"],
+                "bytes": pd.Series(rows["bytes"], dtype=object),
+                "codec": rows["codec"],
+                "sr_hz": pd.array(rows["sr_hz"], dtype="Int32"),
+                "dur_ms": pd.array(rows["dur_ms"], dtype="Int32"),
+            })
+            for c in passthrough:
+                out[c] = pd.Series(pass_vals[c], index=out.index)
+            yield out
+
+    schema = ("clip_id string, src_clip_id string, seg_idx int,"
+              " start_s double, end_s double, ok boolean, err string,"
+              " bytes binary, codec string, sr_hz int, dur_ms int")
+    for c in passthrough:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    return df.select(*cols).mapInPandas(gen, schema=schema)

@@ -122,3 +122,64 @@ def test_lossy_codecs_keep_boundaries(spark, codec):
     assert len(segs) == 1
     assert abs(segs["start_s"][0] - 0.5) <= 0.05
     assert abs(segs["end_s"][0] - 1.2) <= 0.05
+
+
+def test_cut_segments_planted_bursts(spark):
+    """Every planted burst comes back as a decodable utterance row whose
+    payload is the padded slice of the source; clips with no decodable
+    speech keep an accounting row with the reason."""
+    from semantic_log_detector_spark.functions.audio import decode_clip
+    from semantic_log_detector_spark.operators.segment import cut_segments
+
+    clips = burst_clips(spark, 60, seed=9).cache()
+    truth = clips.select("clip_id", F.explode("bursts").alias("b")).select(
+        "clip_id", "b.start_s", "b.end_s").toPandas()
+    n_bursts = {cid: len(g) for cid, g in truth.groupby("clip_id")}
+
+    cut = cut_segments(clips, pad_ms=50.0).toPandas()
+    ok = cut[cut["ok"]]
+    # one utterance per planted burst, ids suffixed off the source
+    got_counts = ok.groupby("src_clip_id")["seg_idx"].count().to_dict()
+    assert got_counts == n_bursts
+    assert (ok["clip_id"] == ok["src_clip_id"] + "#s" +
+            ok["seg_idx"].astype(int).map("{:02d}".format)).all()
+    # payload slice really is the window [start_s, end_s] at the src rate
+    r = ok.iloc[0]
+    pcm, sr = decode_clip(bytes(r["bytes"]), "pcm_s16le")
+    assert sr == int(r["sr_hz"])
+    assert len(pcm) == pytest.approx((r["end_s"] - r["start_s"]) * sr, abs=2)
+    assert int(r["dur_ms"]) == pytest.approx(
+        (r["end_s"] - r["start_s"]) * 1000, abs=1)
+    clips.unpersist()
+
+
+def test_cut_segments_accounting_and_chunking(spark):
+    """No silent drops: undecodable / no-speech clips keep ok=false rows;
+    max_segment_s chops a long run into deterministic pieces covering the
+    original span."""
+    from semantic_log_detector_spark.operators.segment import cut_segments
+
+    sr = 16000
+    t = np.arange(sr * 5) / sr
+    long_speech = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    rows = [
+        ("long", encode_wav(long_speech, sr), "pcm_s16le"),
+        ("silent", encode_wav(np.zeros(sr, np.float32), sr), "pcm_s16le"),
+        ("junk", b"\xde\xad" * 10, "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    cut = cut_segments(df, pad_ms=0.0, max_segment_s=2.0).toPandas()
+    by_src = {k: g for k, g in cut.groupby("src_clip_id")}
+    # 5 s run chopped at 2 s → 3 pieces, contiguous, covering [0, 5]
+    lg = by_src["long"].sort_values("seg_idx")
+    assert lg["ok"].all() and len(lg) == 3
+    assert lg["start_s"].iloc[0] == 0.0
+    assert lg["end_s"].iloc[-1] == pytest.approx(5.0, abs=0.05)
+    assert (lg["start_s"].values[1:] == lg["end_s"].values[:-1]).all()
+    assert all(d <= 2001 for d in lg["dur_ms"])
+    # accounting rows, one each, with reasons
+    assert not by_src["silent"]["ok"].iloc[0]
+    assert by_src["silent"]["err"].iloc[0] == "no_speech"
+    assert not by_src["junk"]["ok"].iloc[0]
+    assert by_src["junk"]["err"].iloc[0] is not None
+    assert len(cut) == 3 + 2  # every input accounted
