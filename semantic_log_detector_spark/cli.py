@@ -105,7 +105,38 @@ def main(argv: list[str] | None = None) -> int:
                      help="pass-rate slack treated as STABLE")
     cmp.add_argument("--master", default=None)
 
+    # corpus-transform family: parquet in → parquet (or tar shards) out
+    for name, help_ in (
+        ("segment", "cut VAD speech segments into utterance rows"),
+        ("augment", "expand the corpus with deterministic augmentations"),
+        ("features", "export MFCC frame tensors (+ corpus CMVN stats)"),
+        ("wds-export", "write the corpus as WebDataset tar shards"),
+        ("wds-import", "read a WebDataset shard dir into a parquet clip table"),
+    ):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("--input", required=True,
+                       help="clips parquet path (wds-import: shard dir)")
+        p.add_argument("--out", required=True,
+                       help="output parquet path (wds-export: shard dir)")
+        p.add_argument("--master", default=None)
+        if name == "segment":
+            p.add_argument("--max-segment-s", type=float, default=None)
+            p.add_argument("--pad-ms", type=float, default=100.0)
+        elif name == "augment":
+            p.add_argument("--specs", default="sp0.9,sp1.1,n20db",
+                           help="comma list: sp<factor> | g<db>db | n<snr>db | "
+                                "rms<dbfs> | lufs<target> | r<target_hz>")
+        elif name == "features":
+            p.add_argument("--kind", choices=("mfcc", "logmel"), default="mfcc")
+            p.add_argument("--cmvn", action="store_true",
+                           help="also write <out>_cmvn stats parquet")
+        elif name == "wds-export":
+            p.add_argument("--shards", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd in ("segment", "augment", "features", "wds-export", "wds-import"):
+        return _run_transform(args)
 
     if args.cmd == "robustness":
         return _run_robustness(args)
@@ -285,3 +316,77 @@ def _run_curate(args) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _parse_aug_specs(spec_str: str):
+    """'sp0.9,g6db,n20db,rms-20,lufs-23' → AugSpec tuple."""
+    from .operators.augment import AugSpec
+
+    specs = []
+    for tok in (t.strip() for t in spec_str.split(",") if t.strip()):
+        if tok.startswith("sp"):
+            specs.append(AugSpec(tok, "speed", {"factor": float(tok[2:])}))
+        elif tok.startswith("lufs"):
+            specs.append(AugSpec(tok, "lufs_norm", {"target_lufs": float(tok[4:])}))
+        elif tok.startswith("rms"):
+            specs.append(AugSpec(tok, "rms_norm", {"target_dbfs": float(tok[3:])}))
+        elif tok.startswith("r") and tok[1:].isdigit():
+            specs.append(AugSpec(tok, "resample", {"target_hz": int(tok[1:])}))
+        elif tok.startswith("n") and tok.endswith("db"):
+            specs.append(AugSpec(tok, "noise", {"snr_db": float(tok[1:-2])}))
+        elif tok.startswith("g") and tok.endswith("db"):
+            specs.append(AugSpec(tok, "gain", {"db": float(tok[1:-2])}))
+        else:
+            raise SystemExit(f"unknown augmentation spec {tok!r}")
+    return tuple(specs)
+
+
+def _run_transform(args) -> int:
+    """Corpus-transform subcommands: one operator, parquet/shards in → out,
+    accounting on stdout (ok/not-ok counts — the no-silent-drops contract
+    made visible at the CLI)."""
+    spark, owned = _session(args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "wds-import":
+            from .sources.webdataset import read_webdataset
+
+            df = read_webdataset(spark, args.input)
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"imported={spark.read.parquet(args.out).count()}")
+            return 0
+
+        clips = spark.read.parquet(args.input)
+        if args.cmd == "wds-export":
+            from .sources.webdataset import write_webdataset
+
+            n = write_webdataset(clips, args.out, shards=args.shards)
+            print(f"shards={n} clips={clips.count()}")
+            return 0
+        if args.cmd == "segment":
+            from .operators.segment import cut_segments
+
+            out = cut_segments(clips, pad_ms=args.pad_ms,
+                               max_segment_s=args.max_segment_s)
+        elif args.cmd == "augment":
+            from .operators.augment import augment_clips
+
+            out = augment_clips(clips, specs=_parse_aug_specs(args.specs))
+        else:  # features
+            from .operators.features import extract_features
+
+            out = extract_features(clips, kind=args.kind)
+        out.write.mode("overwrite").parquet(args.out)
+        res = spark.read.parquet(args.out)
+        n_ok = res.filter("ok").count()
+        n_bad = res.filter("not ok").count()
+        print(f"rows={n_ok + n_bad} ok={n_ok} not_ok={n_bad}")
+        if args.cmd == "features" and args.cmvn:
+            from .operators.features import cmvn_stats
+
+            cmvn_stats(res).write.mode("overwrite").parquet(args.out + "_cmvn")
+            print(f"cmvn_stats={args.out}_cmvn")
+        return 0
+    finally:
+        if owned:
+            spark.stop()

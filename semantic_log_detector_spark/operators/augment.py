@@ -81,16 +81,28 @@ def rms_normalize(pcm: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
 @dataclass(frozen=True)
 class AugSpec:
     """One augmentation: ``kind`` ∈ {speed, gain, noise, rms_norm,
-    lufs_norm}; ``name`` suffixes the output clip_id
-    (``<clip_id>#<name>``)."""
+    lufs_norm, resample}; ``name`` suffixes the output clip_id
+    (``<clip_id>#<name>``). ``apply`` returns the new pcm, or
+    (pcm, new_sr) for kinds that change the sample rate."""
 
     name: str
     kind: str
     params: dict = field(default_factory=dict)
 
-    def apply(self, pcm: np.ndarray, sr: int, key: int) -> np.ndarray:
+    def apply(self, pcm: np.ndarray, sr: int, key: int):
         if self.kind == "speed":
             return speed_perturb(pcm, float(self.params["factor"]))
+        if self.kind == "resample":
+            # rate canonicalization (the mixed-rate corpus → one-rate
+            # corpus ingest step); same interpolator the fingerprint and
+            # snippet kernels use, so downstream ops see identical audio
+            from ..functions.audio import resample_linear
+
+            target = int(self.params["target_hz"])
+            if target <= 0:
+                raise ValueError(f"target_hz must be > 0, got {target}")
+            return resample_linear(
+                np.asarray(pcm, np.float32), int(sr), target), target
         if self.kind == "gain":
             return gain(pcm, float(self.params["db"]))
         if self.kind == "noise":
@@ -200,13 +212,15 @@ def augment_clips(
                         continue
                     key = xxhash64(f"{ids[i]}|{spec.name}".encode("utf-8")) ^ (
                         seed & 0xFFFFFFFF)
-                    aug = spec.apply(np.asarray(pcm, np.float32), sr, key)
+                    res = spec.apply(np.asarray(pcm, np.float32), sr, key)
+                    aug, out_sr = res if isinstance(res, tuple) else (res, sr)
                     out_rows["ok"].append(True)
                     out_rows["err"].append(None)
-                    out_rows["bytes"].append(encode_wav(aug, sr))
+                    out_rows["bytes"].append(encode_wav(aug, out_sr))
                     out_rows["codec"].append("pcm_s16le")
-                    out_rows["sr_hz"].append(sr)
-                    out_rows["dur_ms"].append(int(round(len(aug) * 1000.0 / sr)))
+                    out_rows["sr_hz"].append(out_sr)
+                    out_rows["dur_ms"].append(
+                        int(round(len(aug) * 1000.0 / out_sr)))
 
             out = pd.DataFrame({
                 "clip_id": out_rows["clip_id"],

@@ -156,3 +156,28 @@ def test_speed_spec_shifts_duration_exactly(spark):
     assert abs(out[("a", "sp0.9")] - 2000 / 0.9) <= 1
     assert abs(out[("a", "sp1.1")] - 2000 / 1.1) <= 1
     assert out[("b", "n20db")] == 500
+
+
+def test_resample_kind_canonicalizes_rate(spark):
+    """The resample augmentation re-rates every clip to the target and
+    preserves wall-clock duration — the mixed-rate → one-rate ingest."""
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.audio import decode_clip, encode_wav
+    from semantic_log_detector_spark.operators.augment import AugSpec, augment_clips
+
+    rows = []
+    for i, sr in enumerate((8000, 22050, 48000)):
+        t = np.arange(sr) / sr  # exactly 1 s each
+        pcm = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        rows.append((f"c{i}", encode_wav(pcm, sr), "pcm_s16le"))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    out = augment_clips(
+        df, specs=(AugSpec("r16k", "resample", {"target_hz": 16000}),)
+    ).collect()
+    assert all(r["ok"] and r["sr_hz"] == 16000 for r in out)
+    for r in out:
+        pcm, sr = decode_clip(bytes(r["bytes"]), "pcm_s16le")
+        assert sr == 16000
+        assert abs(len(pcm) / sr - 1.0) < 0.01
+        assert abs(r["dur_ms"] - 1000) <= 10
