@@ -115,14 +115,23 @@ def _q04_freq_priority(spark, sf):
     )
 
 
-def _q05_quantiles(spark, sf):
-    l = _t(spark, sf, "lineitem")
-    return l.agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+def _q56_duration_batches(spark, sf):
+    """Duration-bucketed training-batch assembly (operators/batching.py)
+    driven over the documents table with text length as the duration —
+    the token-length bucketing of an LLM pipeline, same operator as the
+    audio dur_ms path. Whole assignment is one shuffle (plan-audited in
+    tests/test_batching.py); the oracle replays bucket/shard/sequence/
+    batch-stat exactly in SQL."""
+    from semantic_log_detector_spark.operators.batching import duration_batches
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length("text").cast("long").alias("len_chars"),
     )
+    return duration_batches(
+        d, id_col="doc_id", dur_col="len_chars", batch_size=16,
+        boundaries=(200, 400, 800, 1600), num_shards=8,
+    ).orderBy("doc_id")
 
 
 def _q07_set_ops(spark, sf):
@@ -432,6 +441,11 @@ def _q28_stats_profile(spark, sf):
             F.round(F.sqrt(var), 6).alias("std"),
             F.round(F.min(c), 6).alias("mn"),
             F.round(F.max(c), 6).alias("mx"),
+            # quantile triple absorbed from the former q05 slot (round 4):
+            # A4/A6's exact interpolated percentiles, per profiled column
+            F.round(F.expr(f"percentile({c}, 0.25)"), 6).alias("q25"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), 6).alias("q75"),
             F.sum((F.col(c) == 0).cast("long")).alias("num_zeros"),
             F.countDistinct(c).alias("num_unique"),
         )
@@ -1107,7 +1121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_nation_revenue": _q02_nation_revenue,
         "q03_topk_orders": _q03_topk_orders,
         "q04_freq_priority": _q04_freq_priority,
-        "q05_quantiles": _q05_quantiles,
         "q07_set_ops": _q07_set_ops,
         "q08_sliding_avg": _q08_sliding_avg,
         "q09_burst_flag": _q09_burst_flag,
@@ -1153,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_crossmodal_dup": _q53_crossmodal_dup,
         "q54_speech_segments": _q54_speech_segments,
         "q55_snippet_search": _q55_snippet_search,
+        "q56_duration_batches": _q56_duration_batches,
     }
 
 
@@ -1187,13 +1201,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'normal' END AS label,
                    count(*) AS cnt
             FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "q05_quantiles": """
-            SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25,
-                   round(quantile_cont(l_quantity, 0.5), 6) AS median,
-                   round(quantile_cont(l_quantity, 0.75), 6) AS q75,
-                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
-            FROM lineitem
         """,
         "q07_set_ops": """
             SELECT nationkey, count(DISTINCT src) AS n_sources,
@@ -1392,6 +1399,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_discount' AS col_name, count(*) AS cnt, count(l_discount) AS n_nonnull,
                      round(sum(l_discount::DECIMAL(30,12))::DOUBLE / count(l_discount), 6) AS mean, round(sqrt((sum((l_discount * l_discount)::DECIMAL(30,10))::DOUBLE - sum(l_discount::DECIMAL(30,12))::DOUBLE * sum(l_discount::DECIMAL(30,12))::DOUBLE / count(l_discount)) / (count(l_discount) - 1)), 6) AS std,
                      round(min(l_discount), 6) AS mn, round(max(l_discount), 6) AS mx,
+                     round(quantile_cont(l_discount, 0.25), 6) AS q25,
+                     round(quantile_cont(l_discount, 0.5), 6) AS median,
+                     round(quantile_cont(l_discount, 0.75), 6) AS q75,
                      sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)::BIGINT AS num_zeros,
                      count(DISTINCT l_discount) AS num_unique
               FROM lineitem
@@ -1399,6 +1409,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_extendedprice', count(*), count(l_extendedprice),
                      round(sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(l_extendedprice), 6), round(sqrt((sum((l_extendedprice * l_extendedprice)::DECIMAL(30,10))::DOUBLE - sum(l_extendedprice::DECIMAL(30,12))::DOUBLE * sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 6),
                      round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+                     round(quantile_cont(l_extendedprice, 0.25), 6),
+                     round(quantile_cont(l_extendedprice, 0.5), 6),
+                     round(quantile_cont(l_extendedprice, 0.75), 6),
                      sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END)::BIGINT,
                      count(DISTINCT l_extendedprice)
               FROM lineitem
@@ -1406,6 +1419,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_quantity', count(*), count(l_quantity),
                      round(sum(l_quantity::DECIMAL(30,12))::DOUBLE / count(l_quantity), 6), round(sqrt((sum((l_quantity * l_quantity)::DECIMAL(30,10))::DOUBLE - sum(l_quantity::DECIMAL(30,12))::DOUBLE * sum(l_quantity::DECIMAL(30,12))::DOUBLE / count(l_quantity)) / (count(l_quantity) - 1)), 6),
                      round(min(l_quantity), 6), round(max(l_quantity), 6),
+                     round(quantile_cont(l_quantity, 0.25), 6),
+                     round(quantile_cont(l_quantity, 0.5), 6),
+                     round(quantile_cont(l_quantity, 0.75), 6),
                      sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END)::BIGINT,
                      count(DISTINCT l_quantity)
               FROM lineitem)
@@ -1802,6 +1818,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q55: planted-known-answer (q52 scheme) — the oracle replays the
         # planted snippet->source table with found/offset_ok TRUE.
+        "q56_duration_batches": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(length(text) AS BIGINT) AS len_chars,
+                     len(list_filter([200.0, 400.0, 800.0, 1600.0],
+                                     b -> b <= CAST(length(text) AS DOUBLE))) AS bucket,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 8 AS shard
+              FROM documents WHERE length(text) IS NOT NULL AND length(text) >= 0
+            ), seq AS (
+              SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                                           ORDER BY len_chars, doc_id) AS rn
+              FROM base
+            ), asg AS (
+              SELECT doc_id, len_chars, CAST(bucket AS INT) AS bucket,
+                     CAST(shard AS INT) AS shard,
+                     CAST(floor((rn - 1) / 16) AS INT) AS batch_index,
+                     bucket || '-' || shard || '-'
+                       || CAST(floor((rn - 1) / 16) AS INT) AS batch_id
+              FROM seq
+            )
+            SELECT a.doc_id, a.len_chars, a.bucket, a.shard, a.batch_index,
+                   a.batch_id, b.batch_n, b.batch_max_dur AS batch_max_dur,
+                   b.batch_n = 16 AS is_complete
+            FROM asg a JOIN (
+              SELECT batch_id, CAST(count(*) AS INT) AS batch_n,
+                     max(len_chars) AS batch_max_dur
+              FROM asg GROUP BY batch_id
+            ) b USING (batch_id)
+            ORDER BY a.doc_id
+        """,
         "q55_snippet_search": f"""
             SELECT query_id, clip_id, TRUE AS found, TRUE AS offset_ok
             FROM read_parquet('{_Q55_EXPORT}')
