@@ -304,3 +304,46 @@ def test_stream_speech_health(spark, tmp_path):
     # mean over the 4 honestly-decoded clips: (3 x ~1.0 + 0.1) / 4
     assert 0.7 < r.mean_speech_ratio < 0.85
     assert 3.0 < r.speech_s_total < 3.5
+
+
+def test_stream_cut_segments(spark, tmp_path):
+    """Utterance extraction runs unchanged on a stream: the cut_segments
+    kernel is a stateless mapInPandas, so Structured Streaming applies the
+    exact batch code per micro-batch — online ingest cuts recordings into
+    utterances with the same accounting rows (EXACTLY the batch semantics,
+    including ok=false reasons)."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_log_detector_spark.functions.audio import encode_wav
+    from semantic_log_detector_spark.operators.segment import cut_segments
+
+    sr = 16000
+    t3 = np.arange(3 * sr) / sr
+    two_bursts = np.zeros(3 * sr, np.float32)
+    for (a, b) in ((0.2, 0.8), (1.6, 2.4)):
+        seg = slice(int(a * sr), int(b * sr))
+        two_bursts[seg] = 0.4 * np.sin(2 * np.pi * 300 * t3[seg]).astype(np.float32)
+    rows = [
+        ("rec1", encode_wav(two_bursts, sr), "pcm_s16le"),
+        ("dead", b"junk", "pcm_s16le"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+    src = str(tmp_path / "cut_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "clip_id string, bytes binary, codec string"
+    ).parquet(src)
+    out = cut_segments(stream, pad_ms=0.0)
+    q = (
+        out.writeStream.format("memory").queryName("cut_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from cut_stream").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src_clip_id"], []).append(r)
+    assert len(by_src["rec1"]) == 2 and all(r["ok"] for r in by_src["rec1"])
+    assert len(by_src["dead"]) == 1 and not by_src["dead"][0]["ok"]
