@@ -18,7 +18,7 @@ the hash-at-scale answer to sklearn's exact-but-centralized stratify.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -104,4 +104,52 @@ def token_budget_sample(
         d.join(F.broadcast(totals), "source")
         .filter(F.col("__bucket") < keep_frac * granularity)
         .select("id", "source", "n_tokens")
+    )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    split_id_col: str = "id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate leakage audit.
+
+    ``pairs`` is any dup rung's pair output (MinHash/SimHash text pairs,
+    acoustic fingerprint pairs, embedding near-dups); ``splits`` maps id →
+    split name (e.g. a `hash_split` projection). Returns the pairs whose
+    members land in DIFFERENT splits, annotated (split_a, split_b) — the
+    eval-contamination every training pipeline must audit: a test item
+    whose near-duplicate sits in train inflates eval.
+
+    Scale: two equi-joins of the pair table against the id→split map —
+    the pair table is edges (bounded by the dup rungs' own caps), the map
+    is a projection of the corpus; both join keys are ids, so AQE
+    broadcasts the smaller side when it fits and nothing here is ever
+    all-pairs. Ids missing from ``splits`` surface as NULL split names
+    (kept, not dropped — an unmapped id in a pair is itself a finding).
+    """
+    sa = splits.select(F.col(split_id_col).alias(id_a),
+                       F.col(split_col).alias("split_a"))
+    sb = splits.select(F.col(split_id_col).alias(id_b),
+                       F.col(split_col).alias("split_b"))
+    joined = pairs.join(sa, id_a, "left").join(sb, id_b, "left")
+    return joined.filter(
+        ~(F.col("split_a").eqNullSafe(F.col("split_b")))
+    )
+
+
+def split_leakage_summary(leaks: DataFrame) -> DataFrame:
+    """(split_a, split_b, n_pairs) rollup of a `split_leakage` result,
+    split names sorted within the pair so (train,test) and (test,train)
+    count as one direction."""
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        leaks.select(lo.alias("split_lo"), hi.alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_lo", "split_hi")
     )
