@@ -133,7 +133,32 @@ def main(argv: list[str] | None = None) -> int:
         elif name == "wds-export":
             p.add_argument("--shards", type=int, default=None)
 
+    dc = sub.add_parser(
+        "datacard",
+        help="corpus datasheet: counts, codec mix, duration/speech/loudness "
+             "distributions, acoustic-dup rate -> datacard.json + .md",
+    )
+    dc.add_argument("--input", required=True, help="clips parquet path")
+    dc.add_argument("--out", required=True, help="output dir")
+    dc.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "datacard":
+        from .plans.datacard import write_datacard
+
+        spark, owned = _session(args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            card = write_datacard(spark.read.parquet(args.input), args.out)
+            c = card["counts"]
+            print(f"clips={c['total_clips']} decodable={c['decodable']} "
+                  f"fake={c['fake_decoded']} undecodable={c['undecodable']} "
+                  f"audio_h={card['hours']['audio']} -> {args.out}/datacard.md")
+            return 0
+        finally:
+            if owned:
+                spark.stop()
 
     if args.cmd in ("segment", "augment", "features", "wds-export", "wds-import"):
         return _run_transform(args)
