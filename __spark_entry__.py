@@ -442,10 +442,24 @@ def _q28_stats_profile(spark, sf):
             F.round(F.min(c), 6).alias("mn"),
             F.round(F.max(c), 6).alias("mx"),
             # quantile triple absorbed from the former q05 slot (round 4):
-            # A4/A6's exact interpolated percentiles, per profiled column
-            F.round(F.expr(f"percentile({c}, 0.25)"), 6).alias("q25"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
-            F.round(F.expr(f"percentile({c}, 0.75)"), 6).alias("q75"),
+            # A4's exact interpolated percentiles on the LOW-cardinality
+            # columns only — exact percentile on l_extendedprice (~1 value
+            # per row) builds a full counts map and costs ~8 s at sf0.1
+            # (measured), and the high-cardinality exact-percentile rung
+            # is already driver-oracled by q20_percentile_filter
+            *(
+                (
+                    F.round(F.expr(f"percentile({c}, 0.25)"), 6).alias("q25"),
+                    F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
+                    F.round(F.expr(f"percentile({c}, 0.75)"), 6).alias("q75"),
+                )
+                if c != "l_extendedprice"
+                else (
+                    F.lit(None).cast("double").alias("q25"),
+                    F.lit(None).cast("double").alias("median"),
+                    F.lit(None).cast("double").alias("q75"),
+                )
+            ),
             F.sum((F.col(c) == 0).cast("long")).alias("num_zeros"),
             F.countDistinct(c).alias("num_unique"),
         )
@@ -1409,9 +1423,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_extendedprice', count(*), count(l_extendedprice),
                      round(sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(l_extendedprice), 6), round(sqrt((sum((l_extendedprice * l_extendedprice)::DECIMAL(30,10))::DOUBLE - sum(l_extendedprice::DECIMAL(30,12))::DOUBLE * sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 6),
                      round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
-                     round(quantile_cont(l_extendedprice, 0.25), 6),
-                     round(quantile_cont(l_extendedprice, 0.5), 6),
-                     round(quantile_cont(l_extendedprice, 0.75), 6),
+                     NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
                      sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END)::BIGINT,
                      count(DISTINCT l_extendedprice)
               FROM lineitem
