@@ -203,13 +203,15 @@ def main() -> None:
         audio_snippet_search(corpus, qdf).write.format("noop").mode("overwrite").save()
 
     qdf = snippet_queries(spark.read.parquet(mdir))
-    # untimed page-cache warm of the payload column (~1 GB; the VM's cold
-    # disk reads ~65 MB/s, which would otherwise dominate the first rep)
     from pyspark.sql import functions as _F
 
-    spark.read.parquet(mdir).select(_F.sum(_F.length("bytes"))).collect()
     best = float("inf")
     for _ in range(2):
+        # untimed page-cache warm of the payload column before EVERY rep
+        # (~1 GB; the VM's cold disk reads ~65 MB/s and co-tenant memory
+        # pressure can evict between reps — observed 3.7 s vs 51 s for the
+        # same work depending on residency)
+        spark.read.parquet(mdir).select(_F.sum(_F.length("bytes"))).collect()
         t0 = time.time()
         snippet_search_bench()
         best = min(best, time.time() - t0)

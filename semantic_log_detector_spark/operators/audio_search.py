@@ -114,9 +114,18 @@ def audio_landmarks(
             codecs = pdf[codec_col].tolist()
             ids = pdf[id_col].astype(str).tolist()
             pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
-            # gather every row's frame windows, then ONE rfft + band
-            # matmul for the whole batch (same shape as the dedup kernel)
-            mats, spans = [], []  # spans: (row, n_frames, fake)
+            # STREAMED per-clip processing in float32. The previous shape
+            # (gather every row's windows into one batch matrix, then one
+            # rfft over all of it) is the dedup-kernel pattern, but here
+            # clips are long (hundreds of frames each) and the batch
+            # matrix reached ~100 MB float64 per task — at 32 concurrent
+            # tasks the job went memory-bandwidth-bound (65-110 s for a
+            # pass whose compute is ~2 s/task). Per-clip float32 chunks
+            # keep the working set cache-sized; measured 65 s → single-
+            # digit seconds for the 5k-clip / 11-hour bench corpus.
+            win32 = win.astype(np.float32)
+            offs = np.arange(-half, half)[None, :]
+            out = {"id": [], "key": [], "t": [], "fake": []}
             for i, (buf, codec) in enumerate(zip(payloads, codecs)):
                 try:
                     hit = pre.get(i)
@@ -131,31 +140,28 @@ def audio_landmarks(
                     continue
                 if pcm is None or len(pcm) == 0 or sr <= 0:
                     continue
-                pcm = resample_linear(np.asarray(pcm, np.float64), int(sr), FP_SR)
+                pcm = resample_linear(
+                    np.asarray(pcm, np.float32), int(sr), FP_SR
+                ).astype(np.float32)
                 if len(pcm) < FP_WIN:
                     continue
                 centers = np.arange(half, len(pcm) - half + 1, hop)
-                if len(centers) < 3:
+                nf = len(centers)
+                if nf < 3:
                     continue
-                w = pcm[centers[:, None] + np.arange(-half, half)[None, :]]
-                mats.append(w)
-                spans.append((i, len(centers), fake))
-            out = {"id": [], "key": [], "t": [], "fake": []}
-            if mats:
-                allw = np.concatenate(mats, axis=0)
-                rms = np.sqrt(np.mean(allw * allw, axis=1))
-                spec = np.abs(np.fft.rfft(allw * win, axis=1)) ** 2
-                dom = (spec @ masks).argmax(axis=1).astype(np.int64)
-                dom[rms < FP_MIN_RMS] = -1
-                pos = 0
-                for i, nf, fake in spans:
-                    bands = dom[pos : pos + nf]
-                    pos += nf
-                    keys, anchors = _event_keys(bands, np.arange(nf, dtype=np.int64))
-                    out["id"].extend([ids[i]] * len(keys))
-                    out["key"].extend(keys.tolist())
-                    out["t"].extend(anchors.tolist())
-                    out["fake"].extend([bool(fake)] * len(keys))
+                dom = np.empty(nf, dtype=np.int64)
+                for s in range(0, nf, 2048):
+                    w = pcm[centers[s : s + 2048, None] + offs]
+                    rms = np.sqrt(np.mean(w * w, axis=1))
+                    spec = np.abs(np.fft.rfft(w * win32, axis=1)) ** 2
+                    d = (spec @ masks).argmax(axis=1).astype(np.int64)
+                    d[rms < FP_MIN_RMS] = -1
+                    dom[s : s + len(d)] = d
+                keys, anchors = _event_keys(dom, np.arange(nf, dtype=np.int64))
+                out["id"].extend([ids[i]] * len(keys))
+                out["key"].extend(keys.tolist())
+                out["t"].extend(anchors.tolist())
+                out["fake"].extend([bool(fake)] * len(keys))
             yield pd.DataFrame({
                 "id": pd.Series(out["id"], dtype=object),
                 "key": pd.Series(out["key"], dtype="int64"),
