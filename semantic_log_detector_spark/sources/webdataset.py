@@ -171,36 +171,57 @@ def write_webdataset(
         raise ValueError(f"webdataset sink needs a local/NFS path, got {path!r}")
     os.makedirs(path, exist_ok=True)
     n_shards = shards or max(df.rdd.getNumPartitions(), 1)
-    cols = [id_col, bytes_col, codec_col] + (
-        [transcript_col] if transcript_col and transcript_col in df.columns else [])
+    has_txt = bool(transcript_col) and transcript_col in df.columns
+    cols = [id_col, bytes_col, codec_col] + ([transcript_col] if has_txt else [])
     d = df.select(*cols).repartition(n_shards, F.xxhash64(id_col))
 
-    def write_part(it):
-        rows = list(it)
-        if not rows:
-            return iter(())
-        # partition index from the task context — names never collide
+    # payloads reach Python through mapInPandas (Arrow batches), not the
+    # pickled-RDD path — at corpus scale the Arrow socket is the only
+    # transfer that keeps up with the tar writer. Rows within one shard
+    # arrive across several Arrow batches; the tar stays open per task and
+    # members are appended in arrival order (hash-routing already fixes
+    # WHICH shard every key lands in, so the layout is deterministic up to
+    # member order, which WebDataset readers do not depend on).
+    def write_part(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         out = os.path.join(path, f"shard-{pid:06d}.tar")
         tmp = out + ".tmp"
-        with tarfile.open(tmp, "w") as tf:
-            for row in sorted(rows, key=lambda r: r[0]):
-                key, buf, codec = row[0], row[1], row[2]
-                if buf is None:
+        tf, wrote = None, False
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
                     continue
-                ext = _CODEC_EXT.get(codec, ".bin")
-                info = tarfile.TarInfo(f"{key}{ext}")
-                info.size = len(buf)
-                tf.addfile(info, io.BytesIO(bytes(buf)))
-                if len(row) > 3 and row[3] is not None:
-                    t = str(row[3]).encode("utf-8")
-                    ti = tarfile.TarInfo(f"{key}.txt")
-                    ti.size = len(t)
-                    tf.addfile(ti, io.BytesIO(t))
-        os.replace(tmp, out)
-        return iter(())
+                if tf is None:
+                    tf = tarfile.open(tmp, "w")
+                for key, buf, codec, txt in zip(
+                    pdf[id_col].astype(str),
+                    pdf[bytes_col],
+                    pdf[codec_col],
+                    pdf[transcript_col] if has_txt else [None] * len(pdf),
+                ):
+                    if buf is None:
+                        continue
+                    wrote = True
+                    ext = _CODEC_EXT.get(codec, ".bin")
+                    info = tarfile.TarInfo(f"{key}{ext}")
+                    info.size = len(buf)
+                    tf.addfile(info, io.BytesIO(bytes(buf)))
+                    if txt is not None:
+                        t = str(txt).encode("utf-8")
+                        ti = tarfile.TarInfo(f"{key}.txt")
+                        ti.size = len(t)
+                        tf.addfile(ti, io.BytesIO(t))
+        finally:
+            if tf is not None:
+                tf.close()
+        if wrote:
+            os.replace(tmp, out)
+        elif os.path.exists(tmp):
+            os.remove(tmp)
+        yield pd.DataFrame({"n": [1 if wrote else 0]})
 
-    d.rdd.mapPartitions(write_part).count()  # one action drives the writes
+    d.mapInPandas(write_part, schema="n int").agg(
+        F.sum("n")).collect()  # one action drives the writes
     return n_shards
