@@ -80,6 +80,9 @@ DC_MAX = 0.1
 # broadband, which refills the high band and masks the evidence — a
 # per-codec floor from the operator is the only honest way to scan ADPCM.
 R_BANDWIDTH = "R066_bandwidth"
+# R067 speech rate: transcript word count vs MEASURED (VAD) speech seconds
+# — the decoded twin of the metadata chars/sec rule (R018). See drift_check.
+R_SPEECH_RATE = "R067_speech_rate"
 HF_FRAC = 0.55
 HF_FLOOR_DB = -32.0
 HF_EXEMPT_CODECS = frozenset({"adpcm_ima"})
@@ -133,8 +136,19 @@ def stats_record_batch(
     dur_tol_rel: float = 0.02,
     strict_codecs: bool = False,
     noise: tuple[float, int] | None = None,
+    speech: bool = False,
 ):
     """Decode + featurize + bin ONE Arrow batch into _STATS_SCHEMA rows.
+
+    ``speech=True`` additionally emits one kind='s' row per honestly-decoded
+    clip carrying its VAD speech time (feature='speech_ms', cnt=ms) — the
+    audio side of the R067 speech-rate check. These are the only per-clip
+    rows that leave the payload stage besides violations: as thin as the
+    uniqueness check's keys, they key-join the transcript table exactly the
+    way the referential check does, so the 10^12-row contract is unchanged.
+    The kernel is the O(n) cumsum VAD (operators/segment.py::speech_ms_fast)
+    — no extra FFT; fake decodes are skipped (synthetic PCM says nothing
+    about real speech).
 
     ``noise=(level, seed)`` injects deterministic per-clip Gaussian noise
     into the decoded PCM at ``level`` × clip RMS before featurization — the
@@ -218,6 +232,19 @@ def stats_record_batch(
                 raise ValueError("non-finite features")
             feats[i] = fv
             ok[i] = True
+            if speech and not fake[i]:
+                from semantic_log_detector_spark.operators.segment import (
+                    speech_ms_fast,
+                )
+
+                o_kind.append("s")
+                o_part.append(int(parts[i]))
+                o_feat.append("speech_ms")
+                o_bin.append(None)
+                o_cnt.append(int(round(speech_ms_fast(pcm, sr))))
+                o_clip.append(clip_ids[i])
+                o_obs.append(None)
+                o_exp.append(None)
             # R066 effective bandwidth: only on honestly-decoded PCM (fake
             # decodes carry synthetic spectra) and outside the exempt
             # codecs whose quantization floor masks the high band
@@ -317,6 +344,7 @@ def decode_stats(
     dur_tol_rel: float = 0.02,
     strict_codecs: bool = False,
     noise: tuple[float, int] | None = None,
+    speech: bool = False,
 ) -> DataFrame:
     """ONE mapInArrow pass over (clip_id, part_id, bytes, codec, sr_hz,
     dur_ms): decode + feature-extract each clip, bin features into fixed
@@ -354,6 +382,7 @@ def decode_stats(
                 batch.column("sr_hz").to_pylist(),
                 batch.column("dur_ms").to_pylist(),
                 specs, n_feat, dur_tol_ms, dur_tol_rel, strict_codecs, noise,
+                speech,
             )
 
     return df.select(*cols).mapInArrow(gen, schema=_STATS_SCHEMA)
@@ -661,9 +690,29 @@ def drift_check(
     pending_parts: list[int] | None = None,
     strict_codecs: bool = False,
     noise: tuple[float, int] | None = None,
+    transcripts: DataFrame | None = None,
+    wps_range: tuple[float, float] = (0.4, 8.0),
+    min_words_fast: int = 3,
+    min_speech_slow_s: float = 2.0,
 ) -> CheckResult:
     """Full drift + decode check. Returns verdicts per (part, rule) for
     R050/R051 (drift) and violations for R060/R061 (decode/duration).
+
+    ``transcripts`` (clip_id, transcript) switches on R067_speech_rate: the
+    decoded-PCM twin of the metadata chars/sec row rule (R018). The decode
+    pass emits each clip's VAD speech time (kind='s' rows, zero extra FFT)
+    and the transcript's whitespace word count — computed JVM-side — must
+    be plausible against it: a transcript with ≥ ``min_words_fast`` words
+    needs speech time ≥ words/max_wps (catches transcripts paired with
+    silence or the wrong clip — metadata rules can't see decoded silence),
+    and ≥ ``min_speech_slow_s`` s of measured speech needs ≥
+    min_wps × speech_s words (catches truncated/empty transcripts under
+    speechy audio). Inner join on clip_id: clips with no transcript row are
+    the referential check's finding, not double-reported here. Bounds are
+    generous (default 0.4–8 wps vs ~2–3 for natural speech) because energy
+    VAD counts any energy as speech (music corpora should widen or disable
+    via SuiteConfig). Both sides of the join are thin per-clip rows — the
+    same scale shape as the referential check.
 
     One heavy pass: ``decode_stats`` reads bytes exactly once and emits only
     tiny rows (histogram partials, sparse violations, row counters), so the
@@ -674,15 +723,16 @@ def drift_check(
     scan, no transformations), the heavy pass runs as the Python-native
     row-group reader (sources/payload_scan.py): payload bytes never cross
     the JVM→worker socket. ``pending_parts`` scopes it for wave resume."""
+    speech = transcripts is not None
     if payload_path is not None:
         from ..sources.payload_scan import payload_stats_scan
 
         stats = payload_stats_scan(
             clips.sparkSession, payload_path, ctx, bins, pending_parts,
-            strict_codecs=strict_codecs, noise=noise)
+            strict_codecs=strict_codecs, noise=noise, speech=speech)
     else:
         stats = decode_stats(clips, ctx, bins, strict_codecs=strict_codecs,
-                             noise=noise)
+                             noise=noise, speech=speech)
     stats.persist()
     try:
         hist = (
@@ -793,8 +843,44 @@ def drift_check(
                 F.col("worst_feature"), F.lit(")"),
             ).alias("explanation"),
         )
+        if speech:
+            min_wps, max_wps = wps_range
+            t = F.trim(F.col("transcript"))
+            words = F.when(
+                F.col("transcript").isNull() | (t == ""), F.lit(0)
+            ).otherwise(F.size(F.split(t, r"\s+")))
+            wc = transcripts.select(F.col("clip_id"), words.alias("words"))
+            sp = stats.filter(F.col("kind") == "s").select(
+                "part_id", "clip_id",
+                (F.col("cnt") / 1000.0).alias("speech_s"))
+            # multiplication forms, not words/speech_s: ANSI mode + no
+            # div-by-zero branch needed for silent clips (speech_s = 0)
+            too_fast = (F.col("words") >= min_words_fast) & (
+                F.col("words") > F.col("speech_s") * max_wps)
+            too_slow = (F.col("speech_s") >= min_speech_slow_s) & (
+                F.col("words") < F.col("speech_s") * min_wps)
+            sr_viols = sp.join(wc, "clip_id").filter(too_fast | too_slow).select(
+                F.lit(ctx.run_id).alias("run_id"),
+                F.col("part_id").cast("int").alias("part_id"),
+                F.lit(R_SPEECH_RATE).alias("rule_id"),
+                "clip_id",
+                F.lit("transcript").alias("column"),
+                F.concat(F.lit("words="), F.col("words"),
+                         F.lit(" speech_s="), F.round("speech_s", 2)).alias("observed"),
+                F.lit(f"{min_wps} <= words/speech_s <= {max_wps}").alias("expected"),
+                F.lit("Medium").alias("severity"),
+                F.when(too_fast, F.lit(
+                    "transcript too wordy for the measured speech time "
+                    "(wrong pairing or hallucinated text)"
+                )).otherwise(F.lit(
+                    "speechy audio with an implausibly short transcript "
+                    "(truncated or mismatched text)"
+                )).alias("explanation"),
+            )
+            viol_rows = viol_rows.unionByName(sr_viols)
         decode_rules = [R_DECODE, R_DURATION, R_CLIPPING, R_SILENCE, R_DC,
-                        R_BANDWIDTH] + ([R_CODEC] if strict_codecs else [])
+                        R_BANDWIDTH] + ([R_CODEC] if strict_codecs else []) \
+            + ([R_SPEECH_RATE] if speech else [])
         decode_verdicts = verdicts_from_violations(
             viol_rows.withColumnRenamed("part_id", ctx.part_col),
             part_counts,

@@ -79,6 +79,43 @@ def _segments_from_mask(mask: np.ndarray, hop_s: float, frame_s: float,
     return out
 
 
+def speech_ms_fast(
+    pcm: np.ndarray,
+    sr: int,
+    threshold_dbfs: float = DEFAULT_THRESHOLD_DBFS,
+    frame_ms: float = FRAME_MS,
+    hop_ms: float = HOP_MS,
+    min_speech_ms: float = 100.0,
+    min_gap_ms: float = 150.0,
+) -> float:
+    """Total VAD speech milliseconds via an O(n) cumulative-sum frame RMS.
+
+    Same framing / threshold / hangover-merge semantics as
+    ``_frame_rms_db`` + ``_segments_from_mask`` (the segmentation kernel),
+    but the per-frame energy comes from ONE cumsum of pcm² instead of the
+    frames × frame window matrix — cheap enough to ride inside the suite's
+    single decode pass (checks/drift.py R067_speech_rate), where the FFT
+    feature extraction already dominates. Segment end times are clamped to
+    the true clip duration, matching ``audio_profile``'s speech_s.
+    """
+    frame = max(int(sr * frame_ms / 1000.0), 1)
+    hop = max(int(sr * hop_ms / 1000.0), 1)
+    x = np.asarray(pcm, dtype=np.float64)
+    dur = len(x) / float(sr) if sr > 0 else 0.0
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    cs = np.concatenate([[0.0], np.cumsum(x * x)])
+    starts = hop * np.arange(n_frames)
+    rms2 = (cs[starts + frame] - cs[starts]) / frame
+    # _frame_rms_db floors amplitude at 1e-10 (−200 dB) → power floor 1e-20
+    db = 10.0 * np.log10(np.maximum(rms2, 1e-20))
+    segs = _segments_from_mask(db >= threshold_dbfs, hop_ms / 1000.0,
+                               frame_ms / 1000.0, min_speech_ms / 1000.0,
+                               min_gap_ms / 1000.0)
+    return 1000.0 * sum(min(t1, dur) - t0 for t0, t1 in segs)
+
+
 def speech_segments(
     df: DataFrame,
     id_col: str = "clip_id",

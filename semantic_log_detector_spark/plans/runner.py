@@ -51,6 +51,13 @@ class SuiteConfig:
     rate_range: tuple[float, float] = (6.5, 26.5)  # R018 chars/sec band
     psi_threshold: float = 0.2
     ks_threshold: float = 0.2
+    # R067 speech rate: transcript words vs VAD-measured speech seconds,
+    # computed inside the drift check's decode pass (needs transcripts).
+    # The decoded twin of the R018 metadata chars/sec rule — catches
+    # transcripts paired with silence or the wrong clip. Bounds are
+    # generous (natural speech ~2-3 wps); widen/disable for music corpora.
+    speech_rate: bool = True
+    wps_range: tuple[float, float] = (0.4, 8.0)
     # strict: clips whose declared codec has no REGISTERED real decoder are
     # violations; lenient (default): fake decodes pass but are counted and
     # reported per partition in the R062 verdict (never silent)
@@ -231,7 +238,12 @@ def run_suite(
                                       strict_codecs=cfg.strict_codecs,
                                       payload_path=clips_path,
                                       pending_parts=(
-                                          pend if len(pend) < cfg.num_parts else None))
+                                          pend if len(pend) < cfg.num_parts else None),
+                                      transcripts=(
+                                          transcripts.filter(tr_part.isin(pend))
+                                          if cfg.speech_rate and transcripts is not None
+                                          else None),
+                                      wps_range=cfg.wps_range)
                 else:
                     raise ValueError(f"unknown check {check!r}")
                 built.append((check, pend, res, time.time() - t0))

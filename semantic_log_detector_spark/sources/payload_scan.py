@@ -165,6 +165,7 @@ def payload_stats_scan(
     batch_rows: int = 1024,
     strict_codecs: bool = False,
     noise: tuple[float, int] | None = None,
+    speech: bool = False,
 ) -> DataFrame:
     """decode_stats-equivalent DataFrame, read Python-side from ``path``.
 
@@ -229,7 +230,7 @@ def payload_stats_scan(
                     yield stats_record_batch(
                         clip_ids, parts, payloads, codecs, decl_sr, decl_dur,
                         specs, n_feat, dur_tol_ms, dur_tol_rel, strict_codecs,
-                        noise,
+                        noise, speech,
                     )
 
     return desc.mapInArrow(gen, schema=_STATS_SCHEMA)
