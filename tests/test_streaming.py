@@ -347,3 +347,57 @@ def test_stream_cut_segments(spark, tmp_path):
         by_src.setdefault(r["src_clip_id"], []).append(r)
     assert len(by_src["rec1"]) == 2 and all(r["ok"] for r in by_src["rec1"])
     assert len(by_src["dead"]) == 1 and not by_src["dead"][0]["ok"]
+
+
+def test_stream_speech_rate_twin(spark, tmp_path):
+    """R067 on a stream: the same thresholds as the batch rule, evaluated
+    against the row's inline transcript in the one-decode kernel. Planted
+    wordy-over-silence and empty-under-speech rows flag; the plausible
+    pair and the fake codec do not."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_log_detector_spark.checks.base import RunContext
+    from semantic_log_detector_spark.checks.drift import R_SPEECH_RATE
+    from semantic_log_detector_spark.functions.audio import encode_wav
+    from semantic_log_detector_spark.streaming.stream_checks import (
+        stream_payload_violations,
+    )
+
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    rng = np.random.default_rng(1)
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    silence = np.zeros(5 * sr, dtype=np.float32)
+    rows = [
+        ("ok", encode_wav(tone, sr), "pcm_s16le", "ten words " * 5),
+        ("fast", encode_wav(tone, sr), "pcm_s16le", "w " * 60),
+        ("sil_txt", encode_wav(silence, sr), "pcm_s16le", "w " * 20),
+        ("empty_txt", encode_wav(tone, sr), "pcm_s16le", None),
+        ("fake", b"\x00" * 300, "opus", "w " * 60),
+    ]
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "transcript"])
+    pdf["sr_hz"] = np.int32(sr)
+    pdf["dur_ms"] = pd.array([None] * len(pdf), dtype="Int32")
+    src = str(tmp_path / "sr_src")
+    spark.createDataFrame(pdf).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "clip_id string, bytes binary, codec string, transcript string,"
+        " sr_hz int, dur_ms int"
+    ).parquet(src)
+    out = stream_payload_violations(
+        stream, RunContext(run_id="s", num_parts=4), wps_range=(0.4, 8.0))
+    q = (
+        out.writeStream.format("memory").queryName("sr_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["clip_id"] for r in spark.sql(
+        f"select * from sr_twin where rule_id = '{R_SPEECH_RATE}'").collect()}
+    assert got == {"fast", "sil_txt", "empty_txt"}
+    # the non-speech rules still flow from the same kernel
+    other = spark.sql(
+        f"select * from sr_twin where rule_id != '{R_SPEECH_RATE}'")
+    assert other.filter("clip_id = 'sil_txt' and rule_id = 'R064_silence'").count() == 1
