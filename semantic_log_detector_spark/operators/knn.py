@@ -253,6 +253,237 @@ def embedding_dup_pairs(
     )
 
 
+# --------------------------------------------------- product quantization
+
+# PQ is the MEMORY-bound scale path the reference's IndexFlatL2 cannot take
+# (`src/detection/vector_db.py:82-109` keeps raw float vectors resident):
+# at 10^12 × 64-d float64 the raw vectors are ~0.5 PB, while m=8 PQ codes
+# are 8 TB — a table a cluster can actually keep hot. The trade is ADC
+# (asymmetric distance computation): exact query-to-centroid tables, coded
+# base side. The Spark shape mirrors FAISS IndexPQ re-expressed
+# declaratively: fit on a bounded sample (centroid quality saturates long
+# before 10^5 points — same argument as ivf_topk's bounded fit), encode as
+# one narrow Arrow-batch map (a persistable BINARY column, m bytes/vector),
+# search as one mapInArrow over the codes with the query distance tables
+# broadcast — the base table NEVER shuffles; only per-batch top-k
+# candidate rows (≤ batches × queries × k) reach the final global rank.
+
+
+def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Deterministic Lloyd's k-means (numpy, driver-side, bounded input).
+
+    Used per PQ subspace instead of m separate pyspark.ml KMeans jobs: the
+    training input is already a driver-side bounded sample, so spinning up
+    m distributed fits would be pure scheduling overhead. Empty clusters
+    re-seed to the point farthest from its centroid (deterministic)."""
+    n = len(x)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = x[rng.choice(n, size=min(k, n), replace=False)].astype(np.float64)
+    if len(cents) < k:  # fewer points than centroids: pad by repeats
+        cents = np.concatenate([cents, cents[: k - len(cents)]])
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c drops ||x||²
+        d = -2.0 * x @ cents.T + (cents * cents).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        err = d[np.arange(n), assign]
+        new = np.zeros_like(cents)
+        counts = np.bincount(assign, minlength=k)
+        np.add.at(new, assign, x)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        if (~nonempty).any():
+            # farthest points, worst-first, one per empty cluster
+            far = np.argsort(-err, kind="stable")
+            new[~nonempty] = x[far[: (~nonempty).sum()]]
+        if np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def pq_fit(
+    base: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    max_train_vectors: int = 100_000,
+    iters: int = 25,
+) -> np.ndarray:
+    """Train PQ codebooks: (m, ksub, dim/m) float64 ndarray.
+
+    The vector dim must divide evenly by ``m``. Training reads at most
+    ``max_train_vectors`` rows (limit — no extra count job, same contract
+    as ivf_topk's bounded fit; pass a pre-sampled frame for an unbiased
+    fit on clustered/sorted bases)."""
+    rows = (
+        base.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(int(max_train_vectors))
+        .toPandas()["v"]
+    )
+    x = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_np(np.ascontiguousarray(x[:, j * dsub:(j + 1) * dsub]),
+                   ksub, seed + j, iters)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(id, pq_code binary) — each vector coded to m bytes (nearest centroid
+    per subspace). One narrow mapInPandas, no shuffle: at corpus scale the
+    code column is computed once and persisted next to the table, then
+    every search runs against codes alone (the raw vectors stay cold)."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks  # closure-captured; a few MB at most
+    cnorm = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if len(x) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], code_col: []})
+                continue
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                xj = x[:, j * dsub:(j + 1) * dsub]
+                d = -2.0 * xj @ cb[j].T + cnorm[j][None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                code_col: [c.tobytes() for c in codes],
+            })
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, {code_col} binary")
+
+
+def pq_topk(
+    queries: DataFrame,
+    base_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    query_id: str = "q_id",
+    base_id: str = "b_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    max_queries: int = 10_000,
+    rerank: int = 0,
+    rerank_base: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: (q_id, b_id, dist, rank), dist = PQ-approximated squared
+    L2, ascending. The query batch is collected and its per-subspace
+    distance tables (Q × m × ksub) broadcast; the coded base is scanned
+    ONCE with no shuffle — each Arrow batch contributes its local top-k
+    per query (ties broken by base id, so the global rank is deterministic
+    and independent of partitioning), and only those candidate rows reach
+    the final window rank. Exact when base vectors lie on the codebook
+    grid (the planted-fixture test); recall-tested on clustered data.
+
+    ADC cannot rank WITHIN a code cell (every vector sharing a code is
+    equidistant — on tightly clustered data the top-k inside a cluster is
+    id-tie-broken, not distance-ranked). ``rerank=R`` with ``rerank_base``
+    (the raw-vector table) applies the standard fix: take the top R ≥ k
+    ADC candidates, fetch ONLY those R×Q raw vectors via a broadcast
+    semi-join of the (tiny) candidate list against the base table — the
+    base side still never shuffles — and exact-rank them. dist is then
+    true squared L2 on the survivors."""
+    m, ksub, dsub = codebooks.shape
+    qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk query side exceeds max_queries={max_queries}; ADC "
+            "broadcasts one m×{ksub} table per query — batch the queries")
+    qids = [r[query_id] for r in qrows]
+    qv = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    # tables[i, j, c] = ||q_i[j] - C[j, c]||²
+    tables = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        xj = qv[:, j * dsub:(j + 1) * dsub]
+        tables[:, j, :] = (
+            (xj * xj).sum(axis=1)[:, None]
+            - 2.0 * xj @ codebooks[j].T
+            + (codebooks[j] * codebooks[j]).sum(axis=1)[None, :]
+        )
+    if rerank and rerank_base is None:
+        raise ValueError("rerank needs rerank_base (the raw-vector table)")
+    keep = max(int(rerank), k) if rerank else k
+    spark = base_codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, tables))
+    jidx = np.arange(m)
+
+    def gen(batches):
+        import pandas as pd
+
+        q_ids, tabs = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8).reshape(n, m)
+            bids = pdf[base_id].to_numpy()
+            out_q, out_b, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                d = tabs[qi][jidx[None, :], codes].sum(axis=1)
+                # deterministic local top-k: (dist, base_id) lexicographic.
+                # +1 slot so the self-match (filtered globally) can never
+                # starve a batch's contribution below keep real candidates.
+                top = np.lexsort((bids, d))[: keep + 1]
+                out_q.extend([qid] * len(top))
+                out_b.extend(bids[top].tolist())
+                out_d.extend(d[top].tolist())
+            yield pd.DataFrame({query_id: out_q, base_id: out_b, "dist": out_d})
+
+    qt = queries.schema[query_id].dataType.simpleString()
+    bt = base_codes.schema[base_id].dataType.simpleString()
+    cand = base_codes.select(base_id, code_col).mapInPandas(
+        gen, schema=f"{query_id} {qt}, {base_id} {bt}, dist double")
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(base_id))
+    ranked = (
+        cand.filter(F.col(query_id) != F.col(base_id))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+    )
+    if rerank:
+        qdf = spark.createDataFrame(
+            [(qid, v.tolist()) for qid, v in zip(qids, qv)],
+            f"{query_id} {qt}, __qv array<double>",
+        )
+        bv = rerank_base.select(
+            F.col(base_id), F.col(vec_col).cast("array<double>").alias("__bv"))
+        # candidate list is ≤ Q × rerank rows — broadcast it so the raw
+        # base table is semi-joined in place, never shuffled
+        exact = (
+            bv.join(F.broadcast(ranked.drop("dist", "rank")), base_id)
+            .join(F.broadcast(qdf), query_id)
+            .withColumn("dist", F.aggregate(
+                F.zip_with("__qv", "__bv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x))
+        )
+        ranked = (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    return ranked.select(
+        query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank")
+
+
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension embedding stats (mean/std/min/max), one pass.
 

@@ -1,0 +1,139 @@
+"""Product quantization: fit / encode / ADC top-k.
+
+Known-answer scheme in the repo's style: when every base vector lies
+exactly ON the codebook grid (each subvector IS a centroid), PQ distance
+equals exact distance, so pq_topk must equal brute-force L2 top-k row for
+row. On clustered Gaussians the recall@k floor is gated. Encoding and
+search are partitioning-invariant (deterministic tie-breaks).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_log_detector_spark.operators.knn import (
+    brute_force_topk,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
+
+DIM, M, KSUB = 16, 4, 16
+DSUB = DIM // M
+
+
+def _grid_corpus(rng, n):
+    """Vectors whose subvectors are drawn FROM a fixed centroid set — PQ
+    reconstruction is exact, so ADC distances are exact distances."""
+    cents = rng.standard_normal((M, KSUB, DSUB))
+    picks = rng.integers(0, KSUB, size=(n, M))
+    vecs = np.concatenate(
+        [cents[j, picks[:, j]] for j in range(M)], axis=1)
+    return cents, vecs
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    rng = np.random.default_rng(11)
+    cents, vecs = _grid_corpus(rng, 400)
+    df = spark.createDataFrame(
+        [(f"v{i:04d}", v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>",
+    ).cache()
+    df.count()
+    yield cents, df
+    df.unpersist()
+
+
+def test_exact_on_codebook_grid(grid):
+    cents, df = grid
+    codes = pq_encode(df, cents)
+    got = pq_topk(
+        df.limit(20).select(F.col("vec_id").alias("q_id"), "embedding"),
+        codes, cents, k=5, base_id="vec_id",
+    ).collect()
+    want = brute_force_topk(
+        df.limit(20).select(F.col("vec_id").alias("q_id"), "embedding"),
+        df, k=5, base_id="vec_id", metric="l2",
+    ).collect()
+    g = {(r["q_id"], r["rank"]): r["vec_id"] for r in got}
+    w = {(r["q_id"], r["rank"]): r["vec_id"] for r in want}
+    assert g == w
+    # and the ADC distance is the true squared L2 (brute force reports
+    # -sqrt(d); check one pair numerically)
+    gd = {(r["q_id"], r["vec_id"]): r["dist"] for r in got}
+    wd = {(r["q_id"], r["vec_id"]): r["score"] for r in want}
+    for key, d in gd.items():
+        assert abs(np.sqrt(max(d, 0.0)) + wd[key]) < 1e-4
+
+
+def test_fit_encode_roundtrip_is_deterministic(grid, spark):
+    _, df = grid
+    cb1 = pq_fit(df, m=M, ksub=8, seed=3)
+    cb2 = pq_fit(df.repartition(7), m=M, ksub=8, seed=3)
+    # limit() over different partitionings can pick different training
+    # prefixes; pin determinism on the SAME frame instead
+    assert np.array_equal(cb1, pq_fit(df, m=M, ksub=8, seed=3))
+    c1 = pq_encode(df, cb1).orderBy("vec_id").collect()
+    c1b = pq_encode(df.repartition(5), cb1).orderBy("vec_id").collect()
+    assert [(r["vec_id"], bytes(r["pq_code"])) for r in c1] == \
+        [(r["vec_id"], bytes(r["pq_code"])) for r in c1b]
+    assert all(len(bytes(r["pq_code"])) == M for r in c1)
+    assert cb2.shape == (M, 8, DSUB)
+
+
+def test_recall_on_clustered_corpus(spark):
+    """20 well-separated Gaussian clusters. Pure ADC cannot rank WITHIN a
+    code cell (cluster-mates share a code), so the honest gates are:
+    (a) ADC top-k stays inside the right cluster, and (b) with exact
+    re-ranking of the top-50 ADC candidates, recall@5 vs brute force is
+    high. Ids encode the cluster (c{cc}_{i}) so (a) is checkable."""
+    rng = np.random.default_rng(5)
+    centers = 10.0 * rng.standard_normal((20, DIM))
+    vecs = np.concatenate([
+        centers[c] + 0.3 * rng.standard_normal((50, DIM)) for c in range(20)
+    ])
+    ids = [f"c{i // 50:02d}_{i % 50:02d}" for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        [(vid, v.tolist()) for vid, v in zip(ids, vecs)],
+        "vec_id string, embedding array<double>",
+    )
+    cb = pq_fit(df, m=M, ksub=32, seed=7)
+    codes = pq_encode(df, cb).cache()
+    q = df.limit(25).select(F.col("vec_id").alias("q_id"), "embedding")
+    adc = pq_topk(q, codes, cb, k=5, base_id="vec_id").collect()
+    same_cluster = np.mean(
+        [r["q_id"][:3] == r["vec_id"][:3] for r in adc])
+    assert same_cluster >= 0.95
+
+    got = pq_topk(q, codes, cb, k=5, base_id="vec_id",
+                  rerank=50, rerank_base=df).collect()
+    want = brute_force_topk(q, df, k=5, base_id="vec_id", metric="l2").collect()
+    g: dict[str, set] = {}
+    for r in got:
+        g.setdefault(r["q_id"], set()).add(r["vec_id"])
+    w: dict[str, set] = {}
+    for r in want:
+        w.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recall = np.mean([len(g[qid] & w[qid]) / len(w[qid]) for qid in w])
+    codes.unpersist()
+    assert recall >= 0.95
+
+
+def test_search_partitioning_invariant(grid):
+    cents, df = grid
+    codes = pq_encode(df, cents)
+    q = df.limit(10).select(F.col("vec_id").alias("q_id"), "embedding")
+    a = pq_topk(q, codes, cents, k=3, base_id="vec_id").collect()
+    b = pq_topk(q, codes.repartition(11), cents, k=3, base_id="vec_id").collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert sorted([tuple(r) for r in a], key=lambda t: (t[0], t[3])) == \
+        sorted([tuple(r) for r in b], key=lambda t: (t[0], t[3]))
+
+
+def test_query_cap_guard(grid, spark):
+    cents, df = grid
+    codes = pq_encode(df, cents)
+    q = df.select(F.col("vec_id").alias("q_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(q, codes, cents, k=3, base_id="vec_id", max_queries=10)
