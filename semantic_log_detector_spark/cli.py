@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--max-waves", type=int, default=None)
     run.add_argument("--checks", default=",".join(SuiteConfig().checks))
     run.add_argument("--config", help="checks.yaml / checks.json (overrides other check flags)")
+    run.add_argument("--incremental", action="store_true",
+                     help="validate only files added to --input since the "
+                          "last run (files ledger + stored drift baseline "
+                          "under --out); --input must be a parquet dir")
     run.add_argument("--quarantine", action="store_true",
                      help="after the suite, write <out>/clean and "
                           "<out>/quarantined corpus views (quarantined rows "
@@ -217,11 +221,29 @@ def main(argv: list[str] | None = None) -> int:
             args.input if args.input and os.path.isdir(args.input)
             and not os.path.isdir(os.path.join(args.input, "metadata")) else None
         )
-        result = run_suite(
-            spark, clips, transcripts, args.out, cfg,
-            input_fingerprint=fingerprint, max_waves=args.max_waves,
-            clips_path=payload_path,
-        )
+        if args.incremental:
+            if not (args.input and os.path.isdir(args.input)):
+                print("--incremental needs --input pointing at a parquet dir")
+                return 2
+            if args.quarantine:
+                print("--incremental and --quarantine don't compose: "
+                      "quarantine the full table from the accumulated "
+                      "violations instead")
+                return 2
+            from .plans.incremental import validate_increment
+
+            n_new, result = validate_increment(
+                spark, args.input, args.out, cfg, transcripts)
+            if result is None:
+                print("no new files since the last increment")
+                return 0
+            print(f"incremental: {n_new} new files")
+        else:
+            result = run_suite(
+                spark, clips, transcripts, args.out, cfg,
+                input_fingerprint=fingerprint, max_waves=args.max_waves,
+                clips_path=payload_path,
+            )
         report = write_report(spark, args.out)
         qmsg = ""
         if args.quarantine:

@@ -119,6 +119,7 @@ def run_suite(
     input_fingerprint: str = "",
     max_waves: int | None = None,
     clips_path: str | None = None,
+    drift_baseline: DataFrame | None = None,
 ) -> RunResult:
     """Execute the configured check suite; everything lands under out_dir:
     verdicts/ violations/ ledger/ report.json. Re-running with the same
@@ -129,7 +130,12 @@ def run_suite(
     the drift check's payload pass runs as the Python-native row-group
     reader (bytes never cross the JVM→worker socket). Only pass it for an
     untransformed scan — filters applied to ``clips`` do NOT reach the
-    raw-file reader."""
+    raw-file reader.
+
+    ``drift_baseline``: a stored (feature, bin, cnt) histogram table for
+    CROSS-RUN drift — each partition is scored against it instead of the
+    run's own global histogram (the self-baseline misses an increment
+    that drifted uniformly; see plans/incremental.py)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     ctx = RunContext(run_id=run_id, num_parts=cfg.num_parts,
                      config_hash=cfg.config_hash())
@@ -236,6 +242,7 @@ def run_suite(
                                       psi_threshold=cfg.psi_threshold,
                                       ks_threshold=cfg.ks_threshold,
                                       strict_codecs=cfg.strict_codecs,
+                                      baseline=drift_baseline,
                                       payload_path=clips_path,
                                       pending_parts=(
                                           pend if len(pend) < cfg.num_parts else None),

@@ -1,0 +1,90 @@
+"""Incremental validation: only new files are validated; a stored
+baseline catches an increment that drifted UNIFORMLY (invisible to the
+suite's per-run self-baseline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_log_detector_spark.plans.incremental import (
+    increment_history,
+    list_data_files,
+    validate_increment,
+)
+from semantic_log_detector_spark.plans.runner import SuiteConfig, run_suite
+
+N_PARTS = 8
+CFG = SuiteConfig(num_parts=N_PARTS, checks=("row_rules", "drift"))
+
+
+def _write_batch(spark, table_dir, n, seed, drift_parts=()):
+    from semantic_log_detector_spark.sources.synth import clips_table
+
+    clips_table(spark, n, seed=seed, num_parts=N_PARTS,
+                drift_parts=drift_parts, with_bytes=True) \
+        .write.mode("append").parquet(table_dir)
+
+
+def test_only_new_files_validated(spark, tmp_path):
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    _write_batch(spark, table, 300, seed=1)
+    n1, res1 = validate_increment(spark, table, out, CFG)
+    assert n1 == len(list_data_files(table)) and res1 is not None
+
+    # no new files → no-op, no new run
+    n0, res0 = validate_increment(spark, table, out, CFG)
+    assert n0 == 0 and res0 is None
+
+    before = set(f for f, _ in list_data_files(table))
+    _write_batch(spark, table, 200, seed=2)
+    added = [f for f, _ in list_data_files(table) if f not in before]
+    n2, res2 = validate_increment(spark, table, out, CFG)
+    assert n2 == len(added) > 0
+
+    # the second run's ledger row counts cover ONLY the new batch's rows
+    ledger = spark.read.parquet(f"{out}/ledger")
+    rows2 = (ledger.filter(F.col("run_id") == res2.run_id)
+             .filter("check_id = 'row_rules'").agg(F.sum("n_rows")).first()[0])
+    assert rows2 == 200
+
+    hist = increment_history(spark, out)
+    assert hist.count() == n1 + n2
+    assert hist.select("run_id").distinct().count() == 2
+
+
+def test_uniform_drift_caught_by_stored_baseline(spark, tmp_path):
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    _write_batch(spark, table, 400, seed=1)  # clean first increment
+    validate_increment(spark, table, out, CFG)
+
+    # second increment: EVERY partition drifted the same way
+    _write_batch(spark, table, 400, seed=2,
+                 drift_parts=tuple(range(N_PARTS)))
+    _, res2 = validate_increment(spark, table, out, CFG)
+
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    failed = (verdicts.filter(F.col("run_id") == res2.run_id)
+              .filter("rule_id = 'R050_drift_psi' AND NOT passed").count())
+    assert failed >= N_PARTS - 1  # cross-run baseline sees the shift
+
+    # the control: the same drifted batch under the suite's SELF-baseline
+    # mostly passes — every partition drifted together, so each roughly
+    # matches the run's own global histogram (a couple of parts can trip
+    # on 50-clip sampling noise). This is the blindness incremental fixes.
+    from semantic_log_detector_spark.sources.synth import clips_table
+
+    drifted = clips_table(spark, 400, seed=2, num_parts=N_PARTS,
+                          drift_parts=tuple(range(N_PARTS)), with_bytes=True)
+    res_self = run_suite(spark, drifted, None, str(tmp_path / "self"),
+                         SuiteConfig(num_parts=N_PARTS, checks=("drift",)))
+    self_failed = (
+        spark.read.parquet(str(tmp_path / "self" / "verdicts"))
+        .filter(F.col("run_id") == res_self.run_id)
+        .filter("rule_id = 'R050_drift_psi' AND NOT passed").count())
+    assert self_failed <= N_PARTS // 2 < failed
+
+
+def test_rejects_remote_uri(spark):
+    with pytest.raises(ValueError, match="local/NFS"):
+        list_data_files("s3://bucket/table")
