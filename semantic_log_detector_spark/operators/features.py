@@ -186,3 +186,62 @@ def apply_cmvn(
             ),
         ),
     )
+
+
+def spec_augment(
+    feats: DataFrame,
+    n_time_masks: int = 2,
+    max_time_frac: float = 0.1,
+    n_freq_masks: int = 2,
+    max_freq_width: int = 4,
+    seed: int = 42,
+    id_col: str = "clip_id",
+    feats_col: str = "feats",
+    out_col: str = "feats_sa",
+) -> DataFrame:
+    """SpecAugment-style time/frequency masking over the frame tensors —
+    the standard ASR training-time regularizer (Park et al. 2019),
+    deterministic so the augmented corpus is reproducible at any
+    parallelism: mask positions come from Philox keyed on
+    xxhash64(clip_id|mask_index) ^ seed, the same device as
+    operators/augment.py. Masked cells are set to 0.0 — the coefficient
+    MEAN after CMVN, so apply spec_augment AFTER apply_cmvn (or accept
+    zero-masking on raw features). Each time mask zeroes a contiguous
+    frame range of width ≤ max_time_frac × n_frames; each frequency mask
+    zeroes a coefficient band of width ≤ max_freq_width across all
+    frames. One Arrow-batch pandas UDF over (id, tensor) — no shuffle, no
+    extra decode; rows whose tensor is NULL (ok=false) pass through NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.sparkhash import xxhash64 as _xx
+
+    n_t, n_f = int(n_time_masks), int(n_freq_masks)
+    tfrac, fwidth = float(max_time_frac), int(max_freq_width)
+    sd = int(seed)
+
+    @pandas_udf("array<array<float>>")
+    def _mask(ids: pd.Series, tensors: pd.Series) -> pd.Series:
+        out = []
+        for cid, t in zip(ids, tensors):
+            if t is None or len(t) == 0:
+                out.append(t)
+                continue
+            x = np.asarray([np.asarray(fr, dtype=np.float32) for fr in t])
+            nf, nc = x.shape
+            key = _xx(f"{cid}|sa".encode("utf-8")) ^ (sd & 0xFFFFFFFF)
+            rng = np.random.Generator(
+                np.random.Philox(key=key & 0x7FFFFFFFFFFFFFFF))
+            max_t = max(int(tfrac * nf), 1)
+            for _ in range(n_t):
+                w = int(rng.integers(1, max_t + 1))
+                t0 = int(rng.integers(0, max(nf - w, 0) + 1))
+                x[t0:t0 + w, :] = 0.0
+            for _ in range(n_f):
+                w = int(rng.integers(1, min(fwidth, nc) + 1))
+                f0 = int(rng.integers(0, max(nc - w, 0) + 1))
+                x[:, f0:f0 + w] = 0.0
+            out.append([fr.tolist() for fr in x])
+        return pd.Series(out)
+
+    return feats.withColumn(out_col, _mask(F.col(id_col), F.col(feats_col)))
