@@ -227,6 +227,39 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
                 .limit(_N_WORST).collect()
             ],
         }
+
+    # incremental runs: the files ledger (plans/incremental.py) rolls up
+    # to one row per increment plus the broken-immutability count — a
+    # ledgered file reappearing with a DIFFERENT size means someone
+    # mutated validated data
+    fl_path = f"{out_dir}/files_ledger"
+    if _has_parquet(fl_path):
+        fl = spark.read.parquet(fl_path)
+        incs = (
+            fl.groupBy("run_id")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("size").alias("bytes"),
+                 F.min("recorded_at").alias("at"))
+            .orderBy("at")
+            .collect()
+        )
+        mutated = (
+            fl.groupBy("file")
+            .agg(F.countDistinct("size").alias("n_sizes"))
+            .filter(F.col("n_sizes") > 1)
+            .count()
+        )
+        report["increments"] = {
+            "n_increments": len(incs),
+            "n_files_total": int(sum(r["n_files"] for r in incs)),
+            "bytes_total": int(sum(r["bytes"] for r in incs)),
+            "mutated_files": int(mutated),
+            "runs": [
+                {"run_id": r["run_id"], "n_files": r["n_files"],
+                 "bytes": int(r["bytes"])}
+                for r in incs
+            ],
+        }
     return report
 
 
@@ -364,6 +397,26 @@ def _md(report: dict) -> str:
             f" {sad['deferred_cross_window']:,} crossing window boundaries"
             " past the watermark",
         ]
+    inc = report.get("increments")
+    if inc:
+        lines += [
+            "",
+            "## 11. Incremental validation",
+            "",
+            f"- increments: **{inc['n_increments']}** covering "
+            f"**{inc['n_files_total']:,}** files "
+            f"({inc['bytes_total']:,} bytes)",
+        ]
+        if inc["mutated_files"]:
+            lines.append(
+                f"- **BROKEN IMMUTABILITY: {inc['mutated_files']} file(s) "
+                "re-appeared with a different size** — validated data was "
+                "mutated in place; their earlier verdicts no longer "
+                "describe the current bytes"
+            )
+        lines += ["", "| run_id | files | bytes |", "|---|---|---|"]
+        for r in inc["runs"]:
+            lines.append(f"| {r['run_id']} | {r['n_files']} | {r['bytes']:,} |")
     # observations — the reference report always closes with findings
     lines += ["", "## Observations", ""]
     failed_rules = [r for r in report["rules"] if r["passed"] < r["partitions"]]

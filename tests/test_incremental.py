@@ -88,3 +88,44 @@ def test_uniform_drift_caught_by_stored_baseline(spark, tmp_path):
 def test_rejects_remote_uri(spark):
     with pytest.raises(ValueError, match="local/NFS"):
         list_data_files("s3://bucket/table")
+
+
+def test_report_renders_increments_and_mutation_finding(spark, tmp_path):
+    import os
+
+    from semantic_log_detector_spark.plans.report import write_report
+
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    cfg = SuiteConfig(num_parts=N_PARTS, checks=("row_rules",))
+    _write_batch(spark, table, 150, seed=1)
+    validate_increment(spark, table, out, cfg)
+    _write_batch(spark, table, 100, seed=2)
+    validate_increment(spark, table, out, cfg)
+
+    rep = write_report(spark, out)
+    assert rep["increments"]["n_increments"] == 2
+    assert rep["increments"]["mutated_files"] == 0
+    md = open(os.path.join(out, "report.md")).read()
+    assert "Incremental validation" in md and "BROKEN IMMUTABILITY" not in md
+
+    # mutate one already-validated file in place (overwrite with another
+    # valid part file of a different size) — the next increment
+    # revalidates it and the report flags the broken immutability
+    import shutil
+
+    files = list_data_files(table)
+    victim = files[0][0]
+    donor = next(p for p, s in files[1:] if s != files[0][1])
+    shutil.copyfile(donor, victim)
+    # drop Hadoop's local-FS .crc sidecar for the mutated file (an object
+    # store has none; here it would mask the mutation with its own error)
+    crc = os.path.join(os.path.dirname(victim),
+                       "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    n3, _ = validate_increment(spark, table, out, cfg)
+    assert n3 >= 1
+    rep2 = write_report(spark, out)
+    assert rep2["increments"]["mutated_files"] >= 1
+    assert "BROKEN IMMUTABILITY" in open(os.path.join(out, "report.md")).read()
