@@ -204,7 +204,9 @@ def spec_augment(
     deterministic so the augmented corpus is reproducible at any
     parallelism: mask positions come from Philox keyed on
     xxhash64(clip_id|mask_index) ^ seed, the same device as
-    operators/augment.py. Masked cells are set to 0.0 — the coefficient
+    operators/augment.py. (Grafts the reference's seeded feature
+    perturbation seam, src/ids/robustness.py:44-65, onto the feature
+    tensors as a training-time transform rather than an eval probe.) Masked cells are set to 0.0 — the coefficient
     MEAN after CMVN, so apply spec_augment AFTER apply_cmvn (or accept
     zero-masking on raw features). Each time mask zeroes a contiguous
     frame range of width ≤ max_time_frac × n_frames; each frequency mask

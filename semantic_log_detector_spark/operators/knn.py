@@ -484,6 +484,209 @@ def pq_topk(
         query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank")
 
 
+# ------------------------------------------------------------------ IVF-PQ
+
+# The composed production index (FAISS IndexIVFPQ re-expressed): coarse
+# KMeans cells prune WHICH codes a query reads (IVF), residual PQ codes
+# bound WHAT each read costs (m bytes + one LUT gather per vector). The
+# residual trick — encode x − centroid[cell], not x — is what makes a
+# shared codebook work across cells: residuals live in one small ball
+# around the origin regardless of which cell the vector sits in.
+
+
+def ivfpq_fit(
+    base: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    max_train_vectors: int = 100_000,
+    iters: int = 25,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids (n_cells, dim), codebooks (m, ksub, dim/m)) trained on a
+    bounded sample — one collect, same contract as pq_fit/ivf_topk: cell
+    and codebook quality saturate long before 10^5 points. Codebooks are
+    fit on cell RESIDUALS (shared across cells, FAISS-style)."""
+    rows = (
+        base.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(int(max_train_vectors))
+        .toPandas()["v"]
+    )
+    x = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    cents = _kmeans_np(x, n_cells, seed, iters)
+    d = -2.0 * x @ cents.T + (cents * cents).sum(axis=1)[None, :]
+    resid = x - cents[d.argmin(axis=1)]
+    dsub = dim // m
+    books = np.stack([
+        _kmeans_np(np.ascontiguousarray(resid[:, j * dsub:(j + 1) * dsub]),
+                   ksub, seed + 1 + j, iters)
+        for j in range(m)
+    ])
+    return cents, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell int, pq_code binary): nearest coarse cell + m-byte PQ code
+    of the residual. One narrow mapInPandas, no shuffle — persist this
+    next to the table (and, at corpus scale, cluster/bucket the persisted
+    codes BY cell so partial probes prune at the file level)."""
+    m, ksub, dsub = codebooks.shape
+    cents, cb = centroids, codebooks
+    cn = (cents * cents).sum(axis=1)
+    bn = (cb * cb).sum(axis=2)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if len(x) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "cell": [], "pq_code": []})
+                continue
+            cell = (-2.0 * x @ cents.T + cn[None, :]).argmin(axis=1)
+            r = x - cents[cell]
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                rj = r[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = (-2.0 * rj @ cb[j].T + bn[j][None, :]).argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cell": cell.astype("int32"),
+                "pq_code": [c.tobytes() for c in codes],
+            })
+
+    out_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {out_t}, cell int, pq_code binary")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    base_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "q_id",
+    base_id: str = "b_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    rerank: int = 0,
+    rerank_base: DataFrame | None = None,
+) -> DataFrame:
+    """(q_id, b_id, dist, rank): each query probes its ``nprobe`` nearest
+    cells; within a probed cell the PQ-approximated distance is
+    ||q − centroid[cell]||-style ADC over the residual codes — the LUT for
+    (query, cell) is built from q − centroid[cell], so distances are exact
+    whenever residuals lie on the codebook grid. The codes table is
+    scanned once with NO shuffle (cells a batch doesn't hold cost one mask
+    each); per-batch deterministic top-k per query, global window rank.
+    ``nprobe == n_cells`` degrades to pq_topk-quality over the full base —
+    the correctness crosscheck. ``rerank``/``rerank_base`` as in pq_topk.
+    """
+    m, ksub, dsub = codebooks.shape
+    n_cells = len(centroids)
+    nprobe = min(int(nprobe), n_cells)
+    qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk query side exceeds max_queries={max_queries}")
+    qids = [r[query_id] for r in qrows]
+    qv = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    qc = -2.0 * qv @ centroids.T + (centroids * centroids).sum(axis=1)[None, :]
+    # deterministic nprobe cells per query (stable sort: ties by cell idx)
+    probe = np.argsort(qc, axis=1, kind="stable")[:, :nprobe]
+    # LUT per (query, probed cell): ||(q − cent[c])_j − R[j, code]||²
+    bn = (codebooks * codebooks).sum(axis=2)
+    luts: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            r = qv[qi] - centroids[c]
+            t = np.empty((m, ksub))
+            for j in range(m):
+                rj = r[j * dsub:(j + 1) * dsub]
+                t[j] = (rj @ rj) - 2.0 * codebooks[j] @ rj + bn[j]
+            luts.setdefault(int(c), []).append((qi, t))
+    spark = base_codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, luts))
+    jidx = np.arange(m)
+    keep = max(int(rerank), k) if rerank else k
+    if rerank and rerank_base is None:
+        raise ValueError("rerank needs rerank_base (the raw-vector table)")
+
+    def gen(batches):
+        import pandas as pd
+
+        q_ids, tabs = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8).reshape(n, m)
+            cells = pdf["cell"].to_numpy()
+            bids = pdf[base_id].to_numpy()
+            out_q, out_b, out_d = [], [], []
+            for c in np.unique(cells):
+                hits = tabs.get(int(c))
+                if not hits:
+                    continue
+                sel = cells == c
+                sub_codes, sub_bids = codes[sel], bids[sel]
+                for qi, t in hits:
+                    d = t[jidx[None, :], sub_codes].sum(axis=1)
+                    top = np.lexsort((sub_bids, d))[: keep + 1]
+                    out_q.extend([q_ids[qi]] * len(top))
+                    out_b.extend(sub_bids[top].tolist())
+                    out_d.extend(d[top].tolist())
+            yield pd.DataFrame({query_id: out_q, base_id: out_b, "dist": out_d})
+
+    qt = queries.schema[query_id].dataType.simpleString()
+    bt = base_codes.schema[base_id].dataType.simpleString()
+    cand = base_codes.select(base_id, "cell", "pq_code").mapInPandas(
+        gen, schema=f"{query_id} {qt}, {base_id} {bt}, dist double")
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(base_id))
+    ranked = (
+        cand.filter(F.col(query_id) != F.col(base_id))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+    )
+    if rerank:
+        qdf = spark.createDataFrame(
+            [(qid, v.tolist()) for qid, v in zip(qids, qv)],
+            f"{query_id} {qt}, __qv array<double>",
+        )
+        bv = rerank_base.select(
+            F.col(base_id), F.col(vec_col).cast("array<double>").alias("__bv"))
+        exact = (
+            bv.join(F.broadcast(ranked.drop("dist", "rank")), base_id)
+            .join(F.broadcast(qdf), query_id)
+            .withColumn("dist", F.aggregate(
+                F.zip_with("__qv", "__bv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x))
+        )
+        ranked = (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    else:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank")
+
+
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension embedding stats (mean/std/min/max), one pass.
 

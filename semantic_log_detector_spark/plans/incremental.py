@@ -22,6 +22,13 @@ Immutability contract: a ledger file whose SIZE changed is treated as new
 (re-validated, recorded again) — mutation of validated files is itself a
 pipeline defect, surfaced via `increment_history`, never silently
 ignored.
+
+Reference parity: extends the reference's cache short-circuit (stage 1
+loads pre-processed splits instead of recomputing when they exist,
+`src/ids/data_loader.py:355-362`) from per-run memoization to an
+append-only corpus contract, and its stored-drift-baseline advice
+(`outputs/reports/final_report.md:144-148`) to a persisted cross-run
+histogram.
 """
 
 from __future__ import annotations
@@ -57,12 +64,24 @@ def list_data_files(table_dir: str) -> list[tuple[str, int]]:
     return sorted(out)
 
 
-def _ledgered_files(spark: SparkSession, path: str) -> dict[str, int]:
+def _new_files(
+    spark: SparkSession, files: list[tuple[str, int]], ledger_path: str
+) -> list[tuple[str, int]]:
+    """Files not yet ledgered at their current size, via a Spark left-anti
+    join — the driver never holds the ledger (corpus-sized after years of
+    increments); it holds only the listing and the increment, which is
+    small by definition on every call after the first. At real scale the
+    os.walk listing itself is replaced by the table catalog's snapshot
+    diff (Iceberg manifests); the ledger/baseline contract is unchanged."""
     try:
-        rows = spark.read.parquet(path).select("file", "size").collect()
+        led = spark.read.parquet(ledger_path).select("file", "size")
     except Exception:
-        return {}
-    return {r["file"]: r["size"] for r in rows}
+        return files
+    listing = spark.createDataFrame(files, "file string, size long")
+    return [
+        (r["file"], r["size"])
+        for r in listing.join(led, ["file", "size"], "left_anti").collect()
+    ]
 
 
 def validate_increment(
@@ -85,8 +104,7 @@ def validate_increment(
     distribution rather than its own. ``transcripts`` should cover at
     least the new clips' ids; extra rows cost one filtered join."""
     files = list_data_files(table_dir)
-    seen = _ledgered_files(spark, f"{out_dir}/{_FILES_LEDGER}")
-    new = [(p, s) for p, s in files if seen.get(p) != s]
+    new = sorted(_new_files(spark, files, f"{out_dir}/{_FILES_LEDGER}"))
     if not new:
         return 0, None
 

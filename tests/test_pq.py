@@ -137,3 +137,102 @@ def test_query_cap_guard(grid, spark):
     q = df.select(F.col("vec_id").alias("q_id"), "embedding")
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(q, codes, cents, k=3, base_id="vec_id", max_queries=10)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+
+@pytest.fixture(scope="module")
+def ivfpq_grid(spark):
+    """Vectors = cell_centroid + residual drawn FROM the residual
+    codebooks, with cells far apart vs residual size — so (a) every vector
+    assigns to its intended cell and (b) residual PQ reconstruction is
+    exact, making full-probe IVF-PQ distances EXACT."""
+    from semantic_log_detector_spark.operators.knn import _kmeans_np  # noqa: F401
+
+    rng = np.random.default_rng(21)
+    n_cells = 6
+    cents = 50.0 * rng.standard_normal((n_cells, DIM))
+    books = 0.5 * rng.standard_normal((M, KSUB, DSUB))
+    cell_pick = rng.integers(0, n_cells, size=500)
+    code_pick = rng.integers(0, KSUB, size=(500, M))
+    resid = np.concatenate(
+        [books[j, code_pick[:, j]] for j in range(M)], axis=1)
+    vecs = cents[cell_pick] + resid
+    df = spark.createDataFrame(
+        [(f"v{i:04d}", v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>",
+    ).cache()
+    df.count()
+    yield cents, books, df
+    df.unpersist()
+
+
+def test_ivfpq_full_probe_exact_on_grid(ivfpq_grid):
+    from semantic_log_detector_spark.operators.knn import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents, books, df = ivfpq_grid
+    codes = ivfpq_encode(df, cents, books, id_col="vec_id")
+    q = df.limit(15).select(F.col("vec_id").alias("q_id"), "embedding")
+    got = ivfpq_topk(q, codes, cents, books, k=5, nprobe=len(cents),
+                     base_id="vec_id").collect()
+    want = brute_force_topk(q, df, k=5, base_id="vec_id", metric="l2").collect()
+    g = {(r["q_id"], r["rank"]): r["vec_id"] for r in got}
+    w = {(r["q_id"], r["rank"]): r["vec_id"] for r in want}
+    assert g == w
+
+
+def test_ivfpq_partial_probe_and_fit(spark):
+    """Trained end-to-end on clustered data: nprobe=2 of 8 cells plus
+    exact re-rank recovers brute-force top-5 on nearly every query (a
+    query's true neighbors share its cluster ⇒ its nearest cell)."""
+    from semantic_log_detector_spark.operators.knn import (
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = 20.0 * rng.standard_normal((8, DIM))
+    vecs = np.concatenate([
+        centers[c] + 0.4 * rng.standard_normal((60, DIM)) for c in range(8)
+    ])
+    df = spark.createDataFrame(
+        [(f"v{i:04d}", v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>",
+    ).cache()
+    df.count()
+    cents, books = ivfpq_fit(df, n_cells=8, m=M, ksub=32, seed=5)
+    codes = ivfpq_encode(df, cents, books, id_col="vec_id").cache()
+    q = df.limit(20).select(F.col("vec_id").alias("q_id"), "embedding")
+    got = ivfpq_topk(q, codes, cents, books, k=5, nprobe=2,
+                     base_id="vec_id", rerank=40, rerank_base=df).collect()
+    want = brute_force_topk(q, df, k=5, base_id="vec_id", metric="l2").collect()
+    g: dict[str, set] = {}
+    for r in got:
+        g.setdefault(r["q_id"], set()).add(r["vec_id"])
+    w: dict[str, set] = {}
+    for r in want:
+        w.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recall = np.mean([len(g[qid] & w[qid]) / len(w[qid]) for qid in w])
+    codes.unpersist()
+    df.unpersist()
+    assert recall >= 0.9
+
+
+def test_ivfpq_partitioning_invariant(ivfpq_grid):
+    from semantic_log_detector_spark.operators.knn import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents, books, df = ivfpq_grid
+    codes = ivfpq_encode(df, cents, books, id_col="vec_id")
+    q = df.limit(8).select(F.col("vec_id").alias("q_id"), "embedding")
+    a = ivfpq_topk(q, codes, cents, books, k=3, nprobe=2, base_id="vec_id").collect()
+    b = ivfpq_topk(q, codes.repartition(13), cents, books, k=3, nprobe=2,
+                   base_id="vec_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
