@@ -124,3 +124,54 @@ def test_referential_check_scan_prunes_payload(spark, tmp_path):
     for ln in plan_of(res.verdicts).splitlines():
         if "ReadSchema" in ln:
             assert "bytes" not in ln, ln
+
+
+def test_pq_search_base_never_shuffles(spark):
+    """pq_topk: the coded base flows scan → mapInPandas with NO Exchange
+    before it; the only shuffle is the tiny candidate window, and the
+    rerank path broadcasts the candidate list against the raw table."""
+    import numpy as np
+
+    from semantic_log_detector_spark.operators.knn import (
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = np.random.default_rng(0).standard_normal((8, 16, 8))
+    codes = pq_encode(emb, cb, id_col="vec_id")
+    import re
+
+    q = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = plan_of(pq_topk(q, codes, cb, k=3, base_id="vec_id"))
+    assert "MapInPandas" in plan
+    # exactly ONE shuffle in the whole plan — the window rank over the
+    # tiny candidate set; the base side reached the ADC kernel unshuffled
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    rr = pq_topk(q, codes, cb, k=3, base_id="vec_id",
+                 rerank=10, rerank_base=emb)
+    rplan = plan_of(rr)
+    assert "BroadcastHashJoin" in rplan and "CartesianProduct" not in rplan
+
+
+def test_ivfpq_search_base_never_shuffles(spark):
+    import numpy as np
+
+    from semantic_log_detector_spark.operators.knn import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rng = np.random.default_rng(1)
+    cents = rng.standard_normal((4, 64))
+    books = rng.standard_normal((8, 16, 8))
+    codes = ivfpq_encode(emb, cents, books, id_col="vec_id")
+    import re
+
+    q = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = plan_of(ivfpq_topk(q, codes, cents, books, k=3, nprobe=2,
+                              base_id="vec_id"))
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
