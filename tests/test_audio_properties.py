@@ -83,3 +83,45 @@ def test_mel_filterbank_shape_and_coverage(sr, n_fft, n_mels):
     assert (fb >= 0).all() and np.isfinite(fb).all()
     # every filter has some mass — no dead mel band at any rate/size combo
     assert (fb.sum(axis=1) > 0).all()
+
+
+@st.composite
+def _bursty_pcm(draw, min_len=256, max_len=48_000):
+    """Signals with silence/burst structure — the case VAD disagreement
+    would show up in (uniform noise is trivially all-speech)."""
+    n = draw(st.integers(min_len, max_len))
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    x = np.zeros(n, dtype=np.float64)
+    for _ in range(draw(st.integers(0, 4))):
+        a = draw(st.integers(0, max(n - 2, 1)))
+        b = draw(st.integers(a + 1, n))
+        x[a:b] = draw(st.floats(0.001, 0.9)) * rng.standard_normal(b - a)
+    return x
+
+
+@settings(max_examples=40, deadline=None)
+@given(pcm=_bursty_pcm(), sr=_sr)
+def test_cumsum_vad_matches_matrix_kernel(pcm, sr):
+    """speech_ms_fast (O(n) cumsum, rides the suite decode pass) must
+    agree with the segmentation kernel (_frame_rms_db window matrix +
+    _segments_from_mask) on ANY signal — same framing, same threshold,
+    same hangover merge. Tolerance one hop: the only legitimate
+    difference is float associativity flipping a frame that sits exactly
+    ON the threshold."""
+    from semantic_log_detector_spark.operators.segment import (
+        DEFAULT_THRESHOLD_DBFS,
+        FRAME_MS,
+        HOP_MS,
+        _frame_rms_db,
+        _segments_from_mask,
+        speech_ms_fast,
+    )
+
+    db = _frame_rms_db(pcm, sr, FRAME_MS, HOP_MS)
+    segs = _segments_from_mask(db >= DEFAULT_THRESHOLD_DBFS,
+                               HOP_MS / 1000.0, FRAME_MS / 1000.0, 0.1, 0.15)
+    dur = len(pcm) / sr
+    want = 1000.0 * sum(min(t1, dur) - t0 for t0, t1 in segs)
+    got = speech_ms_fast(pcm, sr)
+    assert abs(got - want) <= HOP_MS + 1e-6
