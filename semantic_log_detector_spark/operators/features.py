@@ -247,3 +247,35 @@ def spec_augment(
         return pd.Series(out)
 
     return feats.withColumn(out_col, _mask(F.col(id_col), F.col(feats_col)))
+
+
+def audio_embedding(
+    feats: DataFrame,
+    eps: float = 1e-8,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(clip_id, embedding array<double>) — a fixed-size acoustic vector
+    per clip: per-coefficient mean ++ std over the frames, derived
+    PURELY from the partials `extract_features` already carries
+    (f_sum / f_sumsq / n_frames), so the frame tensors are never touched
+    and the math is whole-stage-codegen JVM column work. This is the
+    bridge from the feature pass to the similarity-search rungs: feed the
+    result to brute_force_topk / lsh / ivf / pq for "find clips that
+    SOUND like this one" at corpus scale — content-level retrieval where
+    the acoustic-dedup fingerprint answers only near-exact duplication.
+    Cross-codec stable AT A GIVEN SAMPLE RATE: the same recording through
+    any real codec lands within quantization noise of the same vector.
+    The mel filterbank is rate-dependent, so clips at different rates
+    embed in different spaces — resample on ingest, or use the
+    rate-invariant acoustic-dedup fingerprint for cross-rate matching.
+    Rows with ok=false are dropped (no feature evidence to embed)."""
+    n = F.col("n_frames").cast("double")
+    mean = F.transform("f_sum", lambda s: s / n)
+    var = F.zip_with(
+        "f_sumsq", mean,
+        lambda ss, m: F.greatest(ss / n - m * m, F.lit(0.0)))
+    return feats.filter(F.col("ok") & (F.col("n_frames") > 0)).select(
+        "clip_id",
+        F.concat(mean, F.transform(var, lambda v: F.sqrt(v + eps)))
+        .cast("array<double>").alias(out_col),
+    )

@@ -65,3 +65,61 @@ def test_deterministic_and_partitioning_invariant(tensors):
 def test_null_tensor_passes_through(tensors):
     got = spec_augment(tensors).filter(~F.col("ok")).collect()
     assert len(got) == 1 and got[0]["feats_sa"] is None
+
+
+def test_audio_embedding_retrieves_cross_codec_twin(spark):
+    """audio_embedding (mean++std MFCC from the feature-pass partials)
+    composed with brute_force_topk: each clip's nearest neighbour is its
+    same-content re-encode through a DIFFERENT codec, across 8 distinct
+    melodies. Also pins the JVM-side partial math against numpy."""
+    import numpy as np
+
+    from semantic_log_detector_spark.functions.adpcm import encode_adpcm
+    from semantic_log_detector_spark.functions.audio import encode_wav, mfcc
+    from semantic_log_detector_spark.functions.flac import encode_flac
+    from semantic_log_detector_spark.operators.features import (
+        audio_embedding,
+        extract_features,
+    )
+    from semantic_log_detector_spark.operators.knn import brute_force_topk
+
+    sr = 16000
+    rng = np.random.default_rng(4)
+    rows = []
+    pcms = {}
+    for mel in range(8):
+        # well-separated spectra: distinct fundamental + inharmonic stack
+        f0 = 220.0 + 55.0 * mel
+        freqs = f0 * np.array([1.0, 1.93, 2.71, 3.77])
+        t = np.arange(2 * sr) / sr
+        pcm = sum(0.15 * np.sin(2 * np.pi * f * t) for f in freqs)
+        pcm = (pcm + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        pcms[mel] = pcm
+        for codec, enc in (("pcm_s16le", encode_wav),
+                           ("flac", encode_flac),
+                           ("adpcm_ima", encode_adpcm)):
+            rows.append((f"m{mel}_{codec}", enc(pcm, sr), codec, sr, None))
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int, dur_ms int")
+    feats = extract_features(clips)
+    emb = audio_embedding(feats).cache()
+
+    # partial-math check: one clip's embedding equals the numpy kernel
+    # (reference decodes the WAV so int16 quantization matches the engine)
+    from semantic_log_detector_spark.functions.audio import decode_wav
+
+    got = {r["clip_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    dec, _ = decode_wav(encode_wav(pcms[0], sr))
+    m = mfcc(np.asarray(dec, np.float64), sr)
+    want = np.concatenate([m.mean(axis=0),
+                           np.sqrt(m.var(axis=0) + 1e-8)])
+    assert np.allclose(got["m0_pcm_s16le"], want, atol=1e-6)
+
+    q = emb.select(F.col("clip_id").alias("q_id"), "embedding")
+    top1 = brute_force_topk(q, emb, k=1, base_id="clip_id").collect()
+    emb.unpersist()
+    assert len(top1) == 24
+    for r in top1:
+        # nearest neighbour shares the melody, different codec
+        assert r["q_id"].split("_")[0] == r["clip_id"].split("_")[0]
+        assert r["q_id"] != r["clip_id"]
