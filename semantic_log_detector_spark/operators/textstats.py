@@ -203,3 +203,107 @@ def repetition_stats(
             F.coalesce("top_gram", F.lit("")).alias("top_gram"),
         )
     )
+
+
+def train_bigram_lm(df, text_col: str = "text"):
+    """Corpus bigram language model for perplexity filtering (the
+    CCNet/Gopher-style quality signal the heuristic `quality_score`
+    cannot provide: it scores word ORDER against the corpus, so shuffled
+    or machine-mangled text stands out even when its character stats look
+    fine). Returns (bigrams, unigrams, vocab_size):
+
+      bigrams  (w1, w2, n12)  — every adjacent token pair's count
+      unigrams (w1, n1)       — token totals (context AND continuation)
+      stats                   — {"vocab_size": V, "total_tokens": N}
+
+    Two partial-aggregated groupBys over the exploded pairs — shuffle
+    keyed on the gram, never a driver-side structure; a 10^12-doc
+    vocabulary is just a big groupBy (same scale shape as
+    `token_frequencies`). stats is one small two-value agg action at
+    train time (training is one-time; scoring runs job-free against the
+    returned tables)."""
+    pairs = df.select(
+        F.explode(token_ngrams(F.col(text_col), 2)).alias("gram")
+    ).select(
+        F.split("gram", " ")[0].alias("w1"),
+        F.split("gram", " ")[1].alias("w2"),
+    )
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    unigrams = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    )
+    tot = unigrams.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("n1").alias("n")).first()
+    stats = {"vocab_size": int(tot["v"]), "total_tokens": int(tot["n"] or 0)}
+    return bigrams, unigrams, stats
+
+
+def lm_perplexity(
+    df,
+    bigrams,
+    unigrams,
+    stats: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    k: float = 1.0,
+):
+    """(id, n_bigrams, avg_logp, ppl) per document: interpolated
+    (Jelinek–Mercer) bigram perplexity against a `train_bigram_lm` model —
+
+      P(w2|w1) = λ·(n12/n1) + (1−λ)·(n(w2)+k)/(N+k·V)
+
+    Lower ppl = more corpus-like. Interpolation, not plain add-k: add-k
+    alone penalizes a SEEN context's unseen continuation by its full
+    context mass, ranking scrambled in-vocabulary text below pure OOV
+    junk; the unigram back-off term restores the intuitive order
+    (in-distribution < scrambled < OOV — the gated test).
+
+    Three hash equi-joins of the doc-bigram table against the model
+    (on (w1,w2), on w1, on w2; AQE broadcasts the model side when small),
+    then a partial-aggregated per-doc mean — nothing driver-side, no
+    UDFs. Documents with fewer than two tokens keep their row with NULL
+    scores (no silent drops)."""
+    v, n_tot = float(stats["vocab_size"]), float(stats["total_tokens"])
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(token_ngrams(F.col(text_col), 2)).alias("gram"),
+    ).select(
+        "id",
+        F.split("gram", " ")[0].alias("w1"),
+        F.split("gram", " ")[1].alias("w2"),
+    )
+    uni2 = unigrams.select(F.col("w1").alias("w2"), F.col("n1").alias("n2"))
+    big_p = F.when(
+        F.coalesce(F.col("n1"), F.lit(0)) > 0,
+        F.coalesce(F.col("n12").cast("double"), F.lit(0.0)) / F.col("n1"),
+    ).otherwise(F.lit(0.0))
+    uni_p = (F.coalesce(F.col("n2").cast("double"), F.lit(0.0)) + k) / (
+        n_tot + k * v)
+    j = (
+        e.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .join(uni2, ["w2"], "left")
+        .select(
+            "id",
+            F.when(
+                F.col("w1").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.log(lam * big_p + (1.0 - lam) * uni_p)
+            ).alias("logp"),
+        )
+    )
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("logp").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logp"),
+            F.exp(-F.avg("logp")).alias("ppl"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_bigrams",
+            (F.round("avg_logp", 6) + 0.0).alias("avg_logp"),
+            (F.round("ppl", 6) + 0.0).alias("ppl"),
+        )
+    )
