@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
                           "containing >= --min-containment of any benchmark "
                           "doc's shingles are removed (decontamination)")
     cur.add_argument("--min-containment", type=float, default=0.8)
+    cur.add_argument("--max-ppl", type=float, default=None,
+                     help="drop docs whose corpus bigram-LM perplexity "
+                          "exceeds this (word-order quality gate)")
     cur.add_argument("--cc-max-iters", type=int, default=25,
                      help="connected-components round cap (pointer jumping: "
                           "handles cluster diameter up to ~2^N)")
@@ -332,6 +335,7 @@ def _run_curate(args) -> int:
             jaccard_threshold=args.jaccard_threshold,
             exact_pairs=args.exact_pairs,
             cc_max_iters=args.cc_max_iters,
+            max_ppl=args.max_ppl,
             drop_stats=drop_stats,
             artifacts=artifacts,
         )

@@ -38,6 +38,8 @@ def curate_documents(
     exact_pairs: bool = False,
     max_df: int | None = 1000,
     cc_max_iters: int = 25,
+    max_ppl: float | None = None,
+    lm_lambda: float = 0.75,
     drop_stats: dict | None = None,
     artifacts: dict | None = None,
 ) -> DataFrame:
@@ -45,7 +47,12 @@ def curate_documents(
 
     Keeps documents that (a) are the canonical representative of their
     near-duplicate cluster (or belong to no cluster), (b) match ``langs``
-    (empty tuple = keep all), and (c) score ≥ ``min_quality``.
+    (empty tuple = keep all), (c) score ≥ ``min_quality``, and — when
+    ``max_ppl`` is set — (d) have interpolated bigram-LM perplexity
+    ≤ ``max_ppl`` against a model trained on THIS corpus
+    (textstats.train_bigram_lm): the word-order quality gate that catches
+    scrambled/boilerplate-mangled text the character heuristics pass.
+    Docs too short to score (no bigrams) are NOT dropped by the ppl gate.
 
     ``exact_pairs=True`` builds the pair graph with the exact inverted-
     index operator (verification baseline, small corpora); the default
@@ -80,7 +87,19 @@ def curate_documents(
     kept = stats.join(non_canonical, "id", "left_anti")
     if langs:
         kept = kept.filter(F.col("lang_guess").isin(*langs))
-    return kept.filter(F.col("quality") >= min_quality)
+    kept = kept.filter(F.col("quality") >= min_quality)
+    if max_ppl is not None:
+        from .textstats import lm_perplexity, train_bigram_lm
+
+        bigrams, unigrams, lm_stats = train_bigram_lm(df, text_col)
+        too_perplexed = (
+            lm_perplexity(df, bigrams, unigrams, lm_stats,
+                          text_col=text_col, id_col=id_col, lam=lm_lambda)
+            .filter(F.col("ppl") > max_ppl)
+            .select(F.col(id_col).alias("id"))
+        )
+        kept = kept.join(too_perplexed, "id", "left_anti")
+    return kept
 
 
 def curation_summary(kept: DataFrame) -> DataFrame:

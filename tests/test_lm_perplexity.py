@@ -74,3 +74,30 @@ def test_short_docs_keep_rows_with_null_scores(spark, lm):
     assert set(rows) == {1, 2, 3}
     assert all(r["n_bigrams"] == 0 and r["ppl"] is None
                for r in rows.values())
+
+
+def test_curation_ppl_gate(spark):
+    """curate_documents(max_ppl=...) drops the scrambled doc and keeps
+    the clean twins (ppl ~2.5 vs ~14.5); unscoreable docs survive."""
+    from pyspark.sql import functions as F
+
+    from semantic_log_detector_spark.operators.curate import curate_documents
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, base + f" extra{i}") for i in range(20)]
+    rows.append((900, "rug the and mat dog the on sat sat cat on the the"))
+    rows.append((901, "word"))  # unscoreable: no bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept_ids = {
+        r["id"] for r in curate_documents(
+            docs, langs=(), min_quality=0.0, max_ppl=8.0).collect()
+    }
+    no_gate = {
+        r["id"] for r in curate_documents(
+            docs, langs=(), min_quality=0.0).collect()
+    }
+    assert 900 in no_gate
+    assert 900 not in kept_ids          # scrambled order gated out
+    assert 901 in kept_ids              # unscoreable short doc survives
+    assert len(kept_ids) >= len(no_gate) - 2
