@@ -2060,3 +2060,105 @@ def _lsh_topk_oracle() -> str:
           FROM scored)
         WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------------------ extras
+# Local-gate oracle extensions BEYOND the driver's 50-slot registry cap.
+# The driver reads queries()/oracle_sql() only (capped at 50 recorded rows,
+# CORRECTNESS_r03); these extras run under the SAME comparison protocol in
+# tests/oracle_harness.py + tests/test_entry_oracle.py so new operators stay
+# machine-checked against DuckDB without destabilizing the driver registry.
+
+
+def _xq01_anomaly_explain(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference-parity anomaly scoring + explanations (anomaly_scorer.py:
+    38-84 + explanation_engine.py:23-107): kNN mean L2 distance vs a
+    percentile-fit baseline, severity buckets, top-3 neighbors, keyword
+    recommendations. Scored slice = vec_id < 50, baseline = the rest."""
+    from semantic_log_detector_spark.checks.anomaly import anomaly_explain
+
+    emb = _t(spark, sf, "embeddings")
+    docs = _t(spark, sf, "documents").selectExpr("doc_id as vec_id", "text")
+    scored = emb.filter(F.col("vec_id") < 50).join(docs, "vec_id", "left")
+    baseline = emb.filter(F.col("vec_id") >= 50)
+    return anomaly_explain(scored, baseline, k=5, text_col="text").orderBy("id")
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "xq01_anomaly_explain": _xq01_anomaly_explain,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {
+        "xq01_anomaly_explain": """
+            WITH bl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+            sc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+            bl_rank AS (
+              SELECT q_id, dist FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+                       round(list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY round(list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) ASC,
+                                                   b.vec_id ASC) AS rnk
+                FROM bl q JOIN bl b ON q.vec_id != b.vec_id)
+              WHERE rnk <= 5),
+            fit AS (
+              SELECT quantile_cont(md, 0.95) AS threshold, avg(md) AS base_mean,
+                     stddev_pop(md) AS base_std
+              FROM (SELECT q_id, avg(dist) AS md FROM bl_rank GROUP BY q_id)),
+            sc_rank AS (
+              SELECT q_id, b_id, dist, rnk FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+                       round(list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY round(list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) ASC,
+                                                   b.vec_id ASC) AS rnk
+                FROM sc q JOIN bl b ON q.vec_id != b.vec_id)
+              WHERE rnk <= 5),
+            sc_means AS (
+              SELECT q_id, avg(dist) AS mean_distance,
+                     string_agg(CASE WHEN rnk <= 3 THEN b_id::VARCHAR END, ';' ORDER BY rnk) AS top_neighbors,
+                     min(CASE WHEN rnk = 1 THEN dist END) AS nn_distance
+              FROM sc_rank GROUP BY q_id),
+            sev AS (
+              SELECT m.q_id AS id, m.mean_distance, m.top_neighbors, m.nn_distance,
+                     least(m.mean_distance / (2 * f.threshold), 1.0) AS score_raw,
+                     m.mean_distance > f.threshold AS is_anomaly,
+                     least(abs(m.mean_distance - f.base_mean) / greatest(f.base_std, 0.01) / 3, 1.0) AS conf_raw,
+                     CASE WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 0.3 THEN 'Low'
+                          WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 0.6 THEN 'Medium'
+                          WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 0.8 THEN 'High'
+                          ELSE 'Critical' END AS severity,
+                     CASE WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 0.3 THEN 'This log shows minor deviation from normal patterns.'
+                          WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 0.6 THEN 'This log shows moderate deviation from established patterns.'
+                          WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 0.8 THEN 'This log shows significant deviation that warrants investigation.'
+                          WHEN least(m.mean_distance / (2 * f.threshold), 1.0) < 1.0 THEN 'This log is highly anomalous and requires immediate attention.'
+                          ELSE 'Extremely anomalous pattern detected.' END AS sev_desc
+              FROM sc_means m CROSS JOIN fit f),
+            txt AS (SELECT doc_id AS id, lower(coalesce(text, '')) AS t
+                    FROM documents WHERE doc_id < 50)
+            SELECT s.id, round(s.mean_distance, 6) AS mean_distance,
+                   round(score_raw, 6) AS anomaly_score, is_anomaly,
+                   round(conf_raw, 6) AS confidence, severity,
+                   severity || ' severity anomaly detected. ' || sev_desc AS summary,
+                   top_neighbors, round(nn_distance, 6) AS nn_distance,
+                   (CASE WHEN severity IN ('Critical', 'High')
+                         THEN 'Investigate this log immediately|Check related system components|Review recent changes in the affected service'
+                         WHEN severity = 'Medium'
+                         THEN 'Monitor for recurring patterns|Add to watchlist for future occurrences'
+                         ELSE 'Continue monitoring; no immediate action required' END)
+                   || (CASE WHEN coalesce(t, '') LIKE '%error%' OR coalesce(t, '') LIKE '%fail%'
+                            THEN '|Check error handling and recovery mechanisms' ELSE '' END)
+                   || (CASE WHEN coalesce(t, '') LIKE '%timeout%'
+                            THEN '|Review network connectivity and service dependencies' ELSE '' END)
+                   || (CASE WHEN coalesce(t, '') LIKE '%memory%' OR coalesce(t, '') LIKE '%cpu%'
+                            THEN '|Monitor resource utilization trends' ELSE '' END)
+                   || (CASE WHEN coalesce(t, '') LIKE '%auth%' OR coalesce(t, '') LIKE '%login%'
+                            THEN '|Review authentication logs for security concerns' ELSE '' END)
+                   AS recommendations
+            FROM sev s LEFT JOIN txt ON s.id = txt.id
+            ORDER BY s.id
+        """,
+    }

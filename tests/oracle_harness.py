@@ -39,8 +39,13 @@ def _canon(df) -> list[tuple]:
 def compare(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, str]:
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # local-gate extras: oracled queries beyond the driver's 50-slot cap
+    # run under the exact same comparison protocol here
+    if hasattr(entrymod, "extra_queries"):
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
