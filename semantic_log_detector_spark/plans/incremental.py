@@ -91,6 +91,7 @@ def validate_increment(
     cfg: SuiteConfig = SuiteConfig(),
     transcripts: DataFrame | None = None,
     write_baseline: bool = True,
+    sketches: bool = True,
 ) -> tuple[int, RunResult | None]:
     """Validate the files of ``table_dir`` not yet in the files ledger.
 
@@ -142,6 +143,15 @@ def validate_increment(
             .coalesce(1)
             .write.mode("overwrite").parquet(baseline_path)
         )
+
+    if sketches:
+        # one payload-free agg over the increment: mergeable HLL/KLL
+        # sketches so corpus-lifetime distincts/quantiles and the R090
+        # duplicate-feed overlap check never rescan old increments
+        # (plans/sketch_state.py)
+        from .sketch_state import write_increment_sketches
+
+        write_increment_sketches(spark, clips, out_dir, res.run_id)
 
     # record the increment's files LAST: a crash before this line leaves
     # the files unrecorded and the next call revalidates them — the run
