@@ -1,0 +1,133 @@
+"""Data-layout maintenance: Z-order clustering for multi-column scan
+pruning.
+
+At 100 TB the dominant cost of every downstream job is the scan, and the
+scan's cost is set by LAYOUT, not by the query: parquet readers skip whole
+files/row-groups whose min/max statistics exclude the predicate, but
+min/max stats only help if the writer clustered the data. Sorting by one
+column prunes that column and destroys every other; Z-ordering interleaves
+the bits of k columns so each output file covers a small hyperrectangle of
+the key space — point/range predicates on ANY of the k columns prune to a
+small fraction of files (the classic Delta/Iceberg OPTIMIZE ZORDER BY
+maintenance job, rebuilt here from first principles on plain parquet).
+
+Mechanics (all JVM expressions, whole-stage codegen, no UDFs):
+1. one agg pass computes each cluster column's min/max;
+2. each value is scaled to a ``bits``-wide integer rank
+   ``floor((v - min) / (max - min) * (2^bits - 1))``;
+3. bits are interleaved into a single long
+   ``z = Σ_i Σ_b ((v_i >> b) & 1) << (b*k + i)`` (k*bits ≤ 63);
+4. ``repartitionByRange(n_files, z).sortWithinPartitions(z)`` writes
+   files that tile the space-filling curve.
+
+Caveats, stated rather than hidden: min/max scaling assumes roughly
+uniform value spread — a heavily skewed column wastes rank bits on empty
+range (pruning degrades toward unclustered, never below it); string
+columns are not range-meaningful and are rejected. ``pruning_stats``
+measures the real effect from the written footers so the benefit is a
+number, not a hope.
+
+Reference parity: the reference has no layout story at all (single-box
+pandas; `src/ids/data_loader.py:292-294` writes one parquet per split) —
+this is the piece a 10^12-row corpus cannot live without.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERICISH = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "date", "timestamp", "long")
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int | None = None) -> Column:
+    """The interleaved-bit Z-value over ``cols`` as a Column expression.
+
+    ``bits`` per column defaults to ``min(16, 63 // k)``. Requires the
+    min/max agg pass (one job over just those columns — column-pruned
+    scan). NULLs rank 0 (cluster together at the curve's origin)."""
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder needs at least one column")
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if not any(t.startswith(p) for p in _NUMERICISH):
+            raise ValueError(
+                f"zorder column {c!r} has non-range-meaningful type {t!r}; "
+                "cluster on numeric/date/timestamp columns")
+    bits = bits or min(16, 63 // k)
+    if bits * k > 63:
+        raise ValueError(f"bits*k = {bits * k} exceeds a long's 63 value bits")
+
+    # one pass: min/max per cluster column (column-pruned scan)
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_min_{c}"), F.max(v).alias(f"_max_{c}")]
+    mm = df.agg(*aggs).collect()[0]
+
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = mm[f"_min_{c}"], mm[f"_max_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            continue  # constant/all-null column contributes nothing
+        v = F.col(c).cast("double")
+        rank = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top)))
+        rank = F.coalesce(
+            F.least(F.greatest(rank, F.lit(0)), F.lit(top)), F.lit(0)
+        ).cast("long")
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * k + i)
+    return z
+
+
+def cluster_zorder(
+    df: DataFrame, cols: list[str], out_dir: str,
+    n_files: int = 64, bits: int | None = None,
+) -> None:
+    """Rewrite ``df`` to ``out_dir`` as ``n_files`` Z-ordered parquet files.
+
+    Range partitioning on the Z-value gives each file a contiguous curve
+    segment (a compact key-space tile); the within-file sort tightens
+    row-group min/max too. One shuffle; content is byte-identical rows,
+    only placement changes."""
+    z = zorder_column(df, cols, bits=bits)
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(out_dir))
+
+
+def pruning_stats(out_dir: str, col: str, lo, hi) -> dict:
+    """Measured pruning: the fraction of files a min/max reader scans for
+    ``col BETWEEN lo AND hi``, from the written parquet footers (pyarrow,
+    no Spark job). Returns {'files': N, 'scanned': M, 'fraction': M/N}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    scanned = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                cm = md.row_group(rg).column(ci)
+                if cm.path_in_schema == col and cm.statistics is not None:
+                    s = cm.statistics
+                    if s.has_min_max:
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+        # unknown stats → must scan (the conservative reader contract)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            scanned += 1
+    return {"files": len(files), "scanned": scanned,
+            "fraction": scanned / max(len(files), 1)}

@@ -22,17 +22,21 @@ from .table import read_table
 # (extensionless, trailing /, dotted directory names like db.db) is
 # treated as a table directory and resolved by the storage seam
 _FOREIGN_EXTS = (
-    ".txt", ".log", ".tsv", ".dat", ".avro", ".orc", ".xml",
+    ".txt", ".log", ".tsv", ".dat", ".avro", ".xml",
     ".gz", ".bz2", ".zst", ".zip", ".arrow", ".feather",
 )
 
 
 def read_file(spark: SparkSession, path: str) -> DataFrame:
-    """Load ``path`` by extension: .csv / .json / .jsonl / .parquet or a
-    table directory. ValueError on an unsupported extension."""
+    """Load ``path`` by extension: .csv / .json / .jsonl / .orc /
+    .parquet or a table directory. ValueError on an unsupported
+    extension."""
     lower = path.lower()
     if lower.endswith(".csv"):
         return spark.read.csv(path, header=True, inferSchema=True)
+    if lower.endswith(".orc"):
+        # native columnar reader — same pushdown/pruning as parquet
+        return spark.read.orc(path)
     if lower.endswith((".json", ".jsonl")):
         df = spark.read.json(path)
         if df.columns in ([], ["_corrupt_record"]):

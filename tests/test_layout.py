@@ -1,0 +1,93 @@
+"""Z-order layout: multi-column file pruning measured from real footers."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_log_detector_spark.plans.layout import (
+    cluster_zorder,
+    pruning_stats,
+    zorder_column,
+)
+
+N = 40_000
+N_FILES = 32
+
+
+def _table(spark):
+    """Two independent, roughly uniform columns (decorrelated via
+    multiplicative hashing) — the case single-column sort cannot serve."""
+    return spark.range(N).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 100_000).alias("a"),
+        (F.col("id") * 40503 % 100_000).alias("b"),
+    )
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("layout")
+    plain, zed = str(root / "plain"), str(root / "zorder")
+    df = _table(spark)
+    # unclustered baseline: hash-scattered files (the default lake layout)
+    df.repartition(N_FILES).write.mode("overwrite").parquet(plain)
+    cluster_zorder(df, ["a", "b"], zed, n_files=N_FILES)
+    yield plain, zed
+    shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_zorder_preserves_content(spark, layouts):
+    plain, zed = layouts
+    fp = lambda d: spark.read.parquet(d).agg(  # noqa: E731
+        F.bit_xor(F.xxhash64("id", "a", "b")).alias("x"),
+        F.count("*").alias("n")).collect()[0]
+    assert fp(plain) == fp(zed)
+
+
+def test_zorder_prunes_both_columns(spark, layouts):
+    plain, zed = layouts
+    # a 2%-selectivity range on EACH column: the unclustered layout scans
+    # ~every file; the z-ordered layout scans a small tile band
+    for col in ("a", "b"):
+        p = pruning_stats(plain, col, 40_000, 42_000)
+        z = pruning_stats(zed, col, 40_000, 42_000)
+        assert p["fraction"] >= 0.9, (col, p)
+        assert z["fraction"] <= 0.5, (col, z)
+        assert z["scanned"] < p["scanned"]
+
+
+def test_zorder_query_results_identical(spark, layouts):
+    plain, zed = layouts
+    q = lambda d: (spark.read.parquet(d)  # noqa: E731
+                   .filter("a between 40000 and 42000")
+                   .agg(F.sum("id"), F.count("*")).collect())
+    assert q(plain) == q(zed)
+
+
+def test_zorder_rejects_string_columns(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("s"))
+    with pytest.raises(ValueError, match="non-range-meaningful"):
+        zorder_column(df, ["s"])
+
+
+def test_zorder_constant_column_is_harmless(spark, tmp_path):
+    out = str(tmp_path / "const")
+    df = spark.range(1000).select(
+        F.col("id"), F.lit(7).alias("c"),
+        (F.col("id") * 2654435761 % 1000).alias("a"))
+    cluster_zorder(df, ["c", "a"], out, n_files=8)
+    st = pruning_stats(out, "a", 100, 120)
+    assert st["files"] == 8 and st["fraction"] <= 0.5
+
+
+def test_orc_dispatch_roundtrip(spark, tmp_path):
+    from semantic_log_detector_spark.sources.files import read_file
+
+    p = str(tmp_path / "t.orc")
+    spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k")) \
+        .write.mode("overwrite").orc(p)
+    got = read_file(spark, p)
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).collect()[0][0] == \
+        sum(i % 7 for i in range(100))
