@@ -58,6 +58,33 @@ def calibrate(seconds: float = 5.0,
     return out
 
 
+def mem_bandwidth(seconds: float = 1.5, nproc: int = 8) -> float:
+    """Aggregate streaming-copy bandwidth in GB/s across ``nproc``
+    processes (DRAM-sized buffers, far beyond LLC). The decode burn in
+    ``calibrate`` is cache-resident compute and cannot see a contended
+    memory bus, so suite walls should be interpreted against BOTH
+    numbers. Calm-host reference on this VM: ~85 GB/s aggregate."""
+    from multiprocessing import Pool
+
+    with Pool(nproc) as pool:
+        rates = pool.starmap(_bw_one, [(seconds,)] * nproc)
+    return round(sum(rates), 2)
+
+
+def _bw_one(seconds: float) -> float:
+    import numpy as np
+
+    src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)  # 64 MiB
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # untimed first-touch: page-fault/zeroing of dst
+    # stalls the first copy ~100x (observed 0.06 vs 20 GB/s) — not DRAM
+    t0, moved = time.time(), 0
+    while time.time() - t0 < seconds:
+        np.copyto(dst, src)
+        moved += src.nbytes * 2  # read + write
+    return moved / (time.time() - t0) / 1e9
+
+
 def _burn_one(seconds: float) -> int:
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     import numpy as np

@@ -98,8 +98,13 @@ def main() -> None:
     # this field lets any recorded wall be interpreted against the host
     # state that produced it.
     from BENCH.scaling import calibrate as _hw_calibrate
+    from BENCH.scaling import mem_bandwidth as _hw_bw
 
     cal = _hw_calibrate(seconds=2.0, levels=(1, 32))
+    # memory-bus state too: the decode burn is cache-resident compute and
+    # reads calm even when a co-tenant saturates DRAM, so record both.
+    # Calm-host reference ~85 GB/s aggregate at 8 procs on this VM.
+    bw = _hw_bw()
 
     from semantic_log_detector_spark.session import get_spark
 
@@ -352,6 +357,7 @@ def main() -> None:
         "clips_per_sec": round(n_clips / suite_wall, 1),
         "cpus": cpus,
         "hw_calibration_clips_per_sec": {str(k): v for k, v in cal.items()},
+        "hw_mem_bandwidth_gbps": bw,
     }))
     spark.stop()
 
