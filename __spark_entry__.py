@@ -2084,9 +2084,21 @@ def _xq01_anomaly_explain(spark: SparkSession, sf: str) -> DataFrame:
     return anomaly_explain(scored, baseline, k=5, text_col="text").orderBy("id")
 
 
+def _xq02_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language vocabulary drift over `documents`: PSI of each lang's
+    md5-hashed token-bucket distribution against the whole corpus
+    (operators/textstats.py::vocab_psi — the text twin of the audio drift
+    check; same smoothing/rounding conventions as the oracled q27)."""
+    from semantic_log_detector_spark.operators.textstats import vocab_psi
+
+    return vocab_psi(_t(spark, sf, "documents"), text_col="text",
+                     group_col="lang", n_buckets=64)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "xq01_anomaly_explain": _xq01_anomaly_explain,
+        "xq02_vocab_drift": _xq02_vocab_drift,
     }
 
 
@@ -2160,5 +2172,35 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS recommendations
             FROM sev s LEFT JOIN txt ON s.id = txt.id
             ORDER BY s.id
+        """,
+        "xq02_vocab_drift": """
+            WITH tk AS (
+              SELECT lang AS grp, tok
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(tok)
+              WHERE tok <> ''),
+            cnt AS (
+              SELECT grp,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+                     count(*) AS c
+              FROM tk GROUP BY 1, 2),
+            grid AS (
+              SELECT g.grp, r.range AS bucket
+              FROM (SELECT DISTINCT grp FROM cnt) g, range(64) r),
+            j AS (
+              SELECT grid.grp, grid.bucket, coalesce(cnt.c, 0) AS c
+              FROM grid LEFT JOIN cnt
+                ON grid.grp = cnt.grp AND grid.bucket = cnt.bucket),
+            bt AS (SELECT bucket, sum(c) AS cb FROM j GROUP BY 1),
+            gt AS (SELECT grp, sum(c) AS tg FROM j GROUP BY 1),
+            tot AS (SELECT sum(c) AS tt FROM j)
+            SELECT j.grp AS lang, max(gt.tg)::BIGINT AS n_tokens,
+                   round(sum(((j.c + 0.5) / (gt.tg + 32.0)
+                              - (bt.cb + 0.5) / (tot.tt + 32.0))
+                         * ln(((j.c + 0.5) / (gt.tg + 32.0))
+                              / ((bt.cb + 0.5) / (tot.tt + 32.0)))), 6)
+                   AS vocab_psi
+            FROM j JOIN bt USING (bucket) JOIN gt USING (grp), tot
+            GROUP BY j.grp ORDER BY lang
         """,
     }

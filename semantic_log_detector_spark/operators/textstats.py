@@ -146,6 +146,66 @@ def token_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def vocab_psi(
+    df,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_buckets: int = 64,
+    smooth: float = 0.5,
+):
+    """Per-group VOCABULARY drift: PSI of each group's hashed-token
+    distribution against the whole corpus.
+
+    The audio drift check scores acoustic features; this is its text
+    twin — a feed that silently switched domain, language mix, or
+    tokenizer normalization shifts its token distribution long before any
+    metadata stat moves. Tokens hash into ``n_buckets`` md5 buckets
+    (feature hashing: fixed-width histograms regardless of vocabulary
+    size, mergeable across runs exactly like the drift check's fixed
+    bins), then PSI per group vs the corpus with the same 0.5-count
+    smoothing as checks/drift.py.
+
+    Returns (group, n_tokens, vocab_psi) sorted by group. Scale: the
+    explode + groupBy(group, bucket) partial-aggregates map-side to at
+    most groups × n_buckets rows per task — the only shuffle is those
+    tiny partials; everything after is arithmetic on a groups × buckets
+    frame. Same PSI conventions as the oracled q27 (grid densify so empty
+    buckets receive smoothing mass; round 6)."""
+    from .dedup import tokens
+
+    spark = df.sparkSession
+    t = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).alias("bucket")
+    counts = t.select("grp", bucket).groupBy("grp", "bucket") \
+        .agg(F.count(F.lit(1)).alias("c"))
+    grid = counts.select("grp").distinct().crossJoin(
+        spark.range(n_buckets).select(F.col("id").alias("bucket")))
+    j = grid.join(counts, ["grp", "bucket"], "left").fillna(0, subset=["c"])
+    bt = j.groupBy("bucket").agg(F.sum("c").alias("cb"))
+    gt = j.groupBy("grp").agg(F.sum("c").alias("tg"))
+    tot = j.agg(F.sum("c").alias("tt"))
+    jj = (j.join(bt, "bucket").join(gt, "grp")
+           .crossJoin(F.broadcast(tot)))
+    p = (F.col("c") + smooth) / (F.col("tg") + smooth * n_buckets)
+    q = (F.col("cb") + smooth) / (F.col("tt") + smooth * n_buckets)
+    return (
+        jj.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("tg").alias("n_tokens"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("vocab_psi"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def token_ngrams(col: Column, n: int = 2) -> Column:
     """NON-distinct token n-grams (every occurrence, unlike
     ``dedup.token_shingles``) — repetition analysis needs multiplicity.
