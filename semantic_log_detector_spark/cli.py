@@ -140,6 +140,32 @@ def main(argv: list[str] | None = None) -> int:
         elif name == "wds-export":
             p.add_argument("--shards", type=int, default=None)
 
+    opt = sub.add_parser(
+        "optimize",
+        help="layout maintenance: compact small files, or Z-order cluster "
+             "for multi-column scan pruning (plans/layout.py)",
+    )
+    opt.add_argument("--input", required=True, help="clips parquet path")
+    opt.add_argument("--out", required=True,
+                     help="rewritten table path (never in place)")
+    opt.add_argument("--zorder", default=None,
+                     help="comma list of numeric columns to cluster by; "
+                          "omit for plain compaction")
+    opt.add_argument("--target-mb", type=int, default=256,
+                     help="target output file size")
+    opt.add_argument("--master", default=None)
+
+    sk = sub.add_parser(
+        "sketch-rollup",
+        help="corpus-lifetime stats + R090 duplicate-feed overlap from the "
+             "incremental sketch state (plans/sketch_state.py)",
+    )
+    sk.add_argument("--out", required=True,
+                    help="incremental run --out dir holding sketch_state")
+    sk.add_argument("--threshold", type=float, default=0.5,
+                    help="R090 overlap_ratio threshold")
+    sk.add_argument("--master", default=None)
+
     dc = sub.add_parser(
         "datacard",
         help="corpus datasheet: counts, codec mix, duration/speech/loudness "
@@ -150,6 +176,60 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "optimize":
+        import math
+        import os
+
+        from .plans.layout import cluster_zorder, compact_files
+
+        spark, owned = _session(args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            if args.zorder:
+                total = sum(
+                    os.path.getsize(os.path.join(r, n))
+                    for r, _, ns in os.walk(args.input) for n in ns
+                    if n.endswith(".parquet") and not n.startswith(("_", ".")))
+                n_files = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
+                cluster_zorder(spark.read.parquet(args.input),
+                               args.zorder.split(","), args.out,
+                               n_files=n_files)
+                print(f"z-ordered by [{args.zorder}] into {n_files} files "
+                      f"-> {args.out}")
+            else:
+                st = compact_files(spark, args.input, args.out,
+                                   target_mb=args.target_mb)
+                print(f"compacted {st['files_before']} files "
+                      f"({st['bytes_before'] >> 20} MiB) -> "
+                      f"{st['files_after']} files -> {args.out}")
+            return 0
+        finally:
+            if owned:
+                spark.stop()
+
+    if args.cmd == "sketch-rollup":
+        from .plans.sketch_state import corpus_rollup, feed_overlap
+
+        spark, owned = _session(args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            r = corpus_rollup(spark, args.out).collect()[0]
+            print(f"increments={r['n_increments']} rows={r['total_rows']} "
+                  f"distinct_ids~{int(r['distinct_clip_ids'])} "
+                  f"dup_ratio={r['duplicate_ratio']:.4f} "
+                  f"dur_ms p50/p95/p99={r['dur_ms_p50']}/{r['dur_ms_p95']}"
+                  f"/{r['dur_ms_p99']}")
+            flagged = 0
+            for o in feed_overlap(spark, args.out, args.threshold).collect():
+                mark = "ok" if o["passed"] else "R090 DUPLICATE-FEED"
+                flagged += 0 if o["passed"] else 1
+                print(f"  {o['run_id']}  rows={o['n_rows']} "
+                      f"overlap={o['overlap_ratio']:.3f}  {mark}")
+            return 1 if flagged else 0
+        finally:
+            if owned:
+                spark.stop()
 
     if args.cmd == "datacard":
         from .plans.datacard import write_datacard

@@ -102,6 +102,49 @@ def cluster_zorder(
        .write.mode("overwrite").parquet(out_dir))
 
 
+def compact_files(
+    spark, table_dir: str, out_dir: str,
+    target_mb: int = 256, sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a small-file-fragmented table into ~``target_mb`` files.
+
+    The other half of lake maintenance: streaming/incremental writers leave
+    thousands of KB-sized files whose per-file open/footer/seek overhead
+    dominates scans and whose listing bloats planning. One repartition to
+    ``ceil(total_bytes / target)`` output files; pass ``sort_cols`` to
+    re-sort within files (restoring row-group min/max tightness — a plain
+    repartition scatters any prior clustering, stated not hidden). Writes
+    to ``out_dir``, never in place (the lake's immutable-file contract —
+    swap the directory reference after verifying). Returns before/after
+    file counts and sizes."""
+    import math
+    import os
+
+    def _listing(d):
+        out = []
+        for root, _, names in os.walk(d):
+            out += [os.path.getsize(os.path.join(root, n)) for n in names
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))]
+        return out
+
+    before = _listing(table_dir)
+    total = sum(before)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(table_dir)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols) \
+               .sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_dir)
+    after = _listing(out_dir)
+    return {
+        "files_before": len(before), "files_after": len(after),
+        "bytes_before": total, "bytes_after": sum(after),
+        "target_files": n_out,
+    }
+
+
 def pruning_stats(out_dir: str, col: str, lo, hi) -> dict:
     """Measured pruning: the fraction of files a min/max reader scans for
     ``col BETWEEN lo AND hi``, from the written parquet footers (pyarrow,

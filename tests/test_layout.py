@@ -81,6 +81,51 @@ def test_zorder_constant_column_is_harmless(spark, tmp_path):
     assert st["files"] == 8 and st["fraction"] <= 0.5
 
 
+def test_compact_files(spark, tmp_path):
+    from semantic_log_detector_spark.plans.layout import compact_files
+
+    src, out = str(tmp_path / "frag"), str(tmp_path / "compact")
+    # a fragmented table: 64 tiny files
+    _table(spark).repartition(64).write.mode("overwrite").parquet(src)
+    st = compact_files(spark, src, out, target_mb=256)
+    assert st["files_before"] == 64
+    assert st["files_after"] < 8  # tiny table → one-ish target-sized file
+    fp = lambda d: spark.read.parquet(d).agg(  # noqa: E731
+        F.bit_xor(F.xxhash64("id", "a", "b")), F.count("*")).collect()
+    assert fp(src) == fp(out)
+
+
+def test_cli_optimize_and_sketch_rollup(spark, tmp_path, capsys):
+    from semantic_log_detector_spark.cli import main
+    from semantic_log_detector_spark.plans.sketch_state import (
+        write_increment_sketches,
+    )
+
+    src = str(tmp_path / "clisrc")
+    _table(spark).repartition(16).write.mode("overwrite").parquet(src)
+    assert main(["optimize", "--input", src,
+                 "--out", str(tmp_path / "cliout")]) == 0
+    assert "compacted 16 files" in capsys.readouterr().out
+    assert main(["optimize", "--input", src, "--zorder", "a,b",
+                 "--out", str(tmp_path / "clized")]) == 0
+    assert "z-ordered by [a,b]" in capsys.readouterr().out
+    z = pruning_stats(str(tmp_path / "clized"), "a", 40_000, 42_000)
+    assert z["files"] >= 1
+
+    # sketch-rollup: clean pair of increments → exit 0; re-delivery → 1
+    out = str(tmp_path / "skout")
+    clips = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "concat('id', id) clip_id", "'t' transcript",
+        "cast(2000 as int) dur_ms", "cast(16000 as int) sr_hz")
+    write_increment_sketches(spark, clips(0, 2000), out, "r1")
+    write_increment_sketches(spark, clips(2000, 3000), out, "r2")
+    assert main(["sketch-rollup", "--out", out]) == 0
+    assert "dup_ratio" in capsys.readouterr().out
+    write_increment_sketches(spark, clips(0, 2000), out, "r3")
+    assert main(["sketch-rollup", "--out", out]) == 1
+    assert "R090 DUPLICATE-FEED" in capsys.readouterr().out
+
+
 def test_orc_dispatch_roundtrip(spark, tmp_path):
     from semantic_log_detector_spark.sources.files import read_file
 
