@@ -340,3 +340,92 @@ def stream_speech_health(
             "n_speech_ok", "mean_speech_ratio", "speech_s_total",
         )
     )
+
+
+def vocab_bucket_counts(df: DataFrame, text_col: str = "transcript",
+                        n_buckets: int = 64) -> list[int]:
+    """Batch-side baseline for ``stream_vocab_drift``: the corpus' hashed
+    token-bucket histogram as a plain list (n_buckets longs — kilobytes,
+    broadcast as a literal into the streaming plan). Same md5 bucketing
+    as operators/textstats.py::vocab_psi."""
+    from ..operators.dedup import tokens
+
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets))
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    out = [0] * n_buckets
+    for r in rows:
+        out[int(r["bucket"])] = int(r["c"])
+    return out
+
+
+def stream_vocab_drift(
+    stream_df: DataFrame,
+    baseline: list[int],
+    ts_col: str = "ts",
+    text_col: str = "transcript",
+    window: str = "60 seconds",
+    watermark: str = "2 minutes",
+    psi_threshold: float = 0.2,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Windowed VOCABULARY drift on a transcript stream: per closed
+    window, PSI of the window's hashed-token distribution against a
+    stored batch baseline (``vocab_bucket_counts``) — the online twin of
+    ``textstats.vocab_psi``, catching a feed that switches domain or
+    language mid-stream.
+
+    One stateful aggregation (append-mode compatible): the per-window
+    histogram is built as n_buckets conditional sums inside a single
+    groupBy(window) — no chained streaming aggregations — then PSI is a
+    stateless fold over the two fixed-width arrays (zip_with +
+    aggregate, all JVM). Emits (window_start, window_end, n_tokens,
+    vocab_psi, passed) with rule id R091."""
+    from ..operators.dedup import tokens
+
+    n_buckets = len(baseline)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets))
+    toks = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(ts_col, bucket.alias("bucket"))
+    )
+    hist = (
+        toks.groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array(*[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0))
+                for b in range(n_buckets)
+            ]).alias("counts"),
+        )
+    )
+    tot_b = float(sum(baseline))
+    q_arr = F.array(*[
+        F.lit((baseline[b] + smooth) / (tot_b + smooth * n_buckets))
+        for b in range(n_buckets)
+    ])
+    p_arr = F.transform(
+        F.col("counts"),
+        lambda c: (c + F.lit(smooth))
+        / (F.col("n_tokens") + F.lit(smooth * n_buckets)))
+    terms = F.zip_with(p_arr, q_arr, lambda p, q: (p - q) * F.log(p / q))
+    psi = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 6)
+    return hist.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n_tokens",
+        psi.alias("vocab_psi"),
+        F.lit("R091").alias("rule_id"),
+        (psi <= F.lit(psi_threshold)).alias("passed"),
+    )

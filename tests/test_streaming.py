@@ -401,3 +401,41 @@ def test_stream_speech_rate_twin(spark, tmp_path):
     other = spark.sql(
         f"select * from sr_twin where rule_id != '{R_SPEECH_RATE}'")
     assert other.filter("clip_id = 'sil_txt' and rule_id = 'R064_silence'").count() == 1
+
+
+def test_stream_vocab_drift(spark, tmp_path):
+    from semantic_log_detector_spark.streaming.stream_checks import (
+        stream_vocab_drift,
+        vocab_bucket_counts,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog near the river"
+    shifted = "quantum flux capacitor entangles superconducting qubit arrays"
+    # baseline corpus speaks `common`
+    base = spark.createDataFrame(
+        [(f"b{i}", common) for i in range(50)], "clip_id string, transcript string")
+    baseline = vocab_bucket_counts(base, n_buckets=32)
+    assert len(baseline) == 32 and sum(baseline) == 50 * 12
+
+    # stream: minute 0 speaks the baseline language, minute 1 drifts
+    rows = [(f"s{i}", common, f"2024-01-01 00:00:{i:02d}") for i in range(20)] + [
+        (f"d{i}", shifted, f"2024-01-01 00:01:{i:02d}") for i in range(20)
+    ]
+    src = str(tmp_path / "vd")
+    spark.createDataFrame(rows, ["clip_id", "transcript", "ts_s"]).select(
+        "clip_id", "transcript", F.to_timestamp("ts_s").alias("ts")
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "clip_id string, transcript string, ts timestamp").parquet(src)
+    out = stream_vocab_drift(stream, baseline, "ts", "transcript",
+                             "60 seconds", "2 minutes", psi_threshold=0.2)
+    q = (out.writeStream.format("memory").queryName("vdrift")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start"].minute: r for r in spark.sql("select * from vdrift").collect()}
+    assert set(got) == {0, 1}
+    # same-language window: tiny PSI (smoothing noise only); drifted: large
+    assert got[0]["passed"] and got[0]["vocab_psi"] < 0.05
+    assert not got[1]["passed"] and got[1]["vocab_psi"] > 1.0
+    assert got[1]["rule_id"] == "R091"
+    assert got[0]["n_tokens"] == 20 * 12 and got[1]["n_tokens"] == 20 * 7
