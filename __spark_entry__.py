@@ -2095,10 +2095,27 @@ def _xq02_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
                      group_col="lang", n_buckets=64)
 
 
+def _xq03_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity of every document against the corpus' own LM
+    (operators/textstats.py::train_bigram_lm + lm_perplexity — the
+    CCNet/Gopher-style quality signal; Jelinek–Mercer λ=0.75, add-1
+    unigram back-off). The DuckDB twin replays train + score exactly."""
+    from semantic_log_detector_spark.operators.textstats import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bigrams, unigrams, stats = train_bigram_lm(docs, text_col="text")
+    return lm_perplexity(docs, bigrams, unigrams, stats,
+                         text_col="text", id_col="doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "xq01_anomaly_explain": _xq01_anomaly_explain,
         "xq02_vocab_drift": _xq02_vocab_drift,
+        "xq03_lm_perplexity": _xq03_lm_perplexity,
     }
 
 
@@ -2202,5 +2219,35 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS vocab_psi
             FROM j JOIN bt USING (bucket) JOIN gt USING (grp), tot
             GROUP BY j.grp ORDER BY lang
+        """,
+        "xq03_lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            e AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM toks, unnest(range(1, len(t))) AS r(i)),
+            uni AS (
+              SELECT w1, count(*) AS n1
+              FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+            big AS (SELECT w1, w2, count(*) AS n12 FROM e GROUP BY 1, 2),
+            st AS (SELECT count(*)::DOUBLE AS v, sum(n1)::DOUBLE AS n FROM uni),
+            sc AS (
+              SELECT e.doc_id,
+                     ln(0.75 * (CASE WHEN coalesce(uni.n1, 0) > 0
+                                     THEN coalesce(big.n12, 0)::DOUBLE / uni.n1
+                                     ELSE 0.0 END)
+                        + 0.25 * ((coalesce(u2.n1, 0)::DOUBLE + 1.0)
+                                  / (st.n + st.v))) AS logp
+              FROM e
+              LEFT JOIN big USING (w1, w2)
+              LEFT JOIN uni USING (w1)
+              LEFT JOIN uni u2 ON e.w2 = u2.w1, st)
+            SELECT d.doc_id, count(logp) AS n_bigrams,
+                   round(avg(logp), 6) + 0.0 AS avg_logp,
+                   round(exp(-avg(logp)), 6) + 0.0 AS ppl
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+            GROUP BY d.doc_id
         """,
     }
