@@ -100,6 +100,7 @@ def audio_profile(
             speech_s = [None] * n
             n_segs = [None] * n
             lufs = [None] * n
+            snrs = [None] * n
             for i in range(n):
                 if not ok[i]:
                     continue
@@ -113,6 +114,21 @@ def audio_profile(
                 if with_loudness:
                     lv = integrated_lufs(pcms[i], srs[i])
                     lufs[i] = None if lv is None else round(lv, 2)
+                # estimated SNR: mean frame power inside the VAD segments
+                # vs outside them (the noise floor) — the standard
+                # low-SNR curation gate, from the SAME frame-RMS array
+                # (zero extra DSP). None when the clip has no speech or
+                # no noise frames to estimate from.
+                if segs:
+                    centers = np.arange(len(db)) * hop_s + frame_s / 2.0
+                    in_speech = np.zeros(len(db), dtype=bool)
+                    for t0, t1 in segs:
+                        in_speech |= (centers >= t0) & (centers < t1)
+                    if in_speech.any() and (~in_speech).any():
+                        p = 10.0 ** (db / 10.0)  # frame power (rms^2)
+                        ps, pn = p[in_speech].mean(), p[~in_speech].mean()
+                        if pn > 0:
+                            snrs[i] = round(10.0 * np.log10(ps / pn), 2)
             out = {
                 "clip_id": pdf[id_col].astype(str),
                 "decode_ok": pd.Series(ok, dtype=bool),
@@ -126,6 +142,7 @@ def audio_profile(
                     dtype="Float64"),
                 "n_segments": pd.array(n_segs, dtype="Int32"),
                 "loudness_lufs": pd.array(lufs, dtype="Float64"),
+                "snr_db": pd.array(snrs, dtype="Float64"),
             }
             for c in passthrough:
                 out[c] = pdf[c]
@@ -133,7 +150,7 @@ def audio_profile(
 
     schema = ("clip_id string, decode_ok boolean, fake boolean, fp long,"
               " total_s double, speech_s double, speech_ratio double,"
-              " n_segments int, loudness_lufs double")
+              " n_segments int, loudness_lufs double, snr_db double")
     for c in passthrough:
         schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return df.select(*cols).mapInPandas(gen, schema=schema)
@@ -149,6 +166,7 @@ def curate_audio_corpus(
     max_dur_s: float | None = None,
     min_lufs: float | None = None,
     max_lufs: float | None = None,
+    min_snr_db: float | None = None,
     max_hamming: int = 3,
     cc_max_iters: int = 25,
     drop_stats: dict | None = None,
@@ -161,7 +179,8 @@ def curate_audio_corpus(
     duration within bounds, and — when ``min_lufs``/``max_lufs`` are given —
     integrated loudness within [min_lufs, max_lufs] (clips with no
     measurable loudness fail an enabled loudness gate: un-measurable is
-    not in-range), and (c) are the canonical representative
+    not in-range), estimated SNR ≥ ``min_snr_db`` when given (same
+    un-measurable-fails contract), and (c) are the canonical representative
     (min id) of their acoustic-duplicate cluster, or duplicate nothing.
     Returns one row per KEPT clip (the `audio_profile` row). Gates run
     BEFORE the pair search: ineligible clips never enter the pigeonhole
@@ -189,6 +208,8 @@ def curate_audio_corpus(
         gate = gate & (F.col("loudness_lufs") >= F.lit(min_lufs))
     if max_lufs is not None:
         gate = gate & (F.col("loudness_lufs") <= F.lit(max_lufs))
+    if min_snr_db is not None:
+        gate = gate & (F.col("snr_db") >= F.lit(min_snr_db))
     eligible = prof.filter(gate)
     base = eligible.filter(F.col("fp").isNotNull()).select(
         F.col("clip_id").alias("id"), F.col("fp").alias("sh")
@@ -212,11 +233,12 @@ def audio_curation_summary(
     max_dur_s: float | None = None,
     min_lufs: float | None = None,
     max_lufs: float | None = None,
+    min_snr_db: float | None = None,
 ) -> DataFrame:
     """One-row total accounting: every input clip lands in exactly one
     bucket (undecodable / fake / low_speech / out_of_duration /
-    out_of_loudness / dup_removed / kept), so n_total is provably the
-    sum — the "no silent drops" contract at corpus level."""
+    out_of_loudness / low_snr / dup_removed / kept), so n_total is
+    provably the sum — the "no silent drops" contract at corpus level."""
     k = kept.select("clip_id", F.lit(True).alias("__kept"))
     p = profile.join(k, "clip_id", "left")
     loudness_ok = F.lit(True)
@@ -235,6 +257,11 @@ def audio_curation_summary(
         )
         # NULL-safe: an enabled gate drops un-measurable loudness too
         .when(~F.coalesce(loudness_ok, F.lit(False)), "out_of_loudness")
+        .when(
+            F.lit(min_snr_db).isNotNull()
+            & ~F.coalesce(F.col("snr_db") >= F.lit(min_snr_db), F.lit(False)),
+            "low_snr",
+        )
         .when(F.col("__kept").isNull(), "dup_removed")
         .otherwise("kept")
     )

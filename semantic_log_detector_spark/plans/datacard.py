@@ -102,6 +102,7 @@ def build_datacard(
         "duration_s": pct_table("total_s"),
         "speech_ratio": pct_table("speech_ratio"),
         "loudness_lufs": pct_table("loudness_lufs"),
+        "snr_db": pct_table("snr_db"),
         "acoustic_duplication": {
             "dup_pairs": int(dup_row["n_pairs"]),
             "clips_in_dup_pairs": int(dup_row["n_clips_in_pairs"] or 0),
@@ -131,7 +132,8 @@ def render_datacard_md(card: dict) -> str:
         lines.append(f"- {codec}: {n:,}")
     for title, key in (("Duration (s)", "duration_s"),
                        ("Speech ratio", "speech_ratio"),
-                       ("Integrated loudness (LUFS)", "loudness_lufs")):
+                       ("Integrated loudness (LUFS)", "loudness_lufs"),
+                       ("Estimated SNR (dB)", "snr_db")):
         t = card[key]
         lines += ["", f"## {title}",
                   "| " + " | ".join(t) + " |",

@@ -141,3 +141,46 @@ def test_duration_gate_and_bucket(spark):
     }
     assert buckets == {"out_of_duration": 1, "kept": 1}
     unpersist_all(stats)
+
+
+def _snr_clip(cid, snr_db_target, sr=16000, dur_s=4.0):
+    """Noise floor everywhere + a 2 s mid-clip tone sized for a target
+    speech-vs-noise power ratio."""
+    rng = np.random.Generator(np.random.Philox(key=hash(cid) & 0x7FFFFFFF))
+    n = int(sr * dur_s)
+    noise_rms = 10 ** (-45 / 20.0)  # -45 dBFS noise floor
+    sig = noise_rms * rng.standard_normal(n)
+    tone_rms = noise_rms * 10 ** (snr_db_target / 20.0)
+    s0 = int(sr * 1.0)
+    t = np.arange(2 * sr)
+    sig[s0 : s0 + 2 * sr] += tone_rms * np.sqrt(2.0) * np.sin(2 * np.pi * 440 * t / sr)
+    return (cid, "pcm_s16le", encode_wav(sig.astype(np.float32), sr))
+
+
+def test_snr_estimate_known_answer(spark):
+    rows = [_snr_clip("hi", 30.0), _snr_clip("lo", 12.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["clip_id"]: r for r in audio_profile(df).collect()}
+    # speech window power = tone + noise; estimate within ~2 dB of target
+    assert abs(got["hi"]["snr_db"] - 30.0) < 2.0, got["hi"]["snr_db"]
+    assert abs(got["lo"]["snr_db"] - 12.0) < 2.0, got["lo"]["snr_db"]
+    # wall-to-wall tone: no noise frames to estimate from -> NULL
+    tone = 0.3 * np.sin(2 * np.pi * 440 * np.arange(32000) / 16000)
+    wall = spark.createDataFrame(
+        [("wall", "pcm_s16le", encode_wav(tone.astype(np.float32), 16000))], SCHEMA)
+    assert audio_profile(wall).collect()[0]["snr_db"] is None
+
+
+def test_min_snr_gate_and_summary_bucket(spark):
+    rows = [_snr_clip("hi", 30.0), _snr_clip("lo", 8.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    stats = {}
+    kept = curate_audio_corpus(df, min_speech_ratio=0.2, min_snr_db=15.0,
+                               drop_stats=stats)
+    kept_ids = {r["clip_id"] for r in kept.collect()}
+    assert kept_ids == {"hi"}
+    prof = audio_profile(df)
+    summary = {r["bucket"]: r["n_clips"] for r in audio_curation_summary(
+        prof, kept, min_speech_ratio=0.2, min_snr_db=15.0).collect()}
+    assert summary == {"kept": 1, "low_snr": 1}
+    unpersist_all(stats)
