@@ -373,3 +373,91 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     if noise == 0:
         return float("inf")
     return float(10.0 * np.log10(np.mean(ref**2) / noise))
+
+
+def frame_f0(
+    pcm: np.ndarray,
+    sr_hz: int,
+    fmin: float = 50.0,
+    fmax: float = 500.0,
+    frame_ms: float = 40.0,
+    hop_ms: float = 20.0,
+    voicing_threshold: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame fundamental frequency by FFT autocorrelation.
+
+    Returns (f0_hz, voiced) arrays, one entry per frame: f0 is the lag of
+    the autocorrelation peak inside [sr/fmax, sr/fmin] samples, voiced
+    where that peak's normalized height clears ``voicing_threshold`` AND
+    the frame has non-trivial energy. Unvoiced frames carry f0=0. Pure
+    numpy (autocorrelation = irfft of the power spectrum — one rfft pair
+    per frame chunk, same chunked-memory discipline as _power_frames)."""
+    frame = max(int(sr_hz * frame_ms / 1000.0), 4)
+    hop = max(int(sr_hz * hop_ms / 1000.0), 1)
+    pcm = np.asarray(pcm, dtype=np.float32)
+    if len(pcm) < frame:
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    n_frames = 1 + (len(pcm) - frame) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop][:n_frames]
+    lag_lo = max(int(sr_hz / fmax), 1)
+    lag_hi = min(int(np.ceil(sr_hz / fmin)), frame - 1)
+    f0 = np.zeros(n_frames, dtype=np.float64)
+    voiced = np.zeros(n_frames, dtype=bool)
+    if lag_hi <= lag_lo:
+        return f0, voiced
+    n_fft = 1 << (2 * frame - 1).bit_length()  # linear (not circular) autocorr
+    chunk = 48
+    for s in range(0, n_frames, chunk):
+        e = min(s + chunk, n_frames)
+        x = frames[s:e] - frames[s:e].mean(axis=1, keepdims=True)
+        spec = np.fft.rfft(x, n=n_fft, axis=1)
+        ac = np.fft.irfft(spec.real**2 + spec.imag**2, n=n_fft, axis=1)
+        r0 = ac[:, 0]
+        window = ac[:, lag_lo : lag_hi + 1]
+        peak_idx = np.argmax(window, axis=1)
+        rows = np.arange(e - s)
+        peak = window[rows, peak_idx]
+        energy_ok = r0 > (1e-6 * frame)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nv = np.where(r0 > 0, peak / r0, 0.0)
+        v = energy_ok & (nv >= voicing_threshold)
+        # Parabolic interpolation around the peak: integer lags quantize
+        # f0 = sr/lag coarsely at high f0 (~7 Hz steps at 330 Hz / 16 kHz).
+        li = lag_lo + peak_idx
+        interior = (li > lag_lo) & (li < lag_hi)
+        ym = ac[rows, np.maximum(li - 1, 0)]
+        y0 = peak
+        yp = ac[rows, np.minimum(li + 1, n_fft - 1)]
+        denom = ym - 2.0 * y0 + yp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            delta = np.where(
+                interior & (np.abs(denom) > 1e-12),
+                0.5 * (ym - yp) / denom, 0.0)
+        delta = np.clip(delta, -0.5, 0.5)
+        f0[s:e] = np.where(v, sr_hz / (li.astype(np.float64) + delta), 0.0)
+        voiced[s:e] = v
+    return f0, voiced
+
+
+def clip_f0_stats(
+    pcm: np.ndarray,
+    sr_hz: int,
+    fmin: float = 50.0,
+    fmax: float = 500.0,
+    min_voiced_frames: int = 3,
+) -> tuple[float | None, float | None, float]:
+    """(median_f0_hz, f0_spread_hz, voiced_ratio) for one clip.
+
+    median/spread are None when fewer than ``min_voiced_frames`` frames
+    are voiced (noise, silence — no pitch to report). spread is the
+    IQR of the voiced f0 track: speech wanders (wide IQR), a synthetic
+    tone or hum is a flat line (IQR ≈ 0) — the discriminator the
+    pitch-based corpus rules use."""
+    f0, voiced = frame_f0(pcm, sr_hz, fmin=fmin, fmax=fmax)
+    n = len(voiced)
+    ratio = float(voiced.sum()) / n if n else 0.0
+    if int(voiced.sum()) < min_voiced_frames:
+        return None, None, round(ratio, 4)
+    v = f0[voiced]
+    q25, q50, q75 = np.percentile(v, [25.0, 50.0, 75.0])
+    return round(float(q50), 2), round(float(q75 - q25), 2), round(ratio, 4)

@@ -279,3 +279,58 @@ def audio_embedding(
         F.concat(mean, F.transform(var, lambda v: F.sqrt(v + eps)))
         .cast("array<double>").alias(out_col),
     )
+
+
+def pitch_features(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    fmin: float = 50.0,
+    fmax: float = 500.0,
+) -> DataFrame:
+    """Per-clip pitch profile: (clip_id, ok, median_f0_hz, f0_spread_hz,
+    voiced_ratio) from one decode pass (mapInPandas; payloads stay in the
+    scan stage, five thin columns come out).
+
+    What it buys a speech-corpus pipeline: human speech sits in a known
+    F0 band with a WANDERING track (wide IQR spread); synthetic tones,
+    line hum, and sustained notes are flat lines (spread ≈ 0); noise and
+    silence are unvoiced (voiced_ratio ≈ 0, NULL f0). Those three axes
+    separate speech from the non-speech contamination a 100 TB scrape
+    carries. Autocorrelation per 40 ms frame via the chunked FFT kernel
+    (functions/audio.py::frame_f0)."""
+
+    def gen(batches):
+        from ..functions.audio import clip_f0_stats, decode_clip_ex
+
+        for pdf in batches:
+            n = len(pdf)
+            ok = [False] * n
+            med = [None] * n
+            spread = [None] * n
+            vr = [None] * n
+            for i, (buf, codec) in enumerate(
+                    zip(pdf[bytes_col].tolist(), pdf[codec_col].tolist())):
+                try:
+                    pcm, sr, _fake = decode_clip_ex(
+                        None if buf is None else bytes(buf), codec)
+                    if pcm is None or len(pcm) == 0 or sr <= 0:
+                        continue
+                    m, s, r = clip_f0_stats(pcm, sr, fmin=fmin, fmax=fmax)
+                    ok[i], med[i], spread[i], vr[i] = True, m, s, r
+                except Exception:
+                    pass
+            yield pd.DataFrame({
+                "clip_id": pdf[id_col].astype(str),
+                "ok": pd.Series(ok, dtype=bool),
+                "median_f0_hz": pd.array(med, dtype="Float64"),
+                "f0_spread_hz": pd.array(spread, dtype="Float64"),
+                "voiced_ratio": pd.array(vr, dtype="Float64"),
+            })
+
+    return df.select(id_col, bytes_col, codec_col).mapInPandas(
+        gen,
+        schema="clip_id string, ok boolean, median_f0_hz double,"
+               " f0_spread_hz double, voiced_ratio double",
+    )

@@ -1,0 +1,77 @@
+"""F0 estimation: known-frequency tones, wandering speech-like pitch,
+noise/silence voicing, and the Spark operator end-to-end."""
+
+import numpy as np
+import pytest
+
+from semantic_log_detector_spark.functions.audio import (
+    clip_f0_stats,
+    encode_wav,
+    frame_f0,
+)
+
+SR = 16000
+
+
+def _tone(f, dur_s=2.0, amp=0.3):
+    t = np.arange(int(SR * dur_s))
+    return (amp * np.sin(2 * np.pi * f * t / SR)).astype(np.float32)
+
+
+def test_pure_tones_hit_known_f0():
+    for f in (110.0, 220.0, 330.0):
+        med, spread, ratio = clip_f0_stats(_tone(f), SR)
+        assert med is not None and abs(med - f) / f < 0.03, (f, med)
+        assert spread < 3.0  # a tone is a flat pitch line
+        assert ratio > 0.9
+
+
+def test_sawtooth_tracks_fundamental():
+    # harmonic-rich signal: autocorrelation must pick the fundamental
+    f = 150.0
+    t = np.arange(int(SR * 1.5)) / SR
+    saw = (2.0 * ((t * f) % 1.0) - 1.0).astype(np.float32) * 0.3
+    med, _, ratio = clip_f0_stats(saw, SR)
+    assert med is not None and abs(med - f) / f < 0.03, med
+    assert ratio > 0.9
+
+
+def test_wandering_pitch_has_wide_spread():
+    # glide 120 -> 240 Hz: median in between, IQR wide (speech-like)
+    n = int(SR * 2.0)
+    t = np.arange(n) / SR
+    f_inst = 120.0 + 60.0 * t  # 120→240 over 2 s
+    phase = 2 * np.pi * np.cumsum(f_inst) / SR
+    glide = (0.3 * np.sin(phase)).astype(np.float32)
+    med, spread, ratio = clip_f0_stats(glide, SR)
+    assert med is not None and 130 < med < 230
+    assert spread > 20.0  # wanders, unlike a tone
+    assert ratio > 0.8
+
+
+def test_noise_and_silence_are_unvoiced():
+    rng = np.random.Generator(np.random.Philox(key=5))
+    noise = (0.1 * rng.standard_normal(SR)).astype(np.float32)
+    med, spread, ratio = clip_f0_stats(noise, SR)
+    assert med is None and spread is None and ratio < 0.2
+    med, spread, ratio = clip_f0_stats(np.zeros(SR, dtype=np.float32), SR)
+    assert med is None and ratio == 0.0
+
+
+def test_frame_f0_shapes():
+    f0, voiced = frame_f0(_tone(220.0, 1.0), SR)
+    assert len(f0) == len(voiced) > 10
+    assert (f0[voiced] > 0).all() and (f0[~voiced] == 0).all()
+
+
+def test_pitch_features_operator(spark):
+    from semantic_log_detector_spark.operators.features import pitch_features
+
+    rows = [
+        ("tone", "pcm_s16le", encode_wav(_tone(220.0), SR)),
+        ("junk", "pcm_s16le", b"\x00" * 10),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, codec string, bytes binary")
+    got = {r["clip_id"]: r for r in pitch_features(df).collect()}
+    assert got["tone"]["ok"] and abs(got["tone"]["median_f0_hz"] - 220.0) < 7
+    assert not got["junk"]["ok"] and got["junk"]["median_f0_hz"] is None
