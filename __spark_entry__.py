@@ -2111,11 +2111,62 @@ def _xq03_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
                          text_col="text", id_col="doc_id")
 
 
+_XQ04_EXPORT = "/tmp/sldspark_oracle_xq04_pitch_480.parquet"
+
+
+def _xq04_pitch_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pitch-profile verdicts against planted ground truth (q52 scheme):
+    480 clips in four deterministic classes — known-F0 tones, speech-like
+    glides, noise, silence — across all five real codecs and two sample
+    rates (sources/synth.py::pitch_clips). pitch_features
+    (operators/features.py) must label every tone 'flat' (voiced, IQR≤10),
+    every glide 'wander' (voiced, IQR≥25), noise/silence 'unvoiced'
+    (voiced_ratio≤0.2), and recover each tone's planted F0 within 3%.
+    The oracle replays the planted class→label map from the export: any
+    misclassification or F0 miss flips the value hash."""
+    import os
+
+    from semantic_log_detector_spark.operators.features import pitch_features
+    from semantic_log_detector_spark.sources.synth import pitch_clips
+
+    clips = pitch_clips(spark, 480, seed=11)
+    truth = (clips.select("clip_id", "cls", "f0_true")
+             .toPandas().sort_values("clip_id"))
+    tmp = f"{_XQ04_EXPORT}.{os.getpid()}.tmp"
+    truth.to_parquet(tmp, index=False)
+    os.replace(tmp, _XQ04_EXPORT)  # atomic, idempotent: pure fn of (n, seed)
+    pf = pitch_features(clips)
+    vr = F.col("voiced_ratio")
+    spread = F.col("f0_spread_hz")
+    label = (
+        F.when((vr >= 0.8) & (spread <= 10.0), F.lit("flat"))
+        .when((vr >= 0.6) & (spread >= 25.0), F.lit("wander"))
+        .when(vr <= 0.2, F.lit("unvoiced"))
+        .otherwise(F.lit("ambiguous"))
+    )
+    exp = spark.createDataFrame(truth)
+    return (
+        exp.join(pf, "clip_id")
+        .select(
+            "clip_id",
+            "cls",
+            label.alias("label"),
+            F.when(
+                F.col("cls") == "tone",
+                F.abs(F.col("median_f0_hz") - F.col("f0_true"))
+                <= 0.03 * F.col("f0_true"),
+            ).alias("f0_ok"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "xq01_anomaly_explain": _xq01_anomaly_explain,
         "xq02_vocab_drift": _xq02_vocab_drift,
         "xq03_lm_perplexity": _xq03_lm_perplexity,
+        "xq04_pitch_verdicts": _xq04_pitch_verdicts,
     }
 
 
@@ -2249,5 +2300,18 @@ def extra_oracle_sql() -> dict[str, str]:
                    round(exp(-avg(logp)), 6) + 0.0 AS ppl
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
             GROUP BY d.doc_id
+        """,
+        # xq04: planted-known-answer (q52 scheme) — the oracle maps each
+        # planted class to its required verdict; the Spark side computes
+        # the verdicts from decoded PCM, so a misclassified clip or a
+        # >3% F0 error produces a value-hash mismatch.
+        "xq04_pitch_verdicts": f"""
+            SELECT clip_id, cls,
+                   CASE cls WHEN 'tone' THEN 'flat'
+                            WHEN 'glide' THEN 'wander'
+                            ELSE 'unvoiced' END AS label,
+                   CASE WHEN cls = 'tone' THEN TRUE ELSE NULL END AS f0_ok
+            FROM read_parquet('{_XQ04_EXPORT}')
+            ORDER BY clip_id
         """,
     }

@@ -541,3 +541,85 @@ def melody_clips(
     schema = ("idx long, clip_id string, codec string, sr_hz int,"
               " dur_ms int, bytes binary")
     return rng.mapInPandas(gen, schema=schema)
+
+
+# ------------------------------------------------ pitch ground-truth corpus
+
+def pitch_clips(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Planted-ground-truth corpus for the pitch profile
+    (operators/features.py::pitch_features): four deterministic classes
+    cycled by idx % 4 —
+
+      tone    — pure sine at a known, log-spaced F0 in [80, 400] Hz
+                (the "synthetic tone / line hum" contamination class:
+                voiced, flat pitch line, spread ≈ 0)
+      glide   — linear F0 ramp f→2f with f in [100, 200] Hz
+                (the speech-like wandering track: voiced, wide IQR)
+      noise   — white gaussian at 0.1 RMS (unvoiced)
+      silence — true digital zero (unvoiced)
+
+    Codec rotates through all five real codecs and the sample rate is an
+    independent 8 kHz / 16 kHz draw, so the expected per-clip verdict is
+    codec- and rate-invariant ground truth. Columns: idx, clip_id, codec,
+    sr_hz, dur_ms, bytes, cls, f0_true (NULL for non-tones)."""
+    sr_choices = (16000, 8000)
+    classes = np.array(["tone", "glide", "noise", "silence"], dtype=object)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import encode_wav as _wav
+
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            cls_i = (i % 4).astype(int)
+            sr_row = np.where(
+                (_stream(i, 80, seed) % np.uint64(2)) == 0,
+                sr_choices[0], sr_choices[1],
+            )
+            codec_i = (_stream(i, 81, seed) % np.uint64(5)).astype(int)
+            f_tone = 80.0 * np.power(5.0, _u01(i, 82, seed))      # [80, 400)
+            f_glide = 100.0 * np.power(2.0, _u01(i, 83, seed))    # [100, 200)
+            out_bytes: list[bytes] = []
+            f0_true: list[float | None] = []
+            for r in range(len(i)):
+                sr_r = int(sr_row[r])
+                t = np.arange(sr_r, dtype=np.float64) / sr_r      # 1 s
+                c = cls_i[r]
+                if c == 0:
+                    sig = 0.4 * np.sin(2 * np.pi * f_tone[r] * t)
+                    f0_true.append(round(float(f_tone[r]), 4))
+                elif c == 1:
+                    f_inst = f_glide[r] * (1.0 + t)               # f -> 2f
+                    sig = 0.4 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr_r)
+                    f0_true.append(None)
+                elif c == 2:
+                    rng_r = np.random.Generator(
+                        np.random.Philox(key=int(i[r]) + seed))
+                    sig = 0.1 * rng_r.standard_normal(sr_r)
+                    f0_true.append(None)
+                else:
+                    sig = np.zeros(sr_r)
+                    f0_true.append(None)
+                enc = _ENCODERS.get(_DUP_CODECS[codec_i[r]], _wav)
+                out_bytes.append(enc(sig.astype(np.float32), sr_r))
+            yield pd.DataFrame(
+                {
+                    "idx": i,
+                    "clip_id": np.char.add("p", np.char.zfill(i.astype(str), 10)),
+                    "codec": _DUP_CODECS[codec_i],
+                    "sr_hz": sr_row.astype(np.int32),
+                    "dur_ms": np.full(len(i), 1000, dtype=np.int32),
+                    "bytes": pd.Series(out_bytes, dtype=object),
+                    "cls": classes[cls_i],
+                    "f0_true": pd.array(f0_true, dtype="Float64"),
+                }
+            )
+
+    rng = spark.range(0, n, numPartitions=num_partitions)
+    schema = ("idx long, clip_id string, codec string, sr_hz int,"
+              " dur_ms int, bytes binary, cls string, f0_true double")
+    return rng.mapInPandas(gen, schema=schema)
