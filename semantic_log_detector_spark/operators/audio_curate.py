@@ -49,18 +49,24 @@ def audio_profile(
     min_gap_ms: float = 150.0,
     passthrough: tuple[str, ...] = (),
     with_loudness: bool = True,
+    with_pitch: bool = False,
 ) -> DataFrame:
     """Per-clip curation profile from ONE decode of the payload:
     (clip_id, decode_ok, fake, fp, total_s, speech_s, speech_ratio,
-    n_segments, loudness_lufs[, passthrough…]). ``fp`` is the 60-bit
+    n_segments, loudness_lufs, snr_db, median_f0_hz, f0_spread_hz,
+    voiced_ratio[, passthrough…]). ``fp`` is the 60-bit
     acoustic fingerprint (null for silence/undecodable — see audio_dedup),
     speech fields come from the energy-VAD kernel (segment.py),
     ``loudness_lufs`` is the BS.1770-style gated integrated loudness
     (functions/loudness.py; null for silence/undecodable, or everywhere
-    when ``with_loudness=False`` skips its FFT). Undecodable clips keep
-    their row with decode_ok=false and nulls — accounting needs them.
-    ``passthrough`` columns are carried unchanged (e.g. the event-time
-    column for the streaming twin)."""
+    when ``with_loudness=False`` skips its FFT). The three pitch columns
+    (functions/audio.py::clip_f0_stats — F0 autocorrelation per 40 ms
+    frame) are null everywhere unless ``with_pitch=True`` opts into their
+    extra FFT work; they feed the flat-pitch contamination gate (an
+    energy VAD cannot tell a synthetic tone from speech; pitch can).
+    Undecodable clips keep their row with decode_ok=false and nulls —
+    accounting needs them. ``passthrough`` columns are carried unchanged
+    (e.g. the event-time column for the streaming twin)."""
     cols = [id_col, bytes_col, codec_col, *passthrough]
     frame_s, hop_s = FRAME_MS / 1000.0, HOP_MS / 1000.0
     min_speech_s, min_gap_s = min_speech_ms / 1000.0, min_gap_ms / 1000.0
@@ -101,9 +107,18 @@ def audio_profile(
             n_segs = [None] * n
             lufs = [None] * n
             snrs = [None] * n
+            f0_med = [None] * n
+            f0_spr = [None] * n
+            f0_vr = [None] * n
             for i in range(n):
                 if not ok[i]:
                     continue
+                if with_pitch:
+                    from ..functions.audio import clip_f0_stats
+
+                    m, sp, vr = clip_f0_stats(
+                        pcms[i].astype(np.float32), srs[i])
+                    f0_med[i], f0_spr[i], f0_vr[i] = m, sp, vr
                 db = _frame_rms_db(pcms[i], srs[i], FRAME_MS, HOP_MS)
                 segs = _segments_from_mask(db >= threshold_dbfs, hop_s, frame_s,
                                            min_speech_s, min_gap_s)
@@ -143,6 +158,9 @@ def audio_profile(
                 "n_segments": pd.array(n_segs, dtype="Int32"),
                 "loudness_lufs": pd.array(lufs, dtype="Float64"),
                 "snr_db": pd.array(snrs, dtype="Float64"),
+                "median_f0_hz": pd.array(f0_med, dtype="Float64"),
+                "f0_spread_hz": pd.array(f0_spr, dtype="Float64"),
+                "voiced_ratio": pd.array(f0_vr, dtype="Float64"),
             }
             for c in passthrough:
                 out[c] = pdf[c]
@@ -150,7 +168,8 @@ def audio_profile(
 
     schema = ("clip_id string, decode_ok boolean, fake boolean, fp long,"
               " total_s double, speech_s double, speech_ratio double,"
-              " n_segments int, loudness_lufs double, snr_db double")
+              " n_segments int, loudness_lufs double, snr_db double,"
+              " median_f0_hz double, f0_spread_hz double, voiced_ratio double")
     for c in passthrough:
         schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return df.select(*cols).mapInPandas(gen, schema=schema)
@@ -167,6 +186,9 @@ def curate_audio_corpus(
     min_lufs: float | None = None,
     max_lufs: float | None = None,
     min_snr_db: float | None = None,
+    drop_flat_pitch: bool = False,
+    flat_pitch_max_spread: float = 5.0,
+    flat_pitch_min_voiced: float = 0.8,
     max_hamming: int = 3,
     cc_max_iters: int = 25,
     drop_stats: dict | None = None,
@@ -180,7 +202,14 @@ def curate_audio_corpus(
     integrated loudness within [min_lufs, max_lufs] (clips with no
     measurable loudness fail an enabled loudness gate: un-measurable is
     not in-range), estimated SNR ≥ ``min_snr_db`` when given (same
-    un-measurable-fails contract), and (c) are the canonical representative
+    un-measurable-fails contract), are NOT flat-pitch contamination when
+    ``drop_flat_pitch=True`` (voiced with a near-constant F0 track —
+    synthetic tones, line hum, sustained notes: voiced_ratio ≥
+    ``flat_pitch_min_voiced`` AND f0_spread_hz ≤ ``flat_pitch_max_spread``
+    drops the clip; unvoiced or un-measurable pitch PASSES this gate — it
+    is a contamination filter, not a quality floor: noise and silence are
+    the speech-ratio gate's job, and an energy VAD alone cannot tell a
+    tone from speech), and (c) are the canonical representative
     (min id) of their acoustic-duplicate cluster, or duplicate nothing.
     Returns one row per KEPT clip (the `audio_profile` row). Gates run
     BEFORE the pair search: ineligible clips never enter the pigeonhole
@@ -192,7 +221,8 @@ def curate_audio_corpus(
 
     with_loudness = min_lufs is not None or max_lufs is not None
     prof = audio_profile(clips, id_col, bytes_col, codec_col,
-                         with_loudness=with_loudness).persist()
+                         with_loudness=with_loudness,
+                         with_pitch=drop_flat_pitch).persist()
     if drop_stats is not None:
         drop_stats.setdefault("persisted", []).append(prof)
     if artifacts is not None:
@@ -210,6 +240,8 @@ def curate_audio_corpus(
         gate = gate & (F.col("loudness_lufs") <= F.lit(max_lufs))
     if min_snr_db is not None:
         gate = gate & (F.col("snr_db") >= F.lit(min_snr_db))
+    if drop_flat_pitch:
+        gate = gate & ~_flat_pitch(flat_pitch_min_voiced, flat_pitch_max_spread)
     eligible = prof.filter(gate)
     base = eligible.filter(F.col("fp").isNotNull()).select(
         F.col("clip_id").alias("id"), F.col("fp").alias("sh")
@@ -225,6 +257,18 @@ def curate_audio_corpus(
     return eligible.join(non_canonical, "clip_id", "left_anti")
 
 
+def _flat_pitch(min_voiced: float, max_spread: float):
+    """Flat-pitch contamination predicate over profile columns: voiced
+    with a near-constant F0 track. NULL-safe false: unvoiced or
+    un-measurable pitch is NOT flat (those clips are the speech-ratio
+    gate's job, not this one's)."""
+    return F.coalesce(
+        (F.col("voiced_ratio") >= F.lit(min_voiced))
+        & (F.col("f0_spread_hz") <= F.lit(max_spread)),
+        F.lit(False),
+    )
+
+
 def audio_curation_summary(
     profile: DataFrame,
     kept: DataFrame,
@@ -234,11 +278,15 @@ def audio_curation_summary(
     min_lufs: float | None = None,
     max_lufs: float | None = None,
     min_snr_db: float | None = None,
+    drop_flat_pitch: bool = False,
+    flat_pitch_max_spread: float = 5.0,
+    flat_pitch_min_voiced: float = 0.8,
 ) -> DataFrame:
     """One-row total accounting: every input clip lands in exactly one
     bucket (undecodable / fake / low_speech / out_of_duration /
-    out_of_loudness / low_snr / dup_removed / kept), so n_total is
-    provably the sum — the "no silent drops" contract at corpus level."""
+    out_of_loudness / low_snr / flat_pitch / dup_removed / kept), so
+    n_total is provably the sum — the "no silent drops" contract at
+    corpus level."""
     k = kept.select("clip_id", F.lit(True).alias("__kept"))
     p = profile.join(k, "clip_id", "left")
     loudness_ok = F.lit(True)
@@ -261,6 +309,11 @@ def audio_curation_summary(
             F.lit(min_snr_db).isNotNull()
             & ~F.coalesce(F.col("snr_db") >= F.lit(min_snr_db), F.lit(False)),
             "low_snr",
+        )
+        .when(
+            F.lit(drop_flat_pitch)
+            & _flat_pitch(flat_pitch_min_voiced, flat_pitch_max_spread),
+            "flat_pitch",
         )
         .when(F.col("__kept").isNull(), "dup_removed")
         .otherwise("kept")

@@ -184,3 +184,51 @@ def test_min_snr_gate_and_summary_bucket(spark):
         prof, kept, min_speech_ratio=0.2, min_snr_db=15.0).collect()}
     assert summary == {"kept": 1, "low_snr": 1}
     unpersist_all(stats)
+
+
+def _pitched_clip(cid, kind, sr=16000, dur_s=2.0):
+    """Full-scale, always-on signal: 'tone' = constant 220 Hz (flat pitch
+    line), 'glide' = 140→280 Hz ramp (speech-like wandering track). Both
+    pass the energy-VAD speech gate — only pitch can tell them apart."""
+    n = int(sr * dur_s)
+    t = np.arange(n) / sr
+    if kind == "tone":
+        sig = 0.4 * np.sin(2 * np.pi * 220.0 * t)
+    else:
+        f_inst = 140.0 * (1.0 + t / dur_s)
+        sig = 0.4 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr)
+    return (cid, "pcm_s16le", encode_wav(sig.astype(np.float32), sr))
+
+
+def test_profile_pitch_columns_opt_in(spark):
+    rows = [_pitched_clip("tone0", "tone"), _pitched_clip("gl0", "glide")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # default: no pitch work, columns exist but are NULL
+    off = {r["clip_id"]: r for r in audio_profile(df).collect()}
+    assert off["tone0"]["median_f0_hz"] is None
+    assert off["gl0"]["voiced_ratio"] is None
+    on = {r["clip_id"]: r for r in audio_profile(df, with_pitch=True).collect()}
+    assert abs(on["tone0"]["median_f0_hz"] - 220.0) < 7
+    assert on["tone0"]["f0_spread_hz"] < 5 and on["tone0"]["voiced_ratio"] > 0.9
+    assert on["gl0"]["f0_spread_hz"] > 25 and on["gl0"]["voiced_ratio"] > 0.8
+
+
+def test_flat_pitch_gate_and_summary_bucket(spark):
+    # both clips are wall-to-wall energy: the VAD gate alone keeps both;
+    # only the pitch gate separates the synthetic tone from the glide
+    rows = [_pitched_clip("tone0", "tone"), _pitched_clip("gl0", "glide")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    stats = {}
+    kept = curate_audio_corpus(df, min_speech_ratio=0.5,
+                               drop_flat_pitch=True, drop_stats=stats)
+    assert {r["clip_id"] for r in kept.collect()} == {"gl0"}
+    prof = audio_profile(df, with_pitch=True)
+    summary = {r["bucket"]: r["n_clips"] for r in audio_curation_summary(
+        prof, kept, min_speech_ratio=0.5, drop_flat_pitch=True).collect()}
+    assert summary == {"kept": 1, "flat_pitch": 1}
+    unpersist_all(stats)
+    # gate off: the tone is kept (pitch is opt-in contamination filtering)
+    stats2 = {}
+    kept_off = curate_audio_corpus(df, min_speech_ratio=0.5, drop_stats=stats2)
+    assert {r["clip_id"] for r in kept_off.collect()} == {"tone0", "gl0"}
+    unpersist_all(stats2)
