@@ -173,6 +173,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     dc.add_argument("--input", required=True, help="clips parquet path")
     dc.add_argument("--out", required=True, help="output dir")
+    dc.add_argument("--with-pitch", action="store_true",
+                    help="add F0/voicing percentiles + flat-pitch "
+                         "contamination share (extra FFT per clip)")
     dc.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
@@ -237,7 +240,8 @@ def main(argv: list[str] | None = None) -> int:
         spark, owned = _session(args.master)
         spark.sparkContext.setLogLevel("ERROR")
         try:
-            card = write_datacard(spark.read.parquet(args.input), args.out)
+            card = write_datacard(spark.read.parquet(args.input), args.out,
+                                  with_pitch=args.with_pitch)
             c = card["counts"]
             print(f"clips={c['total_clips']} decodable={c['decodable']} "
                   f"fake={c['fake_decoded']} undecodable={c['undecodable']} "

@@ -32,6 +32,7 @@ def build_datacard(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     max_hamming: int = 3,
+    with_pitch: bool = False,
     drop_stats: dict | None = None,
 ) -> dict:
     """Corpus datasheet dict from one decode pass + small aggregates.
@@ -39,13 +40,18 @@ def build_datacard(
     Sections: counts (total / decodable / fake / undecodable), codecs
     (per-codec clip counts), duration / speech / loudness percentile
     tables, speech totals (hours), duplication (acoustic dup pairs and
-    clips involved). The profile is persisted across its uses and recorded
-    in ``drop_stats['persisted']`` (release with `dedup.unpersist_all`).
+    clips involved). ``with_pitch=True`` opts into the pitch profile's
+    extra FFT work and adds median-F0 / voiced-ratio percentile tables
+    plus the flat-pitch contamination share (voiced, near-constant F0 —
+    tones/hum an energy VAD counts as speech). The profile is persisted
+    across its uses and recorded in ``drop_stats['persisted']``
+    (release with `dedup.unpersist_all`).
     """
-    from ..operators.audio_curate import audio_profile
+    from ..operators.audio_curate import _flat_pitch, audio_profile
     from ..operators.dedup import hamming60_pairs
 
-    prof = audio_profile(clips, id_col, bytes_col, codec_col).persist()
+    prof = audio_profile(clips, id_col, bytes_col, codec_col,
+                         with_pitch=with_pitch).persist()
     if drop_stats is not None:
         drop_stats.setdefault("persisted", []).append(prof)
 
@@ -103,6 +109,13 @@ def build_datacard(
         "speech_ratio": pct_table("speech_ratio"),
         "loudness_lufs": pct_table("loudness_lufs"),
         "snr_db": pct_table("snr_db"),
+        **({
+            "median_f0_hz": pct_table("median_f0_hz"),
+            "voiced_ratio": pct_table("voiced_ratio"),
+            "flat_pitch": {
+                "n_clips": prof.filter(_flat_pitch(0.8, 5.0)).count(),
+            },
+        } if with_pitch else {}),
         "acoustic_duplication": {
             "dup_pairs": int(dup_row["n_pairs"]),
             "clips_in_dup_pairs": int(dup_row["n_clips_in_pairs"] or 0),
@@ -133,12 +146,23 @@ def render_datacard_md(card: dict) -> str:
     for title, key in (("Duration (s)", "duration_s"),
                        ("Speech ratio", "speech_ratio"),
                        ("Integrated loudness (LUFS)", "loudness_lufs"),
-                       ("Estimated SNR (dB)", "snr_db")):
+                       ("Estimated SNR (dB)", "snr_db"),
+                       ("Median F0 (Hz)", "median_f0_hz"),
+                       ("Voiced ratio", "voiced_ratio")):
+        if key not in card:  # pitch tables are opt-in
+            continue
         t = card[key]
         lines += ["", f"## {title}",
                   "| " + " | ".join(t) + " |",
                   "|" + "---|" * len(t),
                   "| " + " | ".join(str(v) for v in t.values()) + " |"]
+    if "flat_pitch" in card:
+        n = card["flat_pitch"]["n_clips"]
+        share = n / max(c["total_clips"], 1)
+        lines += ["", "## Flat-pitch contamination",
+                  f"- {n:,} clips voiced with a near-constant F0 track "
+                  f"({share:.2%} of corpus) — synthetic tones / hum that "
+                  "an energy VAD counts as speech"]
     lines += [
         "",
         "## Acoustic duplication",

@@ -85,3 +85,27 @@ def test_datacard_writes_artifacts(spark, tmp_path):
     assert "pcm_s16le" in md
     # markdown renders the same numbers the json carries
     assert f"{card['counts']['total_clips']:,}" in md
+
+
+def test_datacard_pitch_opt_in(spark):
+    # corpus with one flat tone among speechy (wandering-pitch) clips
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    rows = [(f"wav{i}", encode_wav(_speechy(sr, i), sr), "pcm_s16le")
+            for i in range(4)]
+    rows.append(("tone0", encode_wav(tone, sr), "pcm_s16le"))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+
+    stats = {}
+    card = build_datacard(df, drop_stats=stats)
+    assert "median_f0_hz" not in card and "flat_pitch" not in card  # opt-in
+    unpersist_all(stats)
+
+    stats2 = {}
+    card = build_datacard(df, with_pitch=True, drop_stats=stats2)
+    assert card["flat_pitch"]["n_clips"] == 1  # exactly the planted tone
+    assert card["median_f0_hz"]["p50"] is not None
+    md = render_datacard_md(card)
+    assert "Flat-pitch contamination" in md and "Median F0" in md
+    unpersist_all(stats2)
