@@ -298,6 +298,7 @@ def stream_speech_health(
     window: str = "60 seconds",
     watermark: str = "2 minutes",
     min_speech_ratio: float = 0.3,
+    with_pitch: bool = False,
 ) -> DataFrame:
     """Windowed speech-health monitor on a clip stream: is a feed going
     silent, undecodable, or fake-routed? The per-clip kernel is
@@ -308,13 +309,19 @@ def stream_speech_health(
 
     Emits per (window): n_clips, n_undecodable, n_fake, n_low_speech,
     n_speech_ok, mean_speech_ratio (over honestly-decoded clips), and
-    speech_s_total — the numbers an ingest operator alerts on. The batch
-    authority for anything deeper (dedup, curation keep/drop) remains
-    `curate_audio_corpus`; this twin deliberately carries NO cross-window
-    state (same deferral contract as stream_audio_dups)."""
-    from ..operators.audio_curate import audio_profile
+    speech_s_total — the numbers an ingest operator alerts on.
+    ``with_pitch=True`` opts into the pitch profile's extra FFT and adds
+    ``n_flat_pitch``: clips voiced with a near-constant F0 track (tones /
+    line hum a feed starts emitting read as speech to the energy VAD —
+    the batch flat-pitch gate's online early warning; the column is 0
+    when disabled). The batch authority for anything deeper (dedup,
+    curation keep/drop) remains `curate_audio_corpus`; this twin
+    deliberately carries NO cross-window state (same deferral contract
+    as stream_audio_dups)."""
+    from ..operators.audio_curate import _flat_pitch, audio_profile
 
-    prof = audio_profile(stream_df, passthrough=(ts_col,))
+    prof = audio_profile(stream_df, passthrough=(ts_col,),
+                         with_pitch=with_pitch)
     real = F.col("decode_ok") & ~F.col("fake")
     low = real & (F.col("speech_ratio") < min_speech_ratio)
     return (
@@ -326,6 +333,8 @@ def stream_speech_health(
             F.sum(F.col("fake").cast("long")).alias("n_fake"),
             F.sum(low.cast("long")).alias("n_low_speech"),
             F.sum((real & ~low).cast("long")).alias("n_speech_ok"),
+            F.sum((real & _flat_pitch(0.8, 5.0)).cast("long"))
+            .alias("n_flat_pitch"),
             F.round(
                 F.avg(F.when(real, F.col("speech_ratio"))), 4
             ).alias("mean_speech_ratio"),
@@ -337,7 +346,8 @@ def stream_speech_health(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             "n_clips", "n_undecodable", "n_fake", "n_low_speech",
-            "n_speech_ok", "mean_speech_ratio", "speech_s_total",
+            "n_speech_ok", "n_flat_pitch", "mean_speech_ratio",
+            "speech_s_total",
         )
     )
 

@@ -304,6 +304,28 @@ def test_stream_speech_health(spark, tmp_path):
     # mean over the 4 honestly-decoded clips: (3 x ~1.0 + 0.1) / 4
     assert 0.7 < r.mean_speech_ratio < 0.85
     assert 3.0 < r.speech_s_total < 3.5
+    assert r.n_flat_pitch == 0  # pitch is opt-in; disabled -> 0
+
+    # with_pitch=True: the three wall-to-wall 500 Hz tones are flat-pitch
+    # contamination (voiced, IQR ~ 0); the fake tone is excluded (real
+    # decodes only — fake already has its own bucket), low1 is unvoiced
+    # for 90% of its frames
+    out_p = stream_speech_health(
+        spark.readStream.schema(
+            "clip_id string, codec string, bytes binary, ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(src),
+        ts_col="ts", window="60 seconds", min_speech_ratio=0.3,
+        with_pitch=True,
+    )
+    qp = (
+        out_p.writeStream.format("memory").queryName("health_pitch")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qp.awaitTermination(300)
+    rp = spark.sql(
+        "SELECT * FROM health_pitch WHERE window_start = '2026-01-01 00:00:00'"
+    ).collect()[0]
+    assert rp.n_flat_pitch == 3
 
 
 def test_stream_cut_segments(spark, tmp_path):
