@@ -406,6 +406,16 @@ def frame_f0(
     if lag_hi <= lag_lo:
         return f0, voiced
     n_fft = 1 << (2 * frame - 1).bit_length()  # linear (not circular) autocorr
+    # The linear (zero-padded) autocorrelation tapers as (frame - lag):
+    # uncompensated, the decaying zero-lag shoulder out-scores true peaks
+    # whose period approaches the frame length, so every tone in the
+    # 50-65 Hz part of the band used to collapse to f0 = sr/lag_lo.
+    # Dividing by (frame - lag) restores the unbiased estimate; period
+    # multiples then tie at the same height, so the peak pick takes the
+    # SMALLEST lag within a tight tolerance of the max (octave-safe).
+    all_lags = np.arange(0, min(lag_hi + 2, frame), dtype=np.float64)
+    comp_full = frame / np.maximum(frame - all_lags, 1.0)
+    comp = comp_full[lag_lo : lag_hi + 1]
     chunk = 48
     for s in range(0, n_frames, chunk):
         e = min(s + chunk, n_frames)
@@ -413,9 +423,26 @@ def frame_f0(
         spec = np.fft.rfft(x, n=n_fft, axis=1)
         ac = np.fft.irfft(spec.real**2 + spec.imag**2, n=n_fft, axis=1)
         r0 = ac[:, 0]
-        window = ac[:, lag_lo : lag_hi + 1]
-        peak_idx = np.argmax(window, axis=1)
+        window = ac[:, lag_lo : lag_hi + 1] * comp
+        mx = window.max(axis=1)
+        # first lag within 3% of the max (ties at period multiples break
+        # toward the fundamental; 3% covers the worst-case half-sample
+        # quantization drop of ~1.9% at the shortest legal period, while
+        # every non-multiple lag of a periodic signal sits far lower),
+        # then hill-climb to the local max of that lobe — the candidate
+        # lands on the rising shoulder, and ascent cannot cross the
+        # valley into the next period multiple. Plain argmax when the
+        # max is non-positive.
+        tie_idx = np.argmax(window >= ((1.0 - 0.03) * mx)[:, None], axis=1)
+        peak_idx = np.where(mx > 0, tie_idx, np.argmax(window, axis=1))
         rows = np.arange(e - s)
+        width = window.shape[1]
+        for _ in range(32):
+            nxt = np.minimum(peak_idx + 1, width - 1)
+            better = window[rows, nxt] > window[rows, peak_idx]
+            if not better.any():
+                break
+            peak_idx = np.where(better, nxt, peak_idx)
         peak = window[rows, peak_idx]
         energy_ok = r0 > (1e-6 * frame)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -423,11 +450,13 @@ def frame_f0(
         v = energy_ok & (nv >= voicing_threshold)
         # Parabolic interpolation around the peak: integer lags quantize
         # f0 = sr/lag coarsely at high f0 (~7 Hz steps at 330 Hz / 16 kHz).
+        # Neighbors use the same taper compensation as the peak itself.
         li = lag_lo + peak_idx
         interior = (li > lag_lo) & (li < lag_hi)
-        ym = ac[rows, np.maximum(li - 1, 0)]
+        ym = ac[rows, np.maximum(li - 1, 0)] * comp_full[np.maximum(li - 1, 0)]
         y0 = peak
-        yp = ac[rows, np.minimum(li + 1, n_fft - 1)]
+        lp = np.minimum(li + 1, len(comp_full) - 1)
+        yp = ac[rows, lp] * comp_full[lp]
         denom = ym - 2.0 * y0 + yp
         with np.errstate(divide="ignore", invalid="ignore"):
             delta = np.where(

@@ -545,6 +545,12 @@ def melody_clips(
 
 # ------------------------------------------------ pitch ground-truth corpus
 
+# Bump whenever pitch_clips' planted content changes for the same (n, seed):
+# the xq/q58 oracle export path is keyed on this, so a stale export from an
+# older fixture can never be read by a newer harness run.
+PITCH_FIXTURE_VERSION = 2
+
+
 def pitch_clips(
     spark: SparkSession,
     n: int,
@@ -555,9 +561,12 @@ def pitch_clips(
     (operators/features.py::pitch_features): four deterministic classes
     cycled by idx % 4 —
 
-      tone    — pure sine at a known, log-spaced F0 in [80, 400] Hz
+      tone    — pure sine at a known, log-spaced F0 in [55, 440) Hz
                 (the "synthetic tone / line hum" contamination class:
-                voiced, flat pitch line, spread ≈ 0)
+                voiced, flat pitch line, spread ≈ 0; the band starts
+                below 65 Hz on purpose — 50/60 Hz mains hum is the
+                canonical real-world member, and the round-5 taper
+                fix in functions/audio.py::frame_f0 is exercised here)
       glide   — linear F0 ramp f→2f with f in [100, 200] Hz
                 (the speech-like wandering track: voiced, wide IQR)
       noise   — white gaussian at 0.1 RMS (unvoiced)
@@ -581,7 +590,7 @@ def pitch_clips(
                 sr_choices[0], sr_choices[1],
             )
             codec_i = (_stream(i, 81, seed) % np.uint64(5)).astype(int)
-            f_tone = 80.0 * np.power(5.0, _u01(i, 82, seed))      # [80, 400)
+            f_tone = 55.0 * np.power(8.0, _u01(i, 82, seed))      # [55, 440)
             f_glide = 100.0 * np.power(2.0, _u01(i, 83, seed))    # [100, 200)
             out_bytes: list[bytes] = []
             f0_true: list[float | None] = []

@@ -26,6 +26,35 @@ def test_pure_tones_hit_known_f0():
         assert ratio > 0.9
 
 
+def test_low_band_tones_mains_hum_region():
+    # Regression (round-5 ADVICE): the linear-autocorrelation taper used to
+    # drown the true period peak for tones near the bottom of the advertised
+    # [fmin=50, fmax=500] band — 50/55/60/65 Hz tones at 8 kHz and 16 kHz all
+    # reported exactly 500 Hz (= sr/lag_lo). The taper-compensated estimator
+    # must recover the true F0 of 50/60 Hz mains hum within 3%, still flat.
+    for sr in (8000, 16000):
+        for f in (50.0, 55.0, 60.0, 65.0):
+            t = np.arange(int(sr * 1.0))
+            tone = (0.3 * np.sin(2 * np.pi * f * t / sr)).astype(np.float32)
+            med, spread, ratio = clip_f0_stats(tone, sr)
+            assert med is not None and abs(med - f) / f < 0.03, (sr, f, med)
+            assert spread is not None and spread < 3.0, (sr, f, spread)
+            assert ratio > 0.9
+
+
+def test_full_band_sweep_no_octave_errors():
+    # The taper fix must not introduce octave/subharmonic flips anywhere in
+    # the band: sweep [50, 500) at both rates, require <3% error and a flat
+    # spread for every pure tone.
+    for sr in (8000, 16000):
+        for f in range(50, 500, 23):
+            t = np.arange(int(sr * 1.0))
+            tone = (0.3 * np.sin(2 * np.pi * f * t / sr)).astype(np.float32)
+            med, spread, _ = clip_f0_stats(tone, sr)
+            assert med is not None and abs(med - f) / f < 0.03, (sr, f, med)
+            assert spread is not None and spread < 10.0, (sr, f, spread)
+
+
 def test_sawtooth_tracks_fundamental():
     # harmonic-rich signal: autocorrelation must pick the fundamental
     f = 150.0
