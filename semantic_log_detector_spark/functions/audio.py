@@ -33,12 +33,19 @@ _DATA_HDR = struct.Struct("<4sI")
 
 
 def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
-    """float32 [-1,1] mono → 16-bit PCM RIFF/WAV bytes."""
-    ints = np.clip(np.asarray(pcm, dtype=np.float64) * 32767.0, -32768, 32767)
-    data = ints.astype("<i2").tobytes()
+    """float32 [-1,1] → 16-bit PCM RIFF/WAV bytes.
+
+    1-D input encodes mono (byte-identical to every prior round); a 2-D
+    ``(n_samples, n_channels)`` array encodes interleaved multi-channel —
+    the stereo fixture path for the round-5 downmix decode."""
+    arr = np.asarray(pcm, dtype=np.float64)
+    channels = 1 if arr.ndim == 1 else int(arr.shape[1])
+    ints = np.clip(arr * 32767.0, -32768, 32767)
+    data = ints.astype("<i2").tobytes()  # C-order: interleaved for 2-D
     n = len(data)
     hdr = _RIFF_HDR.pack(b"RIFF", 36 + n, b"WAVE")
-    fmt = _FMT_CHUNK.pack(b"fmt ", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    block = 2 * channels
+    fmt = _FMT_CHUNK.pack(b"fmt ", 16, 1, channels, sr_hz, sr_hz * block, block, 16)
     return hdr + fmt + _DATA_HDR.pack(b"data", n) + data
 
 
@@ -63,10 +70,15 @@ def resample_linear(pcm: np.ndarray, sr_hz: int, target_hz: int) -> np.ndarray:
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAV 16-bit mono → (float32 pcm in [-1,1], sr_hz).
+    """RIFF/WAV 16-bit → (float32 mono pcm in [-1,1], sr_hz).
 
-    Raises ValueError on malformed/truncated payloads — the decode check
-    turns that into a violation row rather than failing the job.
+    Multi-channel payloads are downmixed at decode time (mean of channels,
+    computed on the raw int16 samples so a stereo clip whose channels are
+    identical decodes bit-for-bit equal to its mono twin — the round-4
+    verdict's "highest real-user-frequency gap"). The mono path is the
+    unchanged fast path. Raises ValueError on malformed/truncated payloads —
+    the decode check turns that into a violation row rather than failing
+    the job.
     """
     if buf is None or len(buf) < 44:
         raise ValueError("payload too short for WAV header")
@@ -92,9 +104,28 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         off = body + csize + (csize & 1)
     if sr_hz is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16 or channels != 1:
+    if bits != 16 or channels is None or channels < 1:
         raise ValueError(f"unsupported WAV layout bits={bits} channels={channels}")
-    pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    ints = np.frombuffer(data, dtype="<i2")
+    if channels == 1:
+        pcm = ints.astype(np.float32) / 32767.0
+    else:
+        if len(ints) % channels:
+            raise ValueError(
+                f"data chunk of {len(ints)} samples is not a multiple of "
+                f"{channels} channels"
+            )
+        # decode-time downmix: mean over channels (exact in float64, and
+        # exactly representable in float32 — |mean| ≤ 32768 with at most
+        # one fractional bit per doubling of channels), then the SAME
+        # float32 division as the mono path so a stereo clip with
+        # identical channels decodes bit-for-bit equal to its mono twin
+        pcm = (
+            ints.reshape(-1, channels)
+            .mean(axis=1, dtype=np.float64)
+            .astype(np.float32)
+            / 32767.0
+        )
     return pcm, int(sr_hz)
 
 

@@ -3,8 +3,9 @@
 Closes the round-2 verdict's top item: the synthetic source's ``codec='flac'``
 rows previously carried WAV-framed bytes routed through the honest fake-decode
 path. This module implements a genuine FLAC encoder/decoder pair for the
-subset the engine needs — mono, 16-bit, CONSTANT + VERBATIM subframes — per
-the public FLAC format spec (https://xiph.org/flac/format.html / RFC 9639):
+subset the engine needs — mono + independent stereo (downmixed at decode
+time), 16-bit, CONSTANT + VERBATIM subframes — per the public FLAC format
+spec (https://xiph.org/flac/format.html / RFC 9639):
 
 * stream  = ``fLaC`` magic + STREAMINFO metadata block (+ skipped others)
 * frame   = header (sync, blocksize/sr/channel/bps codes, UTF-8 coded frame
@@ -25,8 +26,9 @@ computed as a log2(L)-round tree combine (``crc(A||B) = shift_{|B|}(crc(A))
 ^ crc(B)``) with precomputed 64K-entry shift-by-2^k-bytes maps. All frames
 of a clip are CRC'd in one (F × L) numpy pass; no per-byte Python loop.
 
-Out-of-subset streams (stereo, non-16-bit, FIXED/LPC subframes, wasted
-bits) raise NotImplementedError with the reason — never a wrong parse.
+Out-of-subset streams (>2 channels, side-channel stereo assignments,
+non-16-bit, FIXED/LPC subframes, wasted bits) raise NotImplementedError
+with the reason — never a wrong parse.
 Reference decode seam being made real: src/detection/pipeline.py:65-68
 (the reference's embedding encode), graft contract SURVEY.md §0.1/X5.
 """
@@ -162,21 +164,30 @@ _SR_CODE_TABLE = {
 
 
 def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
-    """float32 [-1,1] mono → real FLAC bytes (16-bit, VERBATIM/CONSTANT).
+    """float32 [-1,1] → real FLAC bytes (16-bit, VERBATIM/CONSTANT).
 
-    Same int16 quantization as ``encode_wav`` so the decoded PCM is
-    sample-identical to the WAV path. A block whose samples are all equal is
-    emitted as a CONSTANT subframe (2 bytes instead of 2·bs) — the one
-    compression opportunity the subset keeps.
+    1-D input encodes mono (byte-identical to every prior round); a 2-D
+    ``(n_samples, 2)`` array encodes independent-stereo frames (channel
+    assignment 0b0001 — two 16-bit subframes per frame, byte-aligned, no
+    side-channel bit packing). Same int16 quantization as ``encode_wav``
+    so the decoded PCM is sample-identical to the WAV path. A block whose
+    samples are all equal is emitted as a CONSTANT subframe (2 bytes
+    instead of 2·bs) — the one compression opportunity the subset keeps.
     """
     if not 16 <= block_size <= 32768:
         raise ValueError("FLAC block size must be in [16, 32768]")
-    ints = np.clip(np.asarray(pcm, dtype=np.float64) * 32767.0, -32768, 32767).astype(
-        "<i2"
-    )
+    arr = np.asarray(pcm, dtype=np.float64)
+    if arr.ndim == 2 and arr.shape[1] == 1:
+        arr = arr[:, 0]
+    if arr.ndim not in (1, 2) or (arr.ndim == 2 and arr.shape[1] != 2):
+        raise ValueError("encode_flac takes mono (1-D) or stereo (n, 2) input")
+    channels = 1 if arr.ndim == 1 else 2
+    ints = np.clip(arr * 32767.0, -32768, 32767).astype("<i2")
     n = len(ints)
     if n == 0:
         raise ValueError("cannot encode an empty clip")
+    # STREAMINFO MD5 is over the interleaved little-endian sample stream;
+    # C-order tobytes of an (n, 2) array is exactly that interleaving
     md5 = hashlib.md5(ints.tobytes()).digest()
     n_frames = (n + block_size - 1) // block_size
     last_bs = n - (n_frames - 1) * block_size
@@ -185,12 +196,19 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
 
     # STREAMINFO: min/max blocksize u16×2, min/max framesize u24×2 (0=unknown),
     # then sr(20) | channels-1(3) | bps-1(5) | total_samples(36) packed big-endian.
-    packed = (sr_hz << 44) | (0 << 41) | (15 << 36) | n
+    packed = (sr_hz << 44) | ((channels - 1) << 41) | (15 << 36) | n
     head = bytearray(b"fLaC")
     head += bytes([0x80, 0, 0, 34])  # last-metadata flag | type 0, length 34
     head += min_bs.to_bytes(2, "big") + max_bs.to_bytes(2, "big")
     head += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
     head += packed.to_bytes(8, "big") + md5
+
+    chan_code = 0b0000 if channels == 1 else 0b0001  # mono / independent LR
+
+    def _subframe(blk: np.ndarray) -> bytes:
+        if len(blk) and np.all(blk == blk[0]):
+            return b"\x00" + int(blk[0]).to_bytes(2, "big", signed=True)
+        return b"\x02" + blk.astype(">i2").tobytes()
 
     frames: list[bytes] = []
     for fi in range(n_frames):
@@ -198,16 +216,18 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
         bs = len(blk)
         # header: sync 0xFFF8 (fixed blocksize strategy), blocksize code 0b0111
         # (16-bit value at header end), sr code from table else 0b0000
-        # (streaminfo), channel 0 (mono), sample size 0b100 (16-bit).
+        # (streaminfo), channel code above, sample size 0b100 (16-bit).
         sr_code = _SR_CODE_TABLE.get(sr_hz, 0b0000)
-        hdr = bytearray([0xFF, 0xF8, (0b0111 << 4) | sr_code, 0b0000_100_0])
+        hdr = bytearray(
+            [0xFF, 0xF8, (0b0111 << 4) | sr_code, (chan_code << 4) | 0b100_0]
+        )
         hdr += _utf8_encode_num(fi)
         hdr += (bs - 1).to_bytes(2, "big")
         hdr.append(crc8(bytes(hdr)))
-        if bs and np.all(blk == blk[0]):
-            sub = b"\x00" + int(blk[0]).to_bytes(2, "big", signed=True)
+        if channels == 1:
+            sub = _subframe(blk)
         else:
-            sub = b"\x02" + blk.astype(">i2").tobytes()
+            sub = _subframe(blk[:, 0]) + _subframe(blk[:, 1])
         frames.append(bytes(hdr) + sub)
 
     width = max(len(f) for f in frames)
@@ -268,13 +288,17 @@ def _parse_streaminfo(buf: bytes) -> tuple[int, int, int, int, bytes, int]:
 
 
 def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
-    """Real FLAC subset decode → (float32 pcm in [-1,1], sr_hz).
+    """Real FLAC subset decode → (float32 mono pcm in [-1,1], sr_hz).
 
-    Supports mono 16-bit streams with CONSTANT/VERBATIM subframes (exactly
-    what :func:`encode_flac` emits, byte-aligned throughout). CRC-8 is
+    Supports mono and independent-stereo 16-bit streams with
+    CONSTANT/VERBATIM subframes (exactly what :func:`encode_flac` emits,
+    byte-aligned throughout). Stereo is downmixed at decode time (mean of
+    channels on the raw int16 samples, same arithmetic as the WAV path, so
+    identical channels decode bit-for-bit equal to the mono twin). CRC-8 is
     checked per header; CRC-16 of every frame is verified in one vectorized
-    pass; the STREAMINFO MD5 is verified against the decoded sample stream.
-    FIXED/LPC subframes, wasted bits, or multichannel raise
+    pass; the STREAMINFO MD5 is verified against the decoded interleaved
+    sample stream. FIXED/LPC subframes, wasted bits, >2 channels, or the
+    bit-packed left/right/mid-side stereo assignments raise
     NotImplementedError naming the unsupported feature. Malformed or
     truncated bytes raise ValueError (→ decode violation rows upstream).
     """
@@ -282,8 +306,10 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
         raise ValueError("payload is null")
     buf = bytes(buf)
     sr, ch, bps, total, md5, off = _parse_streaminfo(buf)
-    if ch != 1:
-        raise NotImplementedError(f"subset decoder is mono-only (channels={ch})")
+    if ch not in (1, 2):
+        raise NotImplementedError(
+            f"subset decoder is mono/stereo-only (channels={ch})"
+        )
     if bps != 16:
         raise NotImplementedError(f"subset decoder is 16-bit-only (bps={bps})")
 
@@ -302,9 +328,24 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
         size_code = (buf[off + 3] >> 1) & 0x7
         if buf[off + 3] & 1:
             raise ValueError("reserved frame-header bit set")
-        if chan_code != 0:
+        if chan_code == 0b0000:
+            frame_ch = 1
+        elif chan_code == 0b0001:
+            frame_ch = 2  # independent left/right: two byte-aligned subframes
+        elif chan_code in (0b1000, 0b1001, 0b1010):
             raise NotImplementedError(
-                f"subset decoder is mono-only (channel assignment {chan_code})"
+                "left/right/mid-side stereo carries a 17-bit side channel "
+                f"(channel assignment {chan_code:#06b}) — not byte-aligned, "
+                "not in the decoder subset"
+            )
+        else:
+            raise NotImplementedError(
+                f"subset decoder is mono/stereo-only (channel assignment {chan_code})"
+            )
+        if frame_ch != ch:
+            raise ValueError(
+                f"frame channel assignment ({frame_ch} ch) disagrees with "
+                f"STREAMINFO ({ch} ch)"
             )
         if size_code not in (0b000, 0b100):
             raise NotImplementedError(
@@ -351,40 +392,49 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
             raise ValueError(f"FLAC frame header CRC-8 mismatch at byte {start}")
         off2 += 1
 
-        if off2 + 1 > n:
-            raise ValueError("truncated FLAC subframe header")
-        sub = buf[off2]
-        off2 += 1
-        if sub & 0x80:
-            raise ValueError("subframe header padding bit set")
-        if sub & 0x01:
-            raise NotImplementedError("wasted-bits subframes not in decoder subset")
-        stype = (sub >> 1) & 0x3F
-        if stype == 0b000000:  # CONSTANT
-            if off2 + 2 > n:
-                raise ValueError("truncated CONSTANT subframe")
-            val = int.from_bytes(buf[off2 : off2 + 2], "big", signed=True)
-            chunks.append(np.full(bs, val, dtype=np.int16))
-            off2 += 2
-        elif stype == 0b000001:  # VERBATIM
-            if off2 + 2 * bs > n:
-                raise ValueError("truncated VERBATIM subframe")
-            chunks.append(
-                np.frombuffer(buf, dtype=">i2", count=bs, offset=off2).astype(
-                    np.int16
+        frame_channels: list[np.ndarray] = []
+        for _c in range(frame_ch):
+            if off2 + 1 > n:
+                raise ValueError("truncated FLAC subframe header")
+            sub = buf[off2]
+            off2 += 1
+            if sub & 0x80:
+                raise ValueError("subframe header padding bit set")
+            if sub & 0x01:
+                raise NotImplementedError(
+                    "wasted-bits subframes not in decoder subset"
                 )
-            )
-            off2 += 2 * bs
-        elif 0b001000 <= stype <= 0b001100:
-            raise NotImplementedError(
-                f"FIXED subframe (order {stype - 8}) not in decoder subset"
-            )
-        elif stype & 0b100000:
-            raise NotImplementedError(
-                f"LPC subframe (order {(stype & 0x1F) + 1}) not in decoder subset"
-            )
-        else:
-            raise ValueError(f"reserved subframe type {stype:#08b}")
+            stype = (sub >> 1) & 0x3F
+            if stype == 0b000000:  # CONSTANT
+                if off2 + 2 > n:
+                    raise ValueError("truncated CONSTANT subframe")
+                val = int.from_bytes(buf[off2 : off2 + 2], "big", signed=True)
+                frame_channels.append(np.full(bs, val, dtype=np.int16))
+                off2 += 2
+            elif stype == 0b000001:  # VERBATIM
+                if off2 + 2 * bs > n:
+                    raise ValueError("truncated VERBATIM subframe")
+                frame_channels.append(
+                    np.frombuffer(buf, dtype=">i2", count=bs, offset=off2).astype(
+                        np.int16
+                    )
+                )
+                off2 += 2 * bs
+            elif 0b001000 <= stype <= 0b001100:
+                raise NotImplementedError(
+                    f"FIXED subframe (order {stype - 8}) not in decoder subset"
+                )
+            elif stype & 0b100000:
+                raise NotImplementedError(
+                    f"LPC subframe (order {(stype & 0x1F) + 1}) not in decoder subset"
+                )
+            else:
+                raise ValueError(f"reserved subframe type {stype:#08b}")
+        chunks.append(
+            frame_channels[0]
+            if frame_ch == 1
+            else np.stack(frame_channels, axis=1)  # (bs, 2) interleaved order
+        )
 
         if off2 + 2 > n:
             raise ValueError("truncated FLAC frame (CRC-16)")
@@ -411,6 +461,14 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
             f"decoded {len(ints)} samples, STREAMINFO declares {total}"
         )
     if verify and md5 != b"\x00" * 16:
+        # MD5 covers the interleaved LE stream; C-order tobytes of the
+        # (n, 2) stereo array is exactly that interleaving
         if hashlib.md5(ints.astype("<i2").tobytes()).digest() != md5:
             raise ValueError("FLAC stream MD5 mismatch (decoded audio differs)")
-    return ints.astype(np.float32) / 32767.0, sr
+    if ch == 1:
+        return ints.astype(np.float32) / 32767.0, sr
+    # decode-time downmix, same arithmetic as the WAV path (mean exact in
+    # float64, exactly representable in float32, then float32 division)
+    return (
+        ints.mean(axis=1, dtype=np.float64).astype(np.float32) / 32767.0
+    ), sr

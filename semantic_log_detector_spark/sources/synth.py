@@ -632,3 +632,78 @@ def pitch_clips(
     schema = ("idx long, clip_id string, codec string, sr_hz int,"
               " dur_ms int, bytes binary, cls string, f0_true double")
     return rng.mapInPandas(gen, schema=schema)
+
+
+# ------------------------------------------------ stereo ground-truth corpus
+
+def stereo_twin_clips(
+    spark: SparkSession,
+    n_pairs: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Planted stereo/mono twin corpus for the round-5 downmix decode.
+
+    Emits ``2 * n_pairs`` rows: for each pair index a MONO clip and a
+    STEREO clip whose two channels are both exactly the mono signal, so
+    the decode-time downmix (mean of channels, computed on the raw int16
+    samples) must produce bit-identical PCM — and therefore bit-identical
+    outputs from every payload operator (fingerprints, VAD segments,
+    pitch, MFCC drift features...). Content alternates tone / speech-like
+    (glide+noise) / noise by idx % 3; codec alternates the two
+    channel-bearing containers ``pcm_s16le`` / ``flac``; sample rate is an
+    independent 8 kHz / 16 kHz draw. Columns: idx, pair_id, layout
+    ('mono'|'stereo'), clip_id, codec, sr_hz, dur_ms, bytes.
+    """
+    sr_choices = (16000, 8000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import encode_wav as _wav
+        from ..functions.flac import encode_flac as _flac
+
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            sr_row = np.where(
+                (_stream(i, 90, seed) % np.uint64(2)) == 0,
+                sr_choices[0], sr_choices[1],
+            )
+            f_base = 80.0 * np.power(4.0, _u01(i, 91, seed))  # [80, 320)
+            rows: list[dict] = []
+            for r in range(len(i)):
+                idx = int(i[r])
+                sr_r = int(sr_row[r])
+                t = np.arange(sr_r, dtype=np.float64) / sr_r  # 1 s
+                kind = idx % 3
+                if kind == 0:
+                    sig = 0.35 * np.sin(2 * np.pi * f_base[r] * t)
+                elif kind == 1:
+                    f_inst = f_base[r] * (1.0 + 0.8 * t)
+                    rng_r = np.random.Generator(
+                        np.random.Philox(key=idx * 2 + seed))
+                    sig = (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr_r)
+                           + 0.03 * rng_r.standard_normal(sr_r))
+                else:
+                    rng_r = np.random.Generator(
+                        np.random.Philox(key=idx * 2 + 1 + seed))
+                    sig = 0.1 * rng_r.standard_normal(sr_r)
+                sig32 = sig.astype(np.float32)
+                stereo = np.stack([sig32, sig32], axis=1)
+                codec = "pcm_s16le" if idx % 2 == 0 else "flac"
+                enc = _wav if codec == "pcm_s16le" else _flac
+                for layout, payload in (("mono", sig32), ("stereo", stereo)):
+                    rows.append({
+                        "idx": idx,
+                        "pair_id": f"t{idx:08d}",
+                        "layout": layout,
+                        "clip_id": f"t{idx:08d}_{layout}",
+                        "codec": codec,
+                        "sr_hz": sr_r,
+                        "dur_ms": 1000,
+                        "bytes": enc(payload, sr_r),
+                    })
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n_pairs, numPartitions=num_partitions)
+    schema = ("idx long, pair_id string, layout string, clip_id string,"
+              " codec string, sr_hz int, dur_ms int, bytes binary")
+    return rng.mapInPandas(gen, schema=schema)

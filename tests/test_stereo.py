@@ -1,0 +1,192 @@
+"""Round-5 stereo downmix decode: identical-channel stereo clips must be
+indistinguishable from their mono twins through every payload operator
+(the round-4 verdict's "highest real-user-frequency gap"), distinct
+channels must downmix to the exact mean, and the out-of-subset honesty
+refusals (G.711/ADPCM stereo, side-channel FLAC) must be unchanged."""
+
+import numpy as np
+import pytest
+
+from semantic_log_detector_spark.functions.audio import (
+    decode_clip,
+    decode_wav,
+    encode_wav,
+)
+from semantic_log_detector_spark.functions.flac import decode_flac, encode_flac
+
+SR = 16000
+
+
+def _sig(kind: str = "speech", sr: int = SR) -> np.ndarray:
+    t = np.arange(sr, dtype=np.float64) / sr
+    rng = np.random.Generator(np.random.Philox(key=3))
+    if kind == "tone":
+        return (0.35 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    if kind == "noise":
+        return (0.1 * rng.standard_normal(sr)).astype(np.float32)
+    f_inst = 120.0 * (1.0 + 0.8 * t)
+    return (
+        0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr)
+        + 0.03 * rng.standard_normal(sr)
+    ).astype(np.float32)
+
+
+# ------------------------------------------------------------ codec level
+
+
+@pytest.mark.parametrize("codec", ["wav", "flac"])
+def test_identical_channel_stereo_decodes_bit_identical_to_mono(codec):
+    enc, dec = (encode_wav, decode_wav) if codec == "wav" else (
+        encode_flac, decode_flac)
+    for kind in ("tone", "speech", "noise"):
+        for sr in (8000, 16000):
+            mono = _sig(kind, sr)
+            pm, s1 = dec(enc(mono, sr))
+            ps, s2 = dec(enc(np.stack([mono, mono], axis=1), sr))
+            assert s1 == s2 == sr
+            assert np.array_equal(pm, ps), (codec, kind, sr)
+
+
+@pytest.mark.parametrize("codec", ["wav", "flac"])
+def test_distinct_channel_stereo_downmixes_to_exact_mean(codec):
+    enc, dec = (encode_wav, decode_wav) if codec == "wav" else (
+        encode_flac, decode_flac)
+    l, r = _sig("speech"), _sig("tone")
+    got, _ = dec(enc(np.stack([l, r], axis=1), SR))
+    il = np.clip(np.asarray(l, np.float64) * 32767, -32768, 32767).astype(np.int16)
+    ir = np.clip(np.asarray(r, np.float64) * 32767, -32768, 32767).astype(np.int16)
+    want = ((il.astype(np.float64) + ir) / 2).astype(np.float32) / 32767.0
+    assert np.array_equal(got, want)
+
+
+def test_stereo_flac_with_constant_subframes_and_integrity():
+    # one silent channel exercises CONSTANT+VERBATIM mixing per frame;
+    # a flipped byte must still be caught by the frame CRC-16
+    l = np.zeros(SR, np.float32)
+    r = _sig("tone")
+    buf = encode_flac(np.stack([l, r], axis=1), SR)
+    got, _ = decode_flac(buf)
+    ir = np.clip(np.asarray(r, np.float64) * 32767, -32768, 32767).astype(np.int16)
+    want = (ir.astype(np.float64) / 2).astype(np.float32) / 32767.0
+    assert np.array_equal(got, want)
+    bad = bytearray(buf)
+    bad[len(bad) // 2] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+def test_mono_fast_path_unchanged():
+    # (n, 1)-shaped input and 1-D input produce byte-identical streams
+    mono = _sig("speech")
+    assert encode_flac(mono, SR) == encode_flac(mono.reshape(-1, 1), SR)
+    pm, _ = decode_wav(encode_wav(mono, SR))
+    pf, _ = decode_flac(encode_flac(mono, SR))
+    assert np.array_equal(pm, pf)  # same int16 quantization both paths
+
+
+def test_out_of_subset_refusals_unchanged():
+    from semantic_log_detector_spark.functions.g711 import encode_mulaw
+
+    # G.711 stereo: hand-build a 2-channel mulaw WAV header -> honest refusal
+    mono_mulaw = bytearray(encode_mulaw(_sig("tone"), SR))
+    # fmt chunk starts at byte 12; channel count is at offset 12+8+2
+    mono_mulaw[22] = 2
+    from semantic_log_detector_spark.functions.g711 import decode_mulaw
+
+    with pytest.raises(ValueError):
+        decode_mulaw(bytes(mono_mulaw))
+
+    # FLAC side-channel stereo (channel assignment 0b1000) -> NotImplemented
+    buf = bytearray(encode_flac(np.stack([_sig("tone")] * 2, axis=1), SR))
+    # first frame header starts right after the 4+4+34 byte metadata
+    fh = 42
+    assert buf[fh] == 0xFF and (buf[fh + 1] & 0xFC) == 0xF8
+    buf[fh + 3] = (0b1000 << 4) | 0b100_0
+    # re-seal the header CRC-8 so the refusal is about the feature, not CRC
+    from semantic_log_detector_spark.functions.flac import crc8
+
+    hdr_end = fh + 4 + 1 + 2  # fixed bytes + utf8 num (frame 0) + bs16
+    buf[hdr_end] = crc8(bytes(buf[fh:hdr_end]))
+    with pytest.raises(NotImplementedError, match="side"):
+        decode_flac(bytes(buf))
+
+    # >2 channel STREAMINFO -> NotImplemented
+    buf3 = bytearray(encode_flac(_sig("tone"), SR))
+    packed = int.from_bytes(buf3[18:26], "big")
+    packed |= 2 << 41  # channels-1 = 2
+    buf3[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError, match="channels=3"):
+        decode_flac(bytes(buf3))
+
+
+# --------------------------------------------------------- operator level
+
+
+@pytest.fixture(scope="module")
+def twins(spark):
+    from semantic_log_detector_spark.sources.synth import stereo_twin_clips
+
+    return stereo_twin_clips(spark, 24, seed=5).cache()
+
+
+def test_twin_fixture_shape(twins):
+    rows = twins.collect()
+    assert len(rows) == 48
+    assert {r["layout"] for r in rows} == {"mono", "stereo"}
+    assert {r["codec"] for r in rows} == {"pcm_s16le", "flac"}
+    # stereo payloads are genuinely bigger (two subframes / interleaved data)
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault(r["pair_id"], {})[r["layout"]] = len(r["bytes"])
+    assert all(v["stereo"] > v["mono"] for v in by_pair.values())
+
+
+def _pairs_equal(df, twins, value_cols, key_cols=("pair_id",)):
+    """Join operator output back to layouts and assert stereo == mono."""
+    out = df.join(
+        twins.select("clip_id", "pair_id", "layout"), "clip_id"
+    ).toPandas()
+    def canon(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return v
+
+    piv = {}
+    for _, row in out.iterrows():
+        k = tuple(row[c] for c in key_cols) + tuple(
+            row[c] for c in value_cols if c in ("seg_idx",))
+        piv.setdefault(k, {})[row["layout"]] = tuple(
+            canon(row[c]) for c in value_cols)
+    assert piv, "operator produced no rows"
+    for k, v in piv.items():
+        assert set(v) == {"mono", "stereo"}, (k, v)
+        assert v["mono"] == v["stereo"], (k, v)
+
+
+def test_stereo_twins_identical_fingerprints(twins):
+    from semantic_log_detector_spark.operators.audio_dedup import (
+        audio_fingerprint,
+    )
+
+    _pairs_equal(
+        audio_fingerprint(twins).withColumnRenamed("id", "clip_id"),
+        twins, ["fp", "fake"],
+    )
+
+
+def test_stereo_twins_identical_pitch(twins):
+    from semantic_log_detector_spark.operators.features import pitch_features
+
+    _pairs_equal(
+        pitch_features(twins), twins,
+        ["ok", "median_f0_hz", "f0_spread_hz", "voiced_ratio"],
+    )
+
+
+def test_stereo_twins_identical_segments(twins):
+    from semantic_log_detector_spark.operators.segment import speech_segments
+
+    _pairs_equal(
+        speech_segments(twins), twins,
+        ["seg_idx", "start_s", "end_s", "dur_s", "rms_db", "fake"],
+    )
