@@ -50,8 +50,9 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int | None = None) -> Co
     k = len(cols)
     if k == 0:
         raise ValueError("zorder needs at least one column")
+    dtypes = dict(df.dtypes)
     for c in cols:
-        t = dict(df.dtypes)[c]
+        t = dtypes[c]
         if not any(t.startswith(p) for p in _NUMERICISH):
             raise ValueError(
                 f"zorder column {c!r} has non-range-meaningful type {t!r}; "
@@ -60,10 +61,17 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int | None = None) -> Co
     if bits * k > 63:
         raise ValueError(f"bits*k = {bits * k} exceeds a long's 63 value bits")
 
+    def _as_double(c: str) -> Column:
+        # DATE cannot be cast to DOUBLE directly (round-5 ADVICE): go
+        # through days-since-epoch; TIMESTAMP casts to epoch seconds.
+        if dtypes[c] == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
     # one pass: min/max per cluster column (column-pruned scan)
     aggs = []
     for c in cols:
-        v = F.col(c).cast("double")
+        v = _as_double(c)
         aggs += [F.min(v).alias(f"_min_{c}"), F.max(v).alias(f"_max_{c}")]
     mm = df.agg(*aggs).collect()[0]
 
@@ -73,7 +81,7 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int | None = None) -> Co
         lo, hi = mm[f"_min_{c}"], mm[f"_max_{c}"]
         if lo is None or hi is None or hi <= lo:
             continue  # constant/all-null column contributes nothing
-        v = F.col(c).cast("double")
+        v = _as_double(c)
         rank = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top)))
         rank = F.coalesce(
             F.least(F.greatest(rank, F.lit(0)), F.lit(top)), F.lit(0)

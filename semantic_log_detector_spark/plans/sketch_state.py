@@ -106,18 +106,41 @@ def corpus_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     )
     # KLL merge is a two-arg scalar (no agg form): fold the per-increment
     # sketches driver-side — one kilobyte-sized row per increment, so this
-    # is bounded by the number of runs, never the corpus
-    kll_rows = [r["kll_dur_ms"] for r in st.select("kll_dur_ms").collect()]
-    merged = F.lit(bytearray(kll_rows[0]))
-    for s in kll_rows[1:]:
-        merged = F.kll_sketch_merge_bigint(merged, F.lit(bytearray(s)))
+    # is bounded by the number of runs, never the corpus. An increment
+    # sketched over 0 rows (or all-null dur_ms) stores an EMPTY 8-byte KLL
+    # buffer — flags byte 3 carries the DataSketches EMPTY bit — which
+    # kll_sketch_get_quantile rejects at runtime; filter those (and nulls)
+    # out, and with none left the quantiles are an explicit NULL "no
+    # sketches yet" result instead of a crash (round-5 ADVICE).
+    def _usable(buf) -> bool:
+        if buf is None:
+            return False
+        b = bytes(buf)
+        return len(b) > 8 and not (b[3] & 0x01)
+
+    kll_rows = [
+        r["kll_dur_ms"]
+        for r in st.select("kll_dur_ms").collect()
+        if _usable(r["kll_dur_ms"])
+    ]
+    if kll_rows:
+        merged = F.lit(bytearray(kll_rows[0]))
+        for s in kll_rows[1:]:
+            merged = F.kll_sketch_merge_bigint(merged, F.lit(bytearray(s)))
+        q50 = F.kll_sketch_get_quantile_bigint(merged, F.lit(0.5))
+        q95 = F.kll_sketch_get_quantile_bigint(merged, F.lit(0.95))
+        q99 = F.kll_sketch_get_quantile_bigint(merged, F.lit(0.99))
+    else:
+        q50 = q95 = q99 = F.lit(None).cast("long")
     return hll.select(
         "*",
-        F.kll_sketch_get_quantile_bigint(merged, F.lit(0.5)).alias("dur_ms_p50"),
-        F.kll_sketch_get_quantile_bigint(merged, F.lit(0.95)).alias("dur_ms_p95"),
-        F.kll_sketch_get_quantile_bigint(merged, F.lit(0.99)).alias("dur_ms_p99"),
-        (F.lit(1.0) - F.col("distinct_clip_ids") / F.col("total_rows"))
-        .alias("duplicate_ratio"),
+        q50.alias("dur_ms_p50"),
+        q95.alias("dur_ms_p95"),
+        q99.alias("dur_ms_p99"),
+        F.when(
+            F.coalesce(F.col("total_rows"), F.lit(0)) > 0,
+            F.lit(1.0) - F.col("distinct_clip_ids") / F.col("total_rows"),
+        ).alias("duplicate_ratio"),
     )
 
 
@@ -135,8 +158,18 @@ def feed_overlap(
         .select("run_id", "recorded_at", "n_rows", "hll_clip_id")
     a = st.alias("a")
     b = st.alias("b")
+    # strict composite (recorded_at, run_id) ordering: two increments
+    # written with EQUAL wall-clock timestamps (coarse clock, skewed
+    # drivers, restored state) would each be invisible in the other's
+    # prior union under a bare recorded_at '<' — a re-delivered feed
+    # landing in the tie would evade R090. The run_id tiebreak makes
+    # exactly one of them prior to the other (round-5 ADVICE).
+    is_prior = (F.col("b.recorded_at") < F.col("a.recorded_at")) | (
+        (F.col("b.recorded_at") == F.col("a.recorded_at"))
+        & (F.col("b.run_id") < F.col("a.run_id"))
+    )
     prior = (
-        a.join(b, F.col("b.recorded_at") < F.col("a.recorded_at"), "left")
+        a.join(b, is_prior, "left")
         .groupBy("a.run_id", "a.recorded_at", "a.n_rows", "a.hll_clip_id")
         .agg(F.hll_union_agg("b.hll_clip_id", F.lit(True)).alias("prior_hll"))
     )
@@ -168,4 +201,4 @@ def feed_overlap(
         "*",
         F.lit(R_DUPLICATE_FEED).alias("rule_id"),
         (F.col("overlap_ratio") <= F.lit(threshold)).alias("passed"),
-    ).orderBy("recorded_at")
+    ).orderBy("recorded_at", "run_id")

@@ -136,3 +136,24 @@ def test_orc_dispatch_roundtrip(spark, tmp_path):
     assert got.count() == 100
     assert got.agg(F.sum("k")).collect()[0][0] == \
         sum(i % 7 for i in range(100))
+
+
+def test_zorder_accepts_date_and_timestamp_columns(spark, tmp_path):
+    # Round-5 ADVICE: 'date' passed the type gate but DATE->DOUBLE cast
+    # blew up at the min/max agg. Both temporal types must now cluster.
+    from semantic_log_detector_spark.plans.layout import cluster_zorder
+
+    df = spark.range(0, 2000).selectExpr(
+        "id",
+        "date_add(date'2024-01-01', cast(id % 365 as int)) as d",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts",
+        "cast(id % 97 as double) as v",
+    )
+    out = str(tmp_path / "zd")
+    cluster_zorder(df, ["d", "v"], out, n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert back.agg(F.min("d"), F.max("d")).collect()[0] is not None
+    out2 = str(tmp_path / "zt")
+    cluster_zorder(df, ["ts", "v"], out2, n_files=8)
+    assert spark.read.parquet(out2).count() == 2000

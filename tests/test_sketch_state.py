@@ -112,3 +112,35 @@ def test_sketch_build_never_reads_payload(spark):
         for nm in names:
             os.unlink(os.path.join(root, nm))
         os.rmdir(root)
+
+
+def test_rollup_empty_and_allnull_sketches(spark, tmp_path):
+    # Round-5 ADVICE: a 0-row increment stores a NULL kll sketch; the
+    # rollup must return explicit NULL quantiles, not IndexError/TypeError.
+    out = str(tmp_path / "out")
+    empty = _clips(spark, 0, 10).filter(F.lit(False))
+    write_increment_sketches(spark, empty, out, "r_empty")
+    r = corpus_rollup(spark, out).collect()[0]
+    assert r["n_increments"] == 1 and r["total_rows"] == 0
+    assert r["dur_ms_p50"] is None and r["dur_ms_p95"] is None
+    assert r["duplicate_ratio"] is None
+    # a real increment alongside the empty one: quantiles come back
+    write_increment_sketches(spark, _clips(spark, 0, 2000), out, "r_real")
+    r2 = corpus_rollup(spark, out).collect()[0]
+    assert r2["n_increments"] == 2 and r2["dur_ms_p50"] is not None
+
+
+def test_feed_overlap_timestamp_tie_still_flags_duplicate(spark, tmp_path):
+    # Round-5 ADVICE: two increments with EQUAL recorded_at (coarse clock /
+    # restored state) must still see each other through the run_id
+    # tiebreak — a re-delivered feed in the tie cannot evade R090.
+    out = str(tmp_path / "out")
+    tie = 1700000000.0
+    for run_id in ("r1", "r2"):  # r2 is a byte-identical re-delivery
+        row = increment_sketch_row(_clips(spark, 0, 3000), run_id) \
+            .withColumn("recorded_at", F.lit(tie))
+        row.coalesce(1).write.mode("append").parquet(f"{out}/sketch_state")
+    res = {r["run_id"]: r for r in feed_overlap(spark, out).collect()}
+    assert res["r1"]["passed"]          # first in composite order: no prior
+    assert not res["r2"]["passed"]      # the tie-breaking later run is caught
+    assert res["r2"]["overlap_ratio"] > 0.9
