@@ -166,6 +166,45 @@ def main(argv: list[str] | None = None) -> int:
                     help="R090 overlap_ratio threshold")
     sk.add_argument("--master", default=None)
 
+    st = sub.add_parser(
+        "stream",
+        help="online validation over a watch directory: row rules + "
+             "windowed duplicate-id / speech-health / vocab-drift twins "
+             "(streaming/stream_checks.py) with exactly-once checkpoints",
+    )
+    st.add_argument("--watch", required=True,
+                    help="directory of parquet clip files; new files are "
+                         "picked up as micro-batches (schema from the files "
+                         "already present)")
+    st.add_argument("--out", required=True,
+                    help="sink dir: violations/ dup_ids/ [speech_health/ "
+                         "vocab_drift/] + stream_report.json; checkpoints "
+                         "live under <out>/_checkpoints so a later run "
+                         "resumes exactly-once")
+    st.add_argument("--ts-col", default="ts", help="event-time column")
+    st.add_argument("--window", default="60 seconds")
+    st.add_argument("--watermark", default="2 minutes",
+                    help="late-data allowance; windows older than the "
+                         "watermark close and flush to the sinks — windows "
+                         "still open when an --once run drains stay pending "
+                         "in the checkpoint for the NEXT run (documented "
+                         "deferral, never a silent drop)")
+    st.add_argument("--num-parts", type=int, default=64)
+    st.add_argument("--payload", action="store_true",
+                    help="also run the one-decode payload rules (R060-R067) "
+                         "and the windowed speech-health monitor on the "
+                         "bytes column")
+    st.add_argument("--vocab-baseline", default=None,
+                    help="batch table (parquet/csv/json) whose transcript "
+                         "vocabulary is the R091 drift baseline; enables "
+                         "the windowed vocab-PSI twin")
+    st.add_argument("--follow", action="store_true",
+                    help="keep watching for new files until --timeout-s "
+                         "(default: drain what is present and exit)")
+    st.add_argument("--timeout-s", type=float, default=60.0,
+                    help="--follow mode: stop after this many seconds")
+    st.add_argument("--master", default=None)
+
     dc = sub.add_parser(
         "datacard",
         help="corpus datasheet: counts, codec mix, duration/speech/loudness "
@@ -250,6 +289,9 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             if owned:
                 spark.stop()
+
+    if args.cmd == "stream":
+        return _run_stream(args)
 
     if args.cmd in ("segment", "augment", "features", "wds-export", "wds-import"):
         return _run_transform(args)
@@ -348,6 +390,141 @@ def main(argv: list[str] | None = None) -> int:
             f"wall={result.wall_s:.1f}s overall={'PASS' if report['overall_passed'] else 'FAIL'}"
             f"{qmsg}"
         )
+        return 0
+    finally:
+        if owned:
+            spark.stop()
+
+
+def _run_stream(args) -> int:
+    """`stream` subcommand: the library's streaming twins behind one CLI.
+
+    One Structured Streaming source (file watch dir), four independent
+    sink queries, each exactly-once via its own checkpoint:
+
+      violations/     stateless row rules (stream_row_violations), plus
+                      the one-decode payload rules when --payload
+      dup_ids/        windowed clip_id-uniqueness twin (bounded state;
+                      cross-window dups defer to the batch check)
+      speech_health/  windowed decode/speech/fake monitor (--payload)
+      vocab_drift/    windowed R091 vocab PSI vs a batch baseline
+                      (--vocab-baseline)
+
+    Default is drain-and-exit (trigger availableNow): validate every file
+    currently in --watch, flush windows the watermark has passed, leave
+    still-open windows pending in the checkpoint for the next invocation —
+    the same deferral contract the streaming twins document against their
+    batch authorities. stream_report.json summarizes the run's sinks.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .checks.base import RunContext
+    from .checks.row_rules import default_clip_rules
+    from .streaming.stream_checks import (
+        stream_duplicate_ids,
+        stream_payload_violations,
+        stream_row_violations,
+        stream_speech_health,
+        stream_vocab_drift,
+        vocab_bucket_counts,
+    )
+
+    spark, owned = _session(args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        try:
+            schema = spark.read.parquet(args.watch).schema
+        except Exception:
+            print(f"--watch {args.watch} has no readable parquet files yet; "
+                  "drop at least one file first (its schema seeds the stream)")
+            return 2
+        if args.ts_col not in schema.fieldNames():
+            print(f"--watch files carry no {args.ts_col!r} event-time column")
+            return 2
+        stream = spark.readStream.schema(schema).parquet(args.watch)
+        ctx = RunContext(run_id="stream", num_parts=args.num_parts)
+        rules = default_clip_rules()
+        ckpt = f"{args.out}/_checkpoints"
+        queries = []
+
+        def start(df, name):
+            w = (df.writeStream.format("parquet")
+                 .option("path", f"{args.out}/{name}")
+                 .option("checkpointLocation", f"{ckpt}/{name}"))
+            if not args.follow:
+                w = w.trigger(availableNow=True)
+            queries.append((name, w.start()))
+
+        viol = stream_row_violations(stream, rules, ctx)
+        if args.payload and "bytes" in schema.fieldNames():
+            # payload rules emit the sparse 5-column shape; pad to the row
+            # rules' full violation schema so one sink holds both
+            viol = viol.unionByName(
+                stream_payload_violations(stream, ctx, wps_range=(0.3, 6.0)),
+                allowMissingColumns=True,
+            )
+        start(viol, "violations")
+        start(
+            stream_duplicate_ids(stream, "clip_id", args.ts_col,
+                                 window=args.window,
+                                 watermark=args.watermark),
+            "dup_ids")
+        if args.payload and "bytes" in schema.fieldNames():
+            start(
+                stream_speech_health(stream, ts_col=args.ts_col,
+                                     window=args.window,
+                                     watermark=args.watermark),
+                "speech_health")
+        if args.vocab_baseline:
+            from .sources.files import read_file
+
+            baseline = vocab_bucket_counts(read_file(spark, args.vocab_baseline))
+            start(
+                stream_vocab_drift(stream, baseline, ts_col=args.ts_col,
+                                   window=args.window,
+                                   watermark=args.watermark),
+                "vocab_drift")
+
+        if args.follow:
+            import time as _time
+
+            deadline = _time.time() + args.timeout_s
+            for _name, q in queries:
+                q.awaitTermination(max(0.0, deadline - _time.time()))
+            for _name, q in queries:
+                q.stop()
+            for _name, q in queries:
+                q.awaitTermination()
+        else:
+            for _name, q in queries:
+                q.awaitTermination()
+
+        report: dict = {"mode": "follow" if args.follow else "drain",
+                        "watch": args.watch, "sinks": {}}
+        summary_bits = []
+        for name, _q in queries:
+            try:
+                df = spark.read.parquet(f"{args.out}/{name}")
+                n = df.count()
+            except Exception:
+                n = 0
+            sink: dict = {"rows": n}
+            if n and name == "violations":
+                sink["by_rule"] = {
+                    r["rule_id"]: r["n"]
+                    for r in df.groupBy("rule_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+            if n and name == "vocab_drift":
+                sink["windows_failed"] = df.filter("not passed").count()
+            report["sinks"][name] = sink
+            summary_bits.append(f"{name}={n}")
+        with open(f"{args.out}/stream_report.json", "w") as f:
+            json.dump(report, f, indent=2, default=str)
+        print("stream: " + " ".join(summary_bits)
+              + f" report={args.out}/stream_report.json")
         return 0
     finally:
         if owned:
