@@ -129,3 +129,81 @@ def test_report_renders_increments_and_mutation_finding(spark, tmp_path):
     rep2 = write_report(spark, out)
     assert rep2["increments"]["mutated_files"] >= 1
     assert "BROKEN IMMUTABILITY" in open(os.path.join(out, "report.md")).read()
+
+
+def test_distributed_listing_matches_walk(spark, tmp_path):
+    # nested partition dirs + root-level files: the distributed listing
+    # must agree exactly with the driver-side reference walk
+    from semantic_log_detector_spark.plans.incremental import (
+        list_data_files_df,
+    )
+
+    table = str(tmp_path / "table")
+    spark.range(0, 100).withColumn("p", F.col("id") % 4) \
+        .write.partitionBy("p").parquet(table)
+    spark.range(100, 110).coalesce(1).write.mode("append").parquet(table)
+    got = sorted(
+        (r["file"], r["size"])
+        for r in list_data_files_df(spark, table).collect())
+    assert got == list_data_files(table) and len(got) > 4
+
+
+def test_first_run_never_materializes_listing(spark, tmp_path, monkeypatch):
+    # Round-5 verdict item 4: the bootstrap over a fresh corpus must not
+    # build a driver-side path list — _collect_increment is the ONE
+    # materialization seam, and the first run may not reach it.
+    import semantic_log_detector_spark.plans.incremental as inc
+
+    def boom(df):
+        raise AssertionError("first run materialized the listing")
+
+    monkeypatch.setattr(inc, "_collect_increment", boom)
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    _write_batch(spark, table, 300, seed=1)
+    n1, res1 = validate_increment(spark, table, out, CFG)
+    assert n1 == len(list_data_files(table)) and res1 is not None
+
+    # later increments DO collect — but only increment-sized inputs
+    monkeypatch.undo()
+    seen = []
+    real = inc._collect_increment
+    monkeypatch.setattr(
+        inc, "_collect_increment",
+        lambda df: seen.append(real(df)) or seen[-1])
+    before = {f for f, _ in list_data_files(table)}
+    _write_batch(spark, table, 100, seed=2)
+    added = {f for f, _ in list_data_files(table)} - before
+    n2, _ = validate_increment(spark, table, out, CFG)
+    assert n2 == len(added)
+    assert len(seen) == 1 and {f for f, _ in seen[0]} == added
+
+
+def test_ledger_compaction_and_crash_recovery(spark, tmp_path):
+    import os
+    import shutil
+
+    from semantic_log_detector_spark.plans.incremental import (
+        maybe_compact_ledger,
+    )
+
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    for seed in range(1, 6):  # five increments -> five ledger part files
+        _write_batch(spark, table, 60, seed=seed)
+        validate_increment(spark, table, out, CFG)
+    ledger = f"{out}/files_ledger"
+    n_rows = spark.read.parquet(ledger).count()
+    parts = lambda: [n for n in os.listdir(ledger) if n.endswith(".parquet")]
+    assert len(parts()) >= 5
+    assert maybe_compact_ledger(spark, out, max_parts=2)
+    assert len(parts()) <= 2
+    assert spark.read.parquet(ledger).count() == n_rows  # row-preserving
+    # anti-join still sees everything ledgered: a no-op increment
+    n0, res0 = validate_increment(spark, table, out, CFG)
+    assert n0 == 0 and res0 is None
+
+    # crash between rm(old) and rename(new): reader adopts .compacted
+    shutil.move(ledger, f"{ledger}.compacted")
+    assert increment_history(spark, out).count() == n_rows
+    assert os.path.isdir(ledger) and not os.path.isdir(f"{ledger}.compacted")
