@@ -402,13 +402,53 @@ def pq_topk(
     ADC candidates, fetch ONLY those R×Q raw vectors via a broadcast
     semi-join of the (tiny) candidate list against the base table — the
     base side still never shuffles — and exact-rank them. dist is then
-    true squared L2 on the survivors."""
+    true squared L2 on the survivors.
+
+    ``max_queries`` bounds the per-pass BROADCAST (one m×ksub float table
+    per query), not the caller (round-5: the old hard error made the
+    documented contract the caller's problem). A larger query side is
+    processed in internal chunks of ``max_queries`` — the query stream is
+    pulled one chunk at a time (toLocalIterator, never all resident), and
+    each chunk is one full no-shuffle base scan, so Q queries cost
+    ceil(Q/max_queries) scans; the per-chunk broadcast bound is
+    unchanged. Query ids must be unique (the standard kNN contract)."""
+    chunks = []
+    it = queries.select(query_id, vec_col).toLocalIterator()
+    while True:
+        from itertools import islice
+
+        qrows = list(islice(it, max_queries))
+        if not qrows:
+            break
+        chunks.append(_pq_topk_chunk(
+            qrows, base_codes, codebooks, k=k, query_id=query_id,
+            base_id=base_id, vec_col=vec_col, code_col=code_col,
+            rerank=rerank, rerank_base=rerank_base,
+            query_schema=queries.schema))
+    if not chunks:
+        raise ValueError("pq_topk got an empty query side")
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _pq_topk_chunk(
+    qrows: list,
+    base_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    query_id: str,
+    base_id: str,
+    vec_col: str,
+    code_col: str,
+    rerank: int,
+    rerank_base: DataFrame | None,
+    query_schema,
+) -> DataFrame:
+    """One ADC pass over the base for ≤ max_queries collected query rows
+    (the broadcast-bounded unit pq_topk loops over)."""
     m, ksub, dsub = codebooks.shape
-    qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"pq_topk query side exceeds max_queries={max_queries}; ADC "
-            "broadcasts one m×{ksub} table per query — batch the queries")
     qids = [r[query_id] for r in qrows]
     qv = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     # tables[i, j, c] = ||q_i[j] - C[j, c]||²
@@ -450,7 +490,7 @@ def pq_topk(
                 out_d.extend(d[top].tolist())
             yield pd.DataFrame({query_id: out_q, base_id: out_b, "dist": out_d})
 
-    qt = queries.schema[query_id].dataType.simpleString()
+    qt = query_schema[query_id].dataType.simpleString()
     bt = base_codes.schema[base_id].dataType.simpleString()
     cand = base_codes.select(base_id, code_col).mapInPandas(
         gen, schema=f"{query_id} {qt}, {base_id} {bt}, dist double")
@@ -595,14 +635,48 @@ def ivfpq_topk(
     each); per-batch deterministic top-k per query, global window rank.
     ``nprobe == n_cells`` degrades to pq_topk-quality over the full base —
     the correctness crosscheck. ``rerank``/``rerank_base`` as in pq_topk.
+    ``max_queries`` chunks a larger query side internally exactly like
+    pq_topk (per-chunk broadcast bound, one codes scan per chunk).
     """
+    chunks = []
+    it = queries.select(query_id, vec_col).toLocalIterator()
+    while True:
+        from itertools import islice
+
+        qrows = list(islice(it, max_queries))
+        if not qrows:
+            break
+        chunks.append(_ivfpq_topk_chunk(
+            qrows, base_codes, centroids, codebooks, k=k, nprobe=nprobe,
+            query_id=query_id, base_id=base_id, vec_col=vec_col,
+            rerank=rerank, rerank_base=rerank_base,
+            query_schema=queries.schema))
+    if not chunks:
+        raise ValueError("ivfpq_topk got an empty query side")
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _ivfpq_topk_chunk(
+    qrows: list,
+    base_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    base_id: str,
+    vec_col: str,
+    rerank: int,
+    rerank_base: DataFrame | None,
+    query_schema,
+) -> DataFrame:
+    """One residual-ADC pass for ≤ max_queries collected query rows."""
     m, ksub, dsub = codebooks.shape
     n_cells = len(centroids)
     nprobe = min(int(nprobe), n_cells)
-    qrows = queries.select(query_id, vec_col).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"ivfpq_topk query side exceeds max_queries={max_queries}")
     qids = [r[query_id] for r in qrows]
     qv = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     qc = -2.0 * qv @ centroids.T + (centroids * centroids).sum(axis=1)[None, :]
@@ -653,7 +727,7 @@ def ivfpq_topk(
                     out_d.extend(d[top].tolist())
             yield pd.DataFrame({query_id: out_q, base_id: out_b, "dist": out_d})
 
-    qt = queries.schema[query_id].dataType.simpleString()
+    qt = query_schema[query_id].dataType.simpleString()
     bt = base_codes.schema[base_id].dataType.simpleString()
     cand = base_codes.select(base_id, "cell", "pq_code").mapInPandas(
         gen, schema=f"{query_id} {qt}, {base_id} {bt}, dist double")
