@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="validate only files added to --input since the "
                           "last run (files ledger + stored drift baseline "
                           "under --out); --input must be a parquet dir")
+    run.add_argument("--ann-index", action="store_true",
+                     help="with --incremental: append each increment's "
+                          "clips into the standing ANN indexes under "
+                          "<out>/ann_index (PQ acoustic-embedding codes + "
+                          "snippet-search landmarks; plans/ann_index.py)")
     run.add_argument("--quarantine", action="store_true",
                      help="after the suite, write <out>/clean and "
                           "<out>/quarantined corpus views (quarantined rows "
@@ -220,8 +225,10 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "optimize":
+        # NOTE: no local `import os` here — a function-local import would
+        # make `os` local to ALL of main() and break the module-level
+        # uses in the `run` branch (UnboundLocalError)
         import math
-        import os
 
         from .plans.layout import cluster_zorder, compact_files
 
@@ -350,6 +357,10 @@ def main(argv: list[str] | None = None) -> int:
             args.input if args.input and os.path.isdir(args.input)
             and not os.path.isdir(os.path.join(args.input, "metadata")) else None
         )
+        if args.ann_index and not args.incremental:
+            print("--ann-index rides the increment boundary: use it with "
+                  "--incremental")
+            return 2
         if args.incremental:
             if not (args.input and os.path.isdir(args.input)):
                 print("--incremental needs --input pointing at a parquet dir")
@@ -361,8 +372,13 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             from .plans.incremental import validate_increment
 
+            ann = None
+            if args.ann_index:
+                from .plans.ann_index import AnnIndexConfig
+
+                ann = AnnIndexConfig()
             n_new, result = validate_increment(
-                spark, args.input, args.out, cfg, transcripts)
+                spark, args.input, args.out, cfg, transcripts, ann=ann)
             if result is None:
                 print("no new files since the last increment")
                 return 0

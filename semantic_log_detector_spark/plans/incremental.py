@@ -120,9 +120,13 @@ def _new_files_df(
     """(files not yet ledgered at their current size, ledger_exists) via a
     left-anti join — neither the ledger (corpus-sized after years of
     increments) nor the listing ever lands on the driver."""
+    # isdir probe first: letting spark.read raise on a missing first-run
+    # ledger works, but Hadoop logs the FileNotFoundException stack at
+    # WARN — pure noise on every bootstrap (local/NFS paths only here)
+    if not os.path.isdir(_ledger_read_path(ledger_path)):
+        return listing, False
     try:
-        led = spark.read.parquet(_ledger_read_path(ledger_path)) \
-            .select("file", "size")
+        led = spark.read.parquet(ledger_path).select("file", "size")
     except Exception:
         return listing, False
     return listing.join(led, ["file", "size"], "left_anti"), True
@@ -156,6 +160,7 @@ def validate_increment(
     transcripts: DataFrame | None = None,
     write_baseline: bool = True,
     sketches: bool = True,
+    ann=None,
 ) -> tuple[int, RunResult | None]:
     """Validate the files of ``table_dir`` not yet in the files ledger.
 
@@ -202,11 +207,12 @@ def validate_increment(
     baseline_path = f"{out_dir}/{_BASELINE}"
     baseline = None
     have_baseline = False
-    try:
-        baseline = spark.read.parquet(baseline_path)
-        have_baseline = True
-    except Exception:
-        pass
+    if os.path.isdir(baseline_path):
+        try:
+            baseline = spark.read.parquet(baseline_path)
+            have_baseline = True
+        except Exception:
+            pass
 
     res = run_suite(
         spark, clips, transcripts, out_dir, cfg,
@@ -238,6 +244,15 @@ def validate_increment(
         from .sketch_state import write_increment_sketches
 
         write_increment_sketches(spark, clips, out_dir, res.run_id)
+
+    if ann is not None:
+        # append this increment into the standing ANN indexes (PQ codes +
+        # snippet landmarks) — written BEFORE the files ledger, into an
+        # incr=<fingerprint> subdir with overwrite mode, so a crash
+        # anywhere re-runs idempotently (plans/ann_index.py docstring)
+        from .ann_index import append_increment_index
+
+        append_increment_index(spark, clips, out_dir, fingerprint, ann)
 
     # record the increment's files LAST: a crash before this line leaves
     # the files unrecorded and the next call revalidates them — the run

@@ -68,12 +68,13 @@ def test_flac_verification_catches_corruption_and_truncation():
 
 
 def test_flac_subset_refuses_out_of_subset_features():
-    # stereo STREAMINFO: channels-1 = 1 in the packed bits
+    # 3-channel STREAMINFO: channels-1 = 2 in the packed bits (stereo is
+    # in-subset since the round-5 downmix; >2 channels still refuses)
     buf = bytearray(encode_flac(_pcm(), 16000))
     # packed u64 sits at 8 (magic+block hdr) + 10 (block/frame sizes); its
-    # byte 2 covers bits 47-40, and channels-1 is bits 43-41 → bit 41 = 0x02
-    buf[8 + 10 + 2] |= 0x02
-    with pytest.raises(NotImplementedError, match="mono-only"):
+    # byte 2 covers bits 47-40, and channels-1 is bits 43-41 → bit 42 = 0x04
+    buf[8 + 10 + 2] |= 0x04
+    with pytest.raises(NotImplementedError, match="mono/stereo-only"):
         decode_flac(bytes(buf))
 
 
