@@ -153,14 +153,26 @@ def _q07_set_ops(spark, sf):
     )
 
 
-def _q08_sliding_avg(spark, sf):
+def _q08_window_scalars(spark, sf):
+    """Per-event window scalars in one pass: the 5-row sliding mean/count
+    (former q08 sliding_avg) and the 10-row z-score-capped adjustment
+    (former q12 zscore_window) — merged in round 5 to free a 50-slot
+    registry slot for the vocab-drift promotion. Both windows share one
+    (user_id, ts, event_id) partitioning+ordering, so the merged query
+    sorts once where the two slots sorted twice."""
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    w5 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    w10 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    mean = F.avg("value").over(w10)
+    std = F.stddev_samp("value").over(w10)
+    z = F.when(std > 0, (F.col("value") - mean) / std).otherwise(F.lit(0.0))
+    factor = F.least(F.greatest(F.lit(1.0) + z / 3.0, F.lit(0.5)), F.lit(2.0))
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("avg5"),
-        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.avg("value").over(w5), 6).alias("avg5"),
+        F.count(F.lit(1)).over(w5).alias("n_window"),
+        F.round(F.col("value") * factor, 6).alias("adjusted"),
     )
 
 
@@ -201,16 +213,6 @@ def _q09_event_scalars(spark, sf):
             (F.round(F.cos(2 * 3.141592653589793 * F.hour("ts") / 24.0), 6) + 0.0).alias("hour_cos"),
         )
     )
-
-
-def _q12_zscore_window(spark, sf):
-    e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
-    mean = F.avg("value").over(w)
-    std = F.stddev_samp("value").over(w)
-    z = F.when(std > 0, (F.col("value") - mean) / std).otherwise(F.lit(0.0))
-    factor = F.least(F.greatest(F.lit(1.0) + z / 3.0, F.lit(0.5)), F.lit(2.0))
-    return e.select("event_id", F.round(F.col("value") * factor, 6).alias("adjusted"))
 
 
 def _q13_window_alerts(spark, sf):
@@ -261,7 +263,13 @@ def _q15_doc_scalars(spark, sf):
     )
 
 
-def _q18_confusion(spark, sf):
+def _q18_threshold_metrics(spark, sf):
+    """Model-eval metrics in one row: confusion cells + derived metrics at
+    the fixed 50.0 threshold (former q18 confusion) CROSS JOINed with the
+    ROC-sweep F1 argmax (former q19 best_threshold) — merged in round 5 to
+    free a 50-slot registry slot for the LM-perplexity promotion. Both
+    sides are single-row aggregates, so the join is a broadcast of one
+    row; each retired slot's operator is fully oracled here."""
     e = _t(spark, sf, "events")
     y = (F.col("event_type") == "error").cast("int")
     p = (F.col("value") > 50.0).cast("int")
@@ -273,17 +281,13 @@ def _q18_confusion(spark, sf):
     )
     prec = F.col("tp") / (F.col("tp") + F.col("fp"))
     rec = F.col("tp") / (F.col("tp") + F.col("fn"))
-    return cells.select(
+    fixed = cells.select(
         "tp", "fp", "fn", "tn",
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
         F.round((F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")), 6).alias("accuracy"),
     )
-
-
-def _q19_best_threshold(spark, sf):
-    e = _t(spark, sf, "events")
     by_v = (
         e.select(F.round("value", 0).alias("v"), (F.col("event_type") == "error").cast("long").alias("y"))
         .groupBy("v")
@@ -303,11 +307,13 @@ def _q19_best_threshold(spark, sf):
     fp = F.col("cum_n") - tp
     fn = F.col("pos_all") - tp
     f1 = 2 * tp / (2 * tp + fp + fn)
-    return (
-        scored.select(F.col("v").alias("threshold"), F.round(f1, 6).alias("f1"))
-        .orderBy(F.desc("f1"), F.asc("threshold"))
+    best = (
+        scored.select(F.col("v").alias("best_threshold"),
+                      F.round(f1, 6).alias("best_f1"))
+        .orderBy(F.desc("best_f1"), F.asc("best_threshold"))
         .limit(1)
     )
+    return fixed.crossJoin(F.broadcast(best))
 
 
 def _q20_percentile_filter(spark, sf):
@@ -1126,14 +1132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_topk_orders": _q03_topk_orders,
         "q04_freq_priority": _q04_freq_priority,
         "q07_set_ops": _q07_set_ops,
-        "q08_sliding_avg": _q08_sliding_avg,
+        "q08_window_scalars": _q08_window_scalars,
         "q09_event_scalars": _q09_event_scalars,
-        "q12_zscore_window": _q12_zscore_window,
         "q13_window_alerts": _q13_window_alerts,
         "q14_severity": _q14_severity,
         "q15_doc_scalars": _q15_doc_scalars,
-        "q18_confusion": _q18_confusion,
-        "q19_best_threshold": _q19_best_threshold,
+        "q18_threshold_metrics": _q18_threshold_metrics,
         "q20_percentile_filter": _q20_percentile_filter,
         "q21_exact_dup_docs": _q21_exact_dup_docs,
         "q22_ngram_jaccard": _q22_ngram_jaccard,
@@ -1175,6 +1179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # now carry hard driver-recorded correctness rows.
         "q57_anomaly_explain": _q57_anomaly_explain,
         "q58_pitch_verdicts": _q58_pitch_verdicts,
+        # second round-5 promotion wave, into the slots freed by the
+        # q08+q12 and q18+q19 merges: the last two local-gate extras
+        # (vocab drift and the LM-perplexity filter) now also carry
+        # driver-recorded rows — extra_queries() is empty.
+        "q59_vocab_drift": _q59_vocab_drift,
+        "q60_lm_perplexity": _q60_lm_perplexity,
     }
 
 
@@ -1218,13 +1228,20 @@ def oracle_sql() -> dict[str, str]:
                   SELECT s_nationkey AS nationkey, 's' AS src FROM supplier)
             GROUP BY 1 ORDER BY 1
         """,
-        "q08_sliding_avg": """
+        "q08_window_scalars": """
             SELECT event_id, user_id,
-                   round(avg(value) OVER w, 6) AS avg5,
-                   count(*) OVER w AS n_window
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   round(avg(value) OVER w5, 6) AS avg5,
+                   count(*) OVER w5 AS n_window,
+                   round(value * least(greatest(1.0 + (CASE WHEN sd > 0 THEN (value - mn) / sd ELSE 0.0 END) / 3.0, 0.5), 2.0), 6) AS adjusted
+            FROM (
+              SELECT event_id, user_id, value, ts,
+                     avg(value) OVER w10 AS mn,
+                     stddev_samp(value) OVER w10 AS sd
+              FROM events
+              WINDOW w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+            WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "q09_event_scalars": """
             SELECT event_id,
@@ -1241,17 +1258,6 @@ def oracle_sql() -> dict[str, str]:
                      avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN 19 PRECEDING AND 5 PRECEDING) AS mr
               FROM events), (SELECT max(ts) AS mx FROM events)
-        """,
-        "q12_zscore_window": """
-            SELECT event_id,
-                   round(value * least(greatest(1.0 + (CASE WHEN sd > 0 THEN (value - mn) / sd ELSE 0.0 END) / 3.0, 0.5), 2.0), 6) AS adjusted
-            FROM (
-              SELECT event_id, value,
-                     avg(value) OVER w AS mn,
-                     stddev_samp(value) OVER w AS sd
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
         """,
         "q13_window_alerts": """
             SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS bucket, count(*) AS n
@@ -1279,22 +1285,14 @@ def oracle_sql() -> dict[str, str]:
                         END AS fingerprint
             FROM toks
         """,
-        "q18_confusion": """
+        "q18_threshold_metrics": """
             WITH c AS (
               SELECT sum(CASE WHEN event_type = 'error' AND value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
                      sum(CASE WHEN event_type != 'error' AND value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
                      sum(CASE WHEN event_type = 'error' AND value <= 50.0 THEN 1 ELSE 0 END)::BIGINT AS fn,
                      sum(CASE WHEN event_type != 'error' AND value <= 50.0 THEN 1 ELSE 0 END)::BIGINT AS tn
-              FROM events)
-            SELECT tp, fp, fn, tn,
-                   round(tp / (tp + fp), 6) AS precision,
-                   round(tp / (tp + fn), 6) AS recall,
-                   round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn)) / ((tp / (tp + fp)) + (tp / (tp + fn))), 6) AS f1,
-                   round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
-            FROM c
-        """,
-        "q19_best_threshold": """
-            WITH by_v AS (
+              FROM events),
+            by_v AS (
               SELECT round(value, 0) AS v, count(*) AS n,
                      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS npos
               FROM events GROUP BY 1),
@@ -1306,11 +1304,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT v,
                      sum(n) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
                      sum(npos) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
-              FROM by_v)
-            SELECT v AS threshold,
-                   round(2.0 * cum_pos / (2.0 * cum_pos + (cum_n - cum_pos) + (pos_all - cum_pos)), 6) AS f1
-            FROM scored, tot
-            ORDER BY f1 DESC, threshold ASC LIMIT 1
+              FROM by_v),
+            best AS (
+              SELECT v AS best_threshold,
+                     round(2.0 * cum_pos / (2.0 * cum_pos + (cum_n - cum_pos) + (pos_all - cum_pos)), 6) AS best_f1
+              FROM scored, tot
+              ORDER BY best_f1 DESC, best_threshold ASC LIMIT 1)
+            SELECT tp, fp, fn, tn,
+                   round(tp / (tp + fp), 6) AS precision,
+                   round(tp / (tp + fn), 6) AS recall,
+                   round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn)) / ((tp / (tp + fp)) + (tp / (tp + fn))), 6) AS f1,
+                   round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy,
+                   best_threshold, best_f1
+            FROM c, best
         """,
         "q20_percentile_filter": """
             SELECT count(*) AS n_above,
@@ -2051,9 +2057,10 @@ def _lsh_topk_oracle() -> str:
 # ---------------------------------------------------- promotions + extras
 # q57/q58 were the round-4 local-gate extras xq01/xq04, promoted into the
 # driver's 50-slot registry in round 5 (slots freed by the q09/q10/q11
-# merge). xq02/xq03 remain local-gate extras: they run under the SAME
-# comparison protocol in tests/oracle_harness.py + tests/test_entry_oracle.py
-# so they stay machine-checked against DuckDB beyond the 50-slot cap.
+# merge); q59/q60 are the former xq02/xq03, promoted in the same round
+# (slots freed by the q08+q12 and q18+q19 merges). Every operator the
+# engine claims now carries a hard driver-recorded correctness row —
+# extra_queries() is kept (empty) only for the oracle harness's API.
 
 
 def _q57_anomaly_explain(spark: SparkSession, sf: str) -> DataFrame:
@@ -2070,7 +2077,7 @@ def _q57_anomaly_explain(spark: SparkSession, sf: str) -> DataFrame:
     return anomaly_explain(scored, baseline, k=5, text_col="text").orderBy("id")
 
 
-def _xq02_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+def _q59_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language vocabulary drift over `documents`: PSI of each lang's
     md5-hashed token-bucket distribution against the whole corpus
     (operators/textstats.py::vocab_psi — the text twin of the audio drift
@@ -2081,7 +2088,7 @@ def _xq02_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
                      group_col="lang", n_buckets=64)
 
 
-def _xq03_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+def _q60_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram-LM perplexity of every document against the corpus' own LM
     (operators/textstats.py::train_bigram_lm + lm_perplexity — the
     CCNet/Gopher-style quality signal; Jelinek–Mercer λ=0.75, add-1
@@ -2163,10 +2170,9 @@ def _q58_pitch_verdicts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "xq02_vocab_drift": _xq02_vocab_drift,
-        "xq03_lm_perplexity": _xq03_lm_perplexity,
-    }
+    # empty since the round-5 q59/q60 promotions: every oracle-twinned
+    # query now lives in the driver's 50-slot registry (queries()).
+    return {}
 
 
 def _promoted_oracle_sql() -> dict[str, str]:
@@ -2256,12 +2262,7 @@ def _promoted_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_q58_export_path()}')
             ORDER BY clip_id
         """,
-    }
-
-
-def extra_oracle_sql() -> dict[str, str]:
-    return {
-        "xq02_vocab_drift": """
+        "q59_vocab_drift": """
             WITH tk AS (
               SELECT lang AS grp, tok
               FROM documents,
@@ -2291,7 +2292,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM j JOIN bt USING (bucket) JOIN gt USING (grp), tot
             GROUP BY j.grp ORDER BY lang
         """,
-        "xq03_lm_perplexity": """
+        "q60_lm_perplexity": """
             WITH toks AS (
               SELECT doc_id,
                      string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -2322,3 +2323,8 @@ def extra_oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
         """,
     }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    # empty since the round-5 q59/q60 promotions (see extra_queries).
+    return {}

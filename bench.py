@@ -48,9 +48,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q02_nation_revenue",
     "q07_set_ops",  # round 4: absorbed q06_distinct_parts (same agg shape)
-    "q08_sliding_avg",
-    "q12_zscore_window",
-    "q19_best_threshold",
+    "q08_window_scalars",  # round 5: absorbed q12_zscore_window
+    "q18_threshold_metrics",  # round 5: absorbed q19_best_threshold
     "q22_ngram_jaccard",
     "q23_embedding_topk",
     "q25_textstats",

@@ -81,7 +81,7 @@ def test_flagship_agg_is_whole_stage_codegen(spark):
 
 @pytest.mark.parametrize("name", [
     "q01_pricing_summary", "q02_nation_revenue", "q03_topk_orders",
-    "q07_set_ops", "q08_sliding_avg", "q13_window_alerts",
+    "q07_set_ops", "q08_window_scalars", "q13_window_alerts",
     "q21_exact_dup_docs", "q22_ngram_jaccard", "q28_stats_profile",
     "q29_orders_without_lineitem", "q30_dim_lookup", "q31_semi_blocklist",
     "q32_topk_per_group", "q34_simhash_pairs", "q24_embedding_profile",
@@ -89,7 +89,7 @@ def test_flagship_agg_is_whole_stage_codegen(spark):
 ])
 def test_no_cartesian_product(spark, name):
     """No query in the catalog may degenerate into a cartesian product.
-    (The deliberate broadcast-1-row crossJoins in q09/q19/q20/q27 compile
+    (The deliberate broadcast-1-row crossJoins in q09/q18/q20/q27 compile
     to BroadcastNestedLoopJoin over a single-row side — those queries are
     audited separately below.)"""
     import __spark_entry__ as em
@@ -98,7 +98,7 @@ def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["q09_event_scalars", "q19_best_threshold",
+@pytest.mark.parametrize("name", ["q09_event_scalars", "q18_threshold_metrics",
                                   "q20_percentile_filter", "q27_psi_split"])
 def test_scalar_crossjoins_are_broadcast(spark, name):
     """The scalar-subquery crossJoins must broadcast the 1-row side —
