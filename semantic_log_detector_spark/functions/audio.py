@@ -49,6 +49,91 @@ def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + fmt + _DATA_HDR.pack(b"data", n) + data
 
 
+def encode_wav_ex(
+    pcm: np.ndarray,
+    sr_hz: int,
+    bits: int = 16,
+    fmt: str = "pcm",
+    extensible: bool = False,
+) -> bytes:
+    """Fixture encoder for every WAV layout :func:`decode_wav` accepts.
+
+    ``fmt`` ∈ {pcm, float, alaw, mulaw}; ``bits`` ∈ {8,16,24,32} for pcm,
+    {32,64} for float, 8 for alaw/mulaw. ``extensible=True`` wraps the
+    format in WAVE_FORMAT_EXTENSIBLE with the standard subformat GUID.
+    1-D input is mono; (n, ch) input is interleaved multi-channel.
+    ``encode_wav`` remains the byte-stable 16-bit fast path.
+    """
+    arr = np.asarray(pcm, dtype=np.float64)
+    channels = 1 if arr.ndim == 1 else int(arr.shape[1])
+    flat = arr.reshape(-1)  # C-order: interleaved for 2-D
+    if fmt == "pcm":
+        if bits == 16:
+            data = np.clip(flat * 32767.0, -32768, 32767).astype("<i2").tobytes()
+        elif bits == 8:
+            data = (
+                (np.clip(flat * 127.0, -128, 127) + 128).astype(np.uint8).tobytes()
+            )
+        elif bits == 24:
+            v = np.clip(flat * 8388607.0, -8388608, 8388607).astype(np.int64)
+            v = (v & 0xFFFFFF).astype(np.uint32)
+            b = np.empty((len(v), 3), dtype=np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            data = b.tobytes()
+        elif bits == 32:
+            data = (
+                np.clip(flat * 2147483647.0, -2147483648, 2147483647)
+                .astype("<i4")
+                .tobytes()
+            )
+        else:
+            raise ValueError(f"pcm bits must be 8/16/24/32, got {bits}")
+        tag = _WAVE_FMT_PCM
+    elif fmt == "float":
+        if bits == 32:
+            data = flat.astype("<f4").tobytes()
+        elif bits == 64:
+            data = flat.astype("<f8").tobytes()
+        else:
+            raise ValueError(f"float bits must be 32/64, got {bits}")
+        tag = _WAVE_FMT_FLOAT
+    elif fmt in ("alaw", "mulaw"):
+        if bits != 8:
+            raise ValueError(f"{fmt} is 8-bit only, got {bits}")
+        from .g711 import alaw_encode_i16, mulaw_encode_i16
+
+        i16 = np.clip(flat * 32767.0, -32768, 32767).astype(np.int16)
+        enc = alaw_encode_i16 if fmt == "alaw" else mulaw_encode_i16
+        data = enc(i16).tobytes()
+        tag = _WAVE_FMT_ALAW if fmt == "alaw" else _WAVE_FMT_MULAW
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    n = len(data)
+    block = (bits // 8) * channels
+    if extensible:
+        guid = tag.to_bytes(2, "little") + b"\x00\x00" + _GUID_TAIL
+        fmt_chunk = (
+            struct.pack(
+                "<4sIHHIIHH", b"fmt ", 40, _WAVE_FMT_EXTENSIBLE, channels, sr_hz,
+                sr_hz * block, block, bits,
+            )
+            + struct.pack("<HHI", 22, bits, 0)
+            + guid
+        )
+    else:
+        fmt_chunk = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, tag, channels, sr_hz, sr_hz * block, block,
+            bits,
+        )
+    hdr = _RIFF_HDR.pack(b"RIFF", 4 + len(fmt_chunk) + 8 + n + (n & 1), b"WAVE")
+    return (
+        hdr + fmt_chunk + _DATA_HDR.pack(b"data", n) + data
+        + (b"\x00" if n & 1 else b"")
+    )
+
+
 def resample_linear(pcm: np.ndarray, sr_hz: int, target_hz: int) -> np.ndarray:
     """Linear-interpolation resample to ``target_hz`` (float32).
 
@@ -69,16 +154,64 @@ def resample_linear(pcm: np.ndarray, sr_hz: int, target_hz: int) -> np.ndarray:
     return np.interp(xq, xp, pcm).astype(np.float32)
 
 
-def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAV 16-bit → (float32 mono pcm in [-1,1], sr_hz).
+# WAVE format tags this decoder understands. 0xFFFE (EXTENSIBLE) wraps one of
+# the others in a GUID whose Data1 low word is the effective tag and whose
+# remaining 12 bytes are fixed by the spec (ksmedia.h KSDATAFORMAT_SUBTYPE_*).
+_WAVE_FMT_PCM, _WAVE_FMT_FLOAT = 1, 3
+_WAVE_FMT_ALAW, _WAVE_FMT_MULAW = 6, 7
+_WAVE_FMT_EXTENSIBLE = 0xFFFE
+_GUID_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
-    Multi-channel payloads are downmixed at decode time (mean of channels,
-    computed on the raw int16 samples so a stereo clip whose channels are
-    identical decodes bit-for-bit equal to its mono twin — the round-4
-    verdict's "highest real-user-frequency gap"). The mono path is the
-    unchanged fast path. Raises ValueError on malformed/truncated payloads —
-    the decode check turns that into a violation row rather than failing
-    the job.
+
+def _wav_samples(tag: int, bits: int, data: bytes) -> tuple[np.ndarray, float]:
+    """data chunk → (sample array, full-scale divisor).
+
+    Integer layouts return the raw integer samples (downmix averages these
+    exactly, matching the historical 16-bit behavior bit-for-bit); float
+    layouts return the samples as-is with divisor 1.0.
+    """
+    if tag == _WAVE_FMT_PCM:
+        if bits == 16:
+            return np.frombuffer(data, dtype="<i2"), 32767.0
+        if bits == 8:  # 8-bit WAV PCM is unsigned, midpoint 128
+            u = np.frombuffer(data, dtype=np.uint8)
+            return u.astype(np.int16) - 128, 127.0
+        if bits == 24:  # packed 3-byte little-endian two's-complement
+            if len(data) % 3:
+                raise ValueError("24-bit data chunk not a multiple of 3 bytes")
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            return (v ^ 0x800000) - 0x800000, 8388607.0
+        if bits == 32:
+            return np.frombuffer(data, dtype="<i4"), 2147483647.0
+    elif tag == _WAVE_FMT_FLOAT:
+        if bits == 32:
+            return np.frombuffer(data, dtype="<f4"), 1.0
+        if bits == 64:
+            return np.frombuffer(data, dtype="<f8"), 1.0
+    elif tag in (_WAVE_FMT_ALAW, _WAVE_FMT_MULAW) and bits == 8:
+        from .g711 import alaw_decode_u8, mulaw_decode_u8
+
+        dec = alaw_decode_u8 if tag == _WAVE_FMT_ALAW else mulaw_decode_u8
+        return dec(np.frombuffer(data, dtype=np.uint8)), 32767.0
+    raise ValueError(f"unsupported WAV layout tag={tag} bits={bits}")
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV → (float32 mono pcm in [-1,1], sr_hz).
+
+    Accepts the layouts a real corpus actually ships: integer PCM at
+    8/16/24/32 bits (tag 1), IEEE float32/float64 (tag 3), G.711 A-law and
+    µ-law in WAV framing (tags 6/7 — telephony exports), and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping any of those, with the
+    subformat GUID tail validated against the spec constant so a
+    non-standard subformat refuses instead of mis-parsing. The 16-bit mono
+    path is bit-for-bit the historical fast path. Multi-channel payloads
+    (any channel count) are downmixed at decode time — mean over channels
+    on the raw integer samples, so a clip whose channels are identical
+    decodes bit-for-bit equal to its mono twin. Raises ValueError on
+    malformed/truncated payloads — the decode check turns that into a
+    violation row rather than failing the job.
     """
     if buf is None or len(buf) < 44:
         raise ValueError("payload too short for WAV header")
@@ -86,14 +219,12 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if riff != b"RIFF" or wave != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     # walk chunks
-    off, sr_hz, bits, channels, data = 12, None, None, None, None
+    off, fmt_body, data = 12, None, None
     while off + 8 <= len(buf):
         cid, csize = _DATA_HDR.unpack_from(buf, off)
         body = off + 8
         if cid == b"fmt " and body + 16 <= len(buf):
-            (_tag, channels, sr_hz, _br, _ba, bits) = struct.unpack_from(
-                "<HHIIHH", buf, body
-            )
+            fmt_body = buf[body : min(body + csize, len(buf))]
         elif cid == b"data":
             if body + csize > len(buf):
                 raise ValueError(
@@ -102,29 +233,46 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
                 )
             data = buf[body : body + csize]
         off = body + csize + (csize & 1)
-    if sr_hz is None or data is None:
+    if fmt_body is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16 or channels is None or channels < 1:
-        raise ValueError(f"unsupported WAV layout bits={bits} channels={channels}")
-    ints = np.frombuffer(data, dtype="<i2")
-    if channels == 1:
-        pcm = ints.astype(np.float32) / 32767.0
-    else:
-        if len(ints) % channels:
+    (tag, channels, sr_hz, _br, _ba, bits) = struct.unpack_from("<HHIIHH", fmt_body, 0)
+    if tag == _WAVE_FMT_EXTENSIBLE:
+        # 16 base bytes + cbSize(2) + validBits(2) + channelMask(4) + GUID(16)
+        if len(fmt_body) < 40:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk shorter than 40 bytes")
+        guid = fmt_body[24:40]
+        if guid[4:16] != _GUID_TAIL:
             raise ValueError(
-                f"data chunk of {len(ints)} samples is not a multiple of "
+                f"non-standard WAVE_FORMAT_EXTENSIBLE subformat GUID {guid.hex()}"
+            )
+        tag = int.from_bytes(guid[:2], "little")
+        valid_bits = int.from_bytes(fmt_body[18:20], "little")
+        if valid_bits and valid_bits != bits:
+            raise ValueError(
+                f"container stores {bits}-bit samples but only {valid_bits} are "
+                "valid — padded layouts not supported"
+            )
+    if channels < 1:
+        raise ValueError(f"unsupported WAV layout channels={channels}")
+    samples, scale = _wav_samples(tag, bits, data)
+    if channels == 1:
+        pcm = samples.astype(np.float32) / np.float32(scale)
+    else:
+        if len(samples) % channels:
+            raise ValueError(
+                f"data chunk of {len(samples)} samples is not a multiple of "
                 f"{channels} channels"
             )
-        # decode-time downmix: mean over channels (exact in float64, and
-        # exactly representable in float32 — |mean| ≤ 32768 with at most
-        # one fractional bit per doubling of channels), then the SAME
-        # float32 division as the mono path so a stereo clip with
-        # identical channels decodes bit-for-bit equal to its mono twin
+        # decode-time downmix: mean over channels (exact in float64 for the
+        # integer layouts — |mean| bounded by full scale with one fractional
+        # bit per doubling of channels), then the SAME float32 division as
+        # the mono path so a clip with identical channels decodes
+        # bit-for-bit equal to its mono twin
         pcm = (
-            ints.reshape(-1, channels)
+            samples.reshape(-1, channels)
             .mean(axis=1, dtype=np.float64)
             .astype(np.float32)
-            / 32767.0
+            / np.float32(scale)
         )
     return pcm, int(sr_hz)
 

@@ -139,15 +139,19 @@ def test_g711_truncated_payloads_raise():
 
 
 def test_codec_cross_labeling_is_refused_not_misparsed():
-    # a µ-law payload mislabeled pcm_s16le must raise (bits=8 ≠ 16), and a
-    # 16-bit WAV mislabeled mulaw must raise (tag 1 ≠ 7) — never a silent
-    # wrong parse
+    # a 16-bit WAV mislabeled mulaw must raise (tag 1 ≠ 7) — never a silent
+    # wrong parse. A µ-law WAV mislabeled pcm_s16le is NOT a wrong parse:
+    # the WAV container self-describes via its fmt tag, so the round-5
+    # layout-complete decode_wav follows the container and produces the
+    # same samples the dedicated mulaw decoder does.
     from semantic_log_detector_spark.functions.audio import decode_clip_ex, encode_wav
 
     pcm = _sig(8000, 500)
     mu = encode_mulaw(pcm, 8000)
-    with pytest.raises(ValueError):
-        decode_clip_ex(mu, "pcm_s16le")
+    via_label, _ = decode_mulaw(mu)
+    via_container, sr, fake = decode_clip_ex(mu, "pcm_s16le")
+    assert sr == 8000 and not fake
+    assert np.array_equal(via_label, via_container)
     wav = encode_wav(pcm, 8000)
     with pytest.raises(ValueError):
         decode_clip_ex(wav, "mulaw")
