@@ -7,8 +7,10 @@ here is batch-vectorized numpy intended to run inside Arrow-batched pandas
 UDFs (see checks/drift.py) — never per-row Python on the Spark hot path.
 
 Codec support — five REAL in-container codecs: ``pcm_s16le`` (RIFF/WAV,
-int16), ``flac`` (pure-numpy subset codec, functions/flac.py — real fLaC
-streams with CRC-8/16 + MD5 verification), ``mulaw`` / ``alaw`` (ITU-T
+layout-complete: 8/16/24/32-bit PCM, IEEE float, G.711-in-WAV,
+WAVE_FORMAT_EXTENSIBLE, N-channel downmix), ``flac`` (pure-numpy full
+decoder, functions/flac.py — FIXED/LPC prediction, Rice residuals, wasted
+bits, all stereo assignments, CRC-8/16 + MD5 verification), ``mulaw`` / ``alaw`` (ITU-T
 G.711, functions/g711.py — table-exact decode, ≈37 dB round-trip) and
 ``adpcm_ima`` (IMA/DVI 4-bit ADPCM, functions/adpcm.py — block-vectorized,
 decode bit-exact vs the scalar spec reference). ``opus`` / ``mp3`` decode

@@ -1,11 +1,18 @@
-"""Pure-numpy FLAC subset codec (real bytes, real decode — no external lib).
+"""Pure-numpy FLAC codec (real bytes, real decode — no external lib).
 
-Closes the round-2 verdict's top item: the synthetic source's ``codec='flac'``
-rows previously carried WAV-framed bytes routed through the honest fake-decode
-path. This module implements a genuine FLAC encoder/decoder pair for the
-subset the engine needs — mono + independent stereo (downmixed at decode
-time), 16-bit, CONSTANT + VERBATIM subframes — per the public FLAC format
-spec (https://xiph.org/flac/format.html / RFC 9639):
+Round 2 introduced a genuine encoder/decoder pair for the byte-aligned
+subset (CONSTANT/VERBATIM, mono/independent stereo, 16-bit); round 5
+completes the DECODER for real-world streams: every subframe type
+(CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32), Rice- and
+escape-coded residual partitions at any partition order, wasted bits, all
+four stereo assignments (independent + left-side/right-side/mid-side with
+their bps+1-bit side subframes), up to 8 independent channels, and
+byte-multiple sample depths 8/16/24/32. The ENCODER gained a
+``compression="fixed"`` mode (FIXED prediction + Rice/escape residuals,
+any stereo assignment) used to generate genuinely bit-packed round-trip
+vectors; its default byte-aligned VERBATIM mode is unchanged and remains
+the decoder's no-bit-unpacking fast path. Per the public FLAC format spec
+(https://xiph.org/flac/format.html / RFC 9639):
 
 * stream  = ``fLaC`` magic + STREAMINFO metadata block (+ skipped others)
 * frame   = header (sync, blocksize/sr/channel/bps codes, UTF-8 coded frame
@@ -26,9 +33,11 @@ computed as a log2(L)-round tree combine (``crc(A||B) = shift_{|B|}(crc(A))
 ^ crc(B)``) with precomputed 64K-entry shift-by-2^k-bytes maps. All frames
 of a clip are CRC'd in one (F × L) numpy pass; no per-byte Python loop.
 
-Out-of-subset streams (>2 channels, side-channel stereo assignments,
-non-16-bit, FIXED/LPC subframes, wasted bits) raise NotImplementedError
-with the reason — never a wrong parse.
+The one remaining refusal is non-byte-multiple sample depth (12/20-bit),
+which raises NotImplementedError with the reason — never a wrong parse.
+LPC reconstruction is an integer IIR (inherently sequential) and runs as a
+plain-int Python loop per block: exact, but the slow path — FIXED/Rice and
+everything byte-aligned stays vectorized.
 Reference decode seam being made real: src/detection/pipeline.py:65-68
 (the reference's embedding encode), graft contract SURVEY.md §0.1/X5.
 """
@@ -154,6 +163,105 @@ def _utf8_decode_num(buf: bytes, off: int) -> tuple[int, int]:
     return n, off + nlead
 
 
+# ------------------------------------------------------- bit-packing helpers
+
+
+def _u_bits(v: int, n: int) -> np.ndarray:
+    """One unsigned value → n MSB-first bits (header-sized, tiny n)."""
+    return np.array([(v >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.uint8)
+
+
+def _sint_block_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """Signed ints → width-bit two's-complement MSB-first bits, vectorized."""
+    u = np.asarray(vals, np.int64) & ((1 << width) - 1)
+    return ((u[:, None] >> np.arange(width - 1, -1, -1)) & 1).astype(np.uint8).ravel()
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, np.int64)
+    return np.asarray((v << 1) ^ (v >> 63), np.int64)
+
+
+def _rice_block_bits(u: np.ndarray, k: int) -> np.ndarray:
+    """Zigzagged values → Rice(k) bit stream, vectorized (stop-bit scatter +
+    one remainder gather; no per-value Python)."""
+    q = u >> k
+    lens = q + 1 + k
+    ends = np.cumsum(lens)
+    bits = np.zeros(int(ends[-1]) if len(ends) else 0, dtype=np.uint8)
+    stops = ends - k - 1
+    bits[stops] = 1
+    if k:
+        idx = (stops[:, None] + 1 + np.arange(k)).ravel()
+        rem = ((u[:, None] >> np.arange(k - 1, -1, -1)) & 1).astype(np.uint8).ravel()
+        bits[idx] = rem
+    return bits
+
+
+def _encode_residual_bits(resid: np.ndarray, order: int, bs: int,
+                          partition_order: int) -> list[np.ndarray]:
+    """Residual section (method 0: 4-bit Rice params) → bit chunks.
+
+    Per partition, picks the cheapest of Rice(k) for k in [0,14] or the
+    escape code (raw signed values) — the same trade a real encoder makes,
+    which also gives the decoder's escape path natural test coverage."""
+    if bs % (1 << partition_order) or (bs >> partition_order) < order:
+        raise ValueError(f"partition order {partition_order} invalid for bs={bs}")
+    chunks = [_u_bits(0, 2), _u_bits(partition_order, 4)]
+    per = bs >> partition_order
+    pos = 0
+    for p in range(1 << partition_order):
+        cnt = per - (order if p == 0 else 0)
+        vals = resid[pos : pos + cnt]
+        pos += cnt
+        u = _zigzag(vals)
+        totals = [int((u >> k).sum()) + cnt * (k + 1) for k in range(15)]
+        k = int(np.argmin(totals))
+        width = int(max(v.bit_length() for v in np.abs(vals).tolist()) + 1) if cnt else 1
+        width = min(width, 31)
+        if cnt and totals[k] > 5 + cnt * width:  # escape is cheaper
+            chunks += [_u_bits(15, 4), _u_bits(width, 5),
+                       _sint_block_bits(vals, width)]
+        else:
+            chunks += [_u_bits(k, 4), _rice_block_bits(u, k)]
+    return chunks
+
+
+_FIXED_MAX_ORDER = 4
+
+
+def _encode_subframe_fixed(x: np.ndarray, eff_bps: int,
+                           partition_order: int) -> list[np.ndarray]:
+    """One channel's samples → FIXED-subframe bit chunks (order chosen by
+    the classic Σ|Δ^o| estimator, residual Rice/escape-coded)."""
+    x = np.asarray(x, np.int64)
+    bs = len(x)
+    d, costs = x, []
+    for o in range(_FIXED_MAX_ORDER + 1):
+        if o > 0:
+            d = np.diff(d)
+        if len(d) == 0:
+            break
+        costs.append(int(np.abs(d).sum()))
+    order = int(np.argmin(costs))
+    po = partition_order
+    while bs % (1 << po) or (bs >> po) < order:
+        po -= 1  # short tail blocks cannot honor the requested order
+    warm = x[:order]
+    resid = np.diff(x, order) if order else x
+    chunks = [_u_bits((8 + order) << 1, 8)]  # pad 0 | type | wasted 0
+    if order:
+        chunks.append(_sint_block_bits(warm, eff_bps))
+    chunks += _encode_residual_bits(resid, order, bs, po)
+    return chunks
+
+
+_STEREO_MODES = {
+    "independent": 0b0001, "left-side": 0b1000,
+    "right-side": 0b1001, "mid-side": 0b1010,
+}
+
+
 # --------------------------------------------------------------------- encoder
 
 _SR_CODE_TABLE = {
@@ -163,19 +271,35 @@ _SR_CODE_TABLE = {
 }
 
 
-def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
-    """float32 [-1,1] → real FLAC bytes (16-bit, VERBATIM/CONSTANT).
+def encode_flac(
+    pcm: np.ndarray,
+    sr_hz: int,
+    block_size: int = 4096,
+    compression: str = "verbatim",
+    stereo_mode: str = "independent",
+    partition_order: int = 0,
+) -> bytes:
+    """float32 [-1,1] → real FLAC bytes (16-bit).
 
-    1-D input encodes mono (byte-identical to every prior round); a 2-D
-    ``(n_samples, 2)`` array encodes independent-stereo frames (channel
-    assignment 0b0001 — two 16-bit subframes per frame, byte-aligned, no
-    side-channel bit packing). Same int16 quantization as ``encode_wav``
-    so the decoded PCM is sample-identical to the WAV path. A block whose
-    samples are all equal is emitted as a CONSTANT subframe (2 bytes
-    instead of 2·bs) — the one compression opportunity the subset keeps.
+    ``compression="verbatim"`` (default) emits the byte-aligned
+    CONSTANT/VERBATIM layout — byte-identical to every prior round and the
+    decoder's fast path. ``compression="fixed"`` emits genuinely bit-packed
+    frames: FIXED prediction (order 0-4 per block via the Σ|Δ^o| estimator)
+    with Rice- or escape-coded residual partitions, and for stereo input
+    any of the four channel assignments via ``stereo_mode`` ∈ {independent,
+    left-side, right-side, mid-side} (the side channel is a 17-bit
+    subframe, exactly what real encoders emit). 1-D input encodes mono; a
+    2-D ``(n_samples, 2)`` array encodes stereo. Same int16 quantization as
+    ``encode_wav`` so the decoded PCM is sample-identical to the WAV path.
     """
     if not 16 <= block_size <= 32768:
         raise ValueError("FLAC block size must be in [16, 32768]")
+    if compression not in ("verbatim", "fixed"):
+        raise ValueError(f"unknown compression {compression!r}")
+    if stereo_mode not in _STEREO_MODES:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if stereo_mode != "independent" and compression != "fixed":
+        raise ValueError("side-channel stereo requires compression='fixed'")
     arr = np.asarray(pcm, dtype=np.float64)
     if arr.ndim == 2 and arr.shape[1] == 1:
         arr = arr[:, 0]
@@ -203,7 +327,12 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
     head += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
     head += packed.to_bytes(8, "big") + md5
 
-    chan_code = 0b0000 if channels == 1 else 0b0001  # mono / independent LR
+    if channels == 1:
+        chan_code = 0b0000
+    elif compression == "verbatim":
+        chan_code = 0b0001  # independent LR, byte-aligned
+    else:
+        chan_code = _STEREO_MODES[stereo_mode]
 
     def _subframe(blk: np.ndarray) -> bytes:
         if len(blk) and np.all(blk == blk[0]):
@@ -224,10 +353,33 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
         hdr += _utf8_encode_num(fi)
         hdr += (bs - 1).to_bytes(2, "big")
         hdr.append(crc8(bytes(hdr)))
-        if channels == 1:
-            sub = _subframe(blk)
+        if compression == "verbatim":
+            if channels == 1:
+                sub = _subframe(blk)
+            else:
+                sub = _subframe(blk[:, 0]) + _subframe(blk[:, 1])
         else:
-            sub = _subframe(blk[:, 0]) + _subframe(blk[:, 1])
+            if channels == 1:
+                subs = [(blk.astype(np.int64), 16)]
+            else:
+                left = blk[:, 0].astype(np.int64)
+                right = blk[:, 1].astype(np.int64)
+                if stereo_mode == "independent":
+                    subs = [(left, 16), (right, 16)]
+                elif stereo_mode == "left-side":
+                    subs = [(left, 16), (left - right, 17)]
+                elif stereo_mode == "right-side":
+                    subs = [(left - right, 17), (right, 16)]
+                else:  # mid-side
+                    subs = [((left + right) >> 1, 16), (left - right, 17)]
+            chunks: list[np.ndarray] = []
+            for x, eff in subs:
+                chunks += _encode_subframe_fixed(x, eff, partition_order)
+            bits = np.concatenate(chunks)
+            pad = (-len(bits)) % 8
+            if pad:
+                bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+            sub = np.packbits(bits).tobytes()
         frames.append(bytes(hdr) + sub)
 
     width = max(len(f) for f in frames)
@@ -239,6 +391,351 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, block_size: int = 4096) -> bytes:
         f + int(c).to_bytes(2, "big") for f, c in zip(frames, crcs)
     )
     return bytes(head) + body
+
+
+# ----------------------------------------------------- bit-level frame engine
+#
+# Real-world FLAC streams are bit-packed: Rice-coded residuals after FIXED or
+# LPC prediction, optional wasted-bits shifts, and side-channel stereo whose
+# side subframe is bps+1 bits wide. The engine below decodes all of that for
+# byte-multiple sample depths. The byte-aligned CONSTANT/VERBATIM path in
+# decode_flac remains the fast path (it is what encode_flac's default mode
+# emits, and what the bench corpus contains); frames that need bit-level work
+# fall through to this engine per frame.
+
+
+# below this payload size, decode_flac unpacks the whole stream's bits once
+# and shares ones/successor tables across frames (35× the payload in memory —
+# clip-sized audio, the engine's unit of work); larger payloads fall back to
+# per-frame windows with retry
+_SHARED_UNPACK_LIMIT = 8 << 20
+
+
+class _WindowExhausted(Exception):
+    """Internal: the unpacked bit window ended before the frame did (the
+    caller retries with a larger window; only a window that already reaches
+    the end of the buffer turns this into a truncation ValueError)."""
+
+
+class _FrameBits:
+    """Bit reader over one frame's subframe region.
+
+    Unpacks a byte window once (``np.unpackbits``); scalar reads are short
+    dot products, unary reads binary-search a precomputed ones-position
+    array, and Rice blocks decode with a forward-merging scan over that
+    array plus one vectorized remainder gather — no per-bit Python.
+    """
+
+    def __init__(
+        self, buf: bytes, start_byte: int, window_bytes: int, shared=None
+    ):
+        if shared is not None:
+            # whole-stream unpack shared across frames (clip-sized payloads):
+            # ones/prefix-count tables amortize over every frame instead of
+            # being rebuilt per overlapping window
+            self._shared = shared
+            self.bits = shared["bits"]
+            self.ones = shared["ones"]
+            self.base_byte = 0
+            self.pos = start_byte * 8
+            self.complete = True
+        else:
+            end = min(start_byte + window_bytes, len(buf))
+            self.bits = np.unpackbits(
+                np.frombuffer(buf, np.uint8, end - start_byte, start_byte)
+            )
+            self.ones = np.flatnonzero(self.bits)
+            self._shared = None
+            self.base_byte = start_byte
+            self.pos = 0
+            self.complete = end == len(buf)  # window reaches end of stream
+        self.n_bits = len(self.bits)
+        self._C: np.ndarray | None = None  # prefix ones count, built lazily
+
+    def _prefix_counts(self) -> np.ndarray:
+        """C[i] = number of one-bits before position i (len n_bits+1)."""
+        if self._shared is not None:
+            c = self._shared.get("C")
+            if c is None:
+                c = np.concatenate(
+                    [[0], np.cumsum(self.bits, dtype=np.int64)]
+                )
+                self._shared["C"] = c
+            return c
+        if self._C is None:
+            self._C = np.concatenate(
+                [[0], np.cumsum(self.bits, dtype=np.int64)]
+            )
+        return self._C
+
+    def _exhaust(self):
+        if self.complete:
+            raise ValueError("truncated FLAC frame (subframe data runs past end)")
+        raise _WindowExhausted
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.n_bits:
+            self._exhaust()
+        self.pos = p + n
+        if n == 0:
+            return 0
+        return int(
+            self.bits[p : p + n] @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64))
+        )
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def read_unary(self) -> int:
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            self._exhaust()
+        s = int(self.ones[i])
+        q = s - self.pos
+        self.pos = s + 1
+        return q
+
+    def read_sint_block(self, count: int, width: int) -> np.ndarray:
+        """count × width-bit signed two's-complement ints, vectorized."""
+        p, need = self.pos, count * width
+        if p + need > self.n_bits:
+            self._exhaust()
+        self.pos = p + need
+        if count == 0 or width == 0:
+            return np.zeros(count, np.int64)
+        m = self.bits[p : p + need].reshape(count, width).astype(np.int64)
+        v = m @ (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+        return v - ((v >> (width - 1)) << width)
+
+    def read_rice_block(self, count: int, k: int) -> np.ndarray:
+        """count Rice(k)-coded residuals → signed ints (zigzag undone)."""
+        if count == 0:
+            return np.zeros(0, np.int64)
+        if k == 0:
+            # no remainder bits, so the stop bits are literally the next
+            # `count` ones — fully vectorized
+            i0 = int(np.searchsorted(self.ones, self.pos))
+            if i0 + count > len(self.ones):
+                self._exhaust()
+            stops = self.ones[i0 : i0 + count].astype(np.int64)
+            starts = np.empty(count, np.int64)
+            starts[0] = self.pos
+            starts[1:] = stops[:-1] + 1
+            u = stops - starts
+            self.pos = int(stops[-1]) + 1
+        else:
+            # stop-bit orbit walk over a bounded LOCAL slice of the ones
+            # array. Key identity: the number of ones skipped inside a
+            # Rice code's remainder equals popcount(remainder), which the
+            # prefix-count array C gives as C[stop+1+k]-C[stop+1] — so the
+            # successor of stop-index j is succ[j] = j + 1 + that popcount,
+            # a fully VECTORIZED build over the slice; the sequential part
+            # collapses to `count` array hops with no comparisons. A block
+            # of `count` Rice(k) codes touches at most count·(k+1) ones,
+            # so the slice is O(count) regardless of stream length; a
+            # pathological quotient overrunning it retries with a 4× slice
+            # before declaring truncation.
+            pos0 = self.pos
+            C = self._prefix_counts()
+            i0 = int(np.searchsorted(self.ones, pos0))
+            hi = i0 + count * (k + 2) + 16
+            while True:
+                sl = self.ones[i0:hi].astype(np.int64)
+                if len(sl) == 0:
+                    if hi >= len(self.ones):
+                        self._exhaust()
+                    hi = hi * 4 + 64
+                    continue
+                lo_idx = np.minimum(sl + 1, self.n_bits)
+                hi_idx = np.minimum(sl + 1 + k, self.n_bits)
+                succ = np.arange(1, len(sl) + 1) + (C[hi_idx] - C[lo_idx])
+                stop_rel = np.empty(count, np.int64)
+                j, n_sl = 0, len(sl)
+                overrun = False
+                for i in range(count):
+                    if j >= n_sl:
+                        overrun = True
+                        break
+                    stop_rel[i] = j
+                    j = succ[j]
+                if not overrun:
+                    break
+                if i0 + n_sl >= len(self.ones):
+                    self._exhaust()
+                hi = i0 + n_sl * 4 + 64
+            stops = sl[stop_rel]
+            p = int(stops[-1]) + 1 + k
+            if p > self.n_bits:
+                self._exhaust()
+            self.pos = p
+            starts = np.empty(count, np.int64)
+            starts[0] = pos0
+            starts[1:] = stops[:-1] + 1 + k
+            q = stops - starts
+            idx = (stops[:, None] + 1) + np.arange(k)
+            rem = self.bits[idx].astype(np.int64) @ (
+                1 << np.arange(k - 1, -1, -1, dtype=np.int64)
+            )
+            u = (q << k) | rem
+        return (u >> 1) ^ -(u & 1)
+
+    def align_to_byte(self):
+        pad = (-self.pos) % 8
+        if pad:
+            if self.read(pad) != 0:
+                raise ValueError("nonzero FLAC frame padding bits (desync)")
+
+
+def _read_residual(fb: _FrameBits, bs: int, order: int) -> np.ndarray:
+    method = fb.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    pbits, escape = (4, 15) if method == 0 else (5, 31)
+    porder = fb.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError(
+            f"partition order {porder} does not divide block size {bs}"
+        )
+    per = bs >> porder
+    if per < order:
+        raise ValueError(f"partition order {porder} too large for order {order}")
+    parts: list[np.ndarray] = []
+    for p in range(nparts):
+        cnt = per - (order if p == 0 else 0)
+        param = fb.read(pbits)
+        if param == escape:
+            width = fb.read(5)
+            parts.append(
+                fb.read_sint_block(cnt, width)
+                if width
+                else np.zeros(cnt, np.int64)
+            )
+        else:
+            parts.append(fb.read_rice_block(cnt, param))
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _restore_fixed(warm: np.ndarray, resid: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-N difference: N rounds of cumsum seeded from the
+    warmup's difference pyramid. Exact int64 (|partial sums| ≪ 2^63)."""
+    if order == 0:
+        return resid
+    seeds = []
+    d = warm.astype(np.int64)
+    for _ in range(order):  # seeds[j] = Δ^j x at index order-1
+        seeds.append(int(d[-1]))
+        d = np.diff(d)
+    cur = resid.astype(np.int64)
+    for j in range(order - 1, -1, -1):
+        cur = seeds[j] + np.cumsum(cur)
+    return np.concatenate([warm.astype(np.int64), cur])
+
+
+def _restore_lpc(
+    warm: np.ndarray, resid: np.ndarray, coefs: np.ndarray, shift: int
+) -> np.ndarray:
+    """x[i] = e[i] + (Σ c[j]·x[i-1-j]) >> shift — an integer IIR, inherently
+    sequential; plain-int Python loop (exact arithmetic shift), bounded by
+    block size. Real-file slow path only: encode_flac never emits LPC."""
+    m = len(coefs)
+    x = [int(v) for v in warm]
+    c = [int(v) for v in coefs]
+    for e in resid.tolist():
+        acc = 0
+        xi = len(x)
+        for j in range(m):
+            acc += c[j] * x[xi - 1 - j]
+        x.append(e + (acc >> shift))
+    return np.array(x, dtype=np.int64)
+
+
+def _decode_subframe_bits(fb: _FrameBits, bs: int, bps: int) -> np.ndarray:
+    if fb.read(1):
+        raise ValueError("subframe header padding bit set")
+    stype = fb.read(6)
+    wasted = 0
+    if fb.read(1):
+        wasted = fb.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError(f"wasted bits {wasted} consume the whole sample width")
+    if stype == 0b000000:  # CONSTANT
+        x = np.full(bs, fb.read_signed(eff), np.int64)
+    elif stype == 0b000001:  # VERBATIM
+        x = fb.read_sint_block(bs, eff)
+    elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype - 8
+        if order > bs:
+            raise ValueError(f"FIXED order {order} exceeds block size {bs}")
+        warm = fb.read_sint_block(order, eff)
+        resid = _read_residual(fb, bs, order)
+        x = _restore_fixed(warm, resid, order)
+    elif stype & 0b100000:  # LPC order 1-32
+        order = (stype & 0x1F) + 1
+        if order > bs:
+            raise ValueError(f"LPC order {order} exceeds block size {bs}")
+        warm = fb.read_sint_block(order, eff)
+        prec = fb.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision code 0b1111")
+        shift = fb.read_signed(5)
+        if shift < 0:
+            raise ValueError(f"negative LPC shift {shift}")
+        coefs = fb.read_sint_block(order, prec)
+        resid = _read_residual(fb, bs, order)
+        x = _restore_lpc(warm, resid, coefs, shift)
+    else:
+        raise ValueError(f"reserved subframe type {stype:#08b}")
+    return x << wasted if wasted else x
+
+
+# per-frame channel layout: channel assignment code → per-subframe extra bit
+# (the difference/side channel carries bps+1 bits)
+_SIDE_EXTRA = {0b1000: (0, 1), 0b1001: (1, 0), 0b1010: (0, 1)}
+
+
+def _decode_frame_bits(
+    buf: bytes, start_byte: int, bs: int, chan_code: int, bps: int, shared=None
+) -> tuple[np.ndarray, int]:
+    """Decode one frame's subframes starting byte-aligned at ``start_byte``.
+
+    → (samples int64 — (bs,) mono or (bs, 2) L/R — , offset after subframes).
+    With ``shared`` (whole-stream unpack) there is nothing to retry; the
+    windowed path retries with a growing window because Rice quotients are
+    unbounded in pathological streams, so the initial estimate can
+    under-shoot.
+    """
+    nch = chan_code + 1 if chan_code <= 0b0111 else 2
+    window = (bs * (bps + 10) * nch) // 8 + 64
+    while True:
+        fb = _FrameBits(buf, start_byte, window, shared=shared)
+        try:
+            if chan_code <= 0b0111:  # independent channels
+                chans = [_decode_subframe_bits(fb, bs, bps) for _ in range(nch)]
+            else:
+                extra = _SIDE_EXTRA[chan_code]
+                chans = [
+                    _decode_subframe_bits(fb, bs, bps + extra[c]) for c in range(2)
+                ]
+            fb.align_to_byte()
+            break
+        except _WindowExhausted:
+            window *= 4
+    end = fb.base_byte + fb.pos // 8
+    if chan_code <= 0b0111:
+        out = chans[0] if nch == 1 else np.stack(chans, axis=1)
+    elif chan_code == 0b1000:  # left-side: right = left - side
+        out = np.stack([chans[0], chans[0] - chans[1]], axis=1)
+    elif chan_code == 0b1001:  # right-side: left = right + side
+        out = np.stack([chans[0] + chans[1], chans[1]], axis=1)
+    else:  # mid-side
+        mid, side = chans
+        mid = (mid << 1) | (side & 1)
+        out = np.stack([(mid + side) >> 1, (mid - side) >> 1], axis=1)
+    return out, end
 
 
 # --------------------------------------------------------------------- decoder
@@ -287,34 +784,45 @@ def _parse_streaminfo(buf: bytes) -> tuple[int, int, int, int, bytes, int]:
     return sr, ch, bps, total, md5, off
 
 
-def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
-    """Real FLAC subset decode → (float32 mono pcm in [-1,1], sr_hz).
+# frame-header sample-size codes → bits (0b000 = from STREAMINFO)
+_SIZE_CODE_BITS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
 
-    Supports mono and independent-stereo 16-bit streams with
-    CONSTANT/VERBATIM subframes (exactly what :func:`encode_flac` emits,
-    byte-aligned throughout). Stereo is downmixed at decode time (mean of
-    channels on the raw int16 samples, same arithmetic as the WAV path, so
-    identical channels decode bit-for-bit equal to the mono twin). CRC-8 is
-    checked per header; CRC-16 of every frame is verified in one vectorized
-    pass; the STREAMINFO MD5 is verified against the decoded interleaved
-    sample stream. FIXED/LPC subframes, wasted bits, >2 channels, or the
-    bit-packed left/right/mid-side stereo assignments raise
-    NotImplementedError naming the unsupported feature. Malformed or
-    truncated bytes raise ValueError (→ decode violation rows upstream).
+
+def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
+    """Full FLAC decode → (float32 mono pcm in [-1,1], sr_hz).
+
+    Round 5 completes the decoder for real-world streams: every subframe
+    type (CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32), Rice and
+    escape-coded residual partitions at any partition order, wasted bits,
+    every stereo assignment (independent, left-side, right-side, mid-side),
+    up to 8 independent channels, and byte-multiple sample depths
+    (8/16/24/32-bit; non-byte depths like 12/20-bit refuse honestly).
+    Multi-channel audio is downmixed at decode time (mean of channels on
+    the raw integer samples, same arithmetic as the WAV path, so identical
+    channels decode bit-for-bit equal to the mono twin). CRC-8 is checked
+    per header; CRC-16 of every frame is verified in one vectorized pass;
+    the STREAMINFO MD5 is verified against the decoded interleaved sample
+    stream. The byte-aligned CONSTANT/VERBATIM layout that
+    :func:`encode_flac` emits by default stays on the fast numpy path;
+    bit-packed frames route through the `_FrameBits` engine per frame.
+    Malformed or truncated bytes raise ValueError (→ decode violation rows
+    upstream).
     """
     if buf is None:
         raise ValueError("payload is null")
     buf = bytes(buf)
     sr, ch, bps, total, md5, off = _parse_streaminfo(buf)
-    if ch not in (1, 2):
+    if ch < 1 or ch > 8:
+        raise ValueError(f"invalid FLAC channel count {ch}")
+    if bps not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"subset decoder is mono/stereo-only (channels={ch})"
+            f"decoder supports byte-multiple sample depths only (bps={bps})"
         )
-    if bps != 16:
-        raise NotImplementedError(f"subset decoder is 16-bit-only (bps={bps})")
+    samp_dtype = np.int16 if bps <= 16 else np.int32
 
     chunks: list[np.ndarray] = []
     spans: list[tuple[int, int, int]] = []  # (start, end_excl, expected_crc16)
+    shared_bits = None  # whole-stream unpack, built on first bit-packed frame
     n = len(buf)
     while off < n:
         start = off
@@ -328,28 +836,23 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
         size_code = (buf[off + 3] >> 1) & 0x7
         if buf[off + 3] & 1:
             raise ValueError("reserved frame-header bit set")
-        if chan_code == 0b0000:
-            frame_ch = 1
-        elif chan_code == 0b0001:
-            frame_ch = 2  # independent left/right: two byte-aligned subframes
+        if chan_code <= 0b0111:
+            frame_ch = chan_code + 1  # independent channels
         elif chan_code in (0b1000, 0b1001, 0b1010):
-            raise NotImplementedError(
-                "left/right/mid-side stereo carries a 17-bit side channel "
-                f"(channel assignment {chan_code:#06b}) — not byte-aligned, "
-                "not in the decoder subset"
-            )
+            frame_ch = 2  # left-side / right-side / mid-side
         else:
-            raise NotImplementedError(
-                f"subset decoder is mono/stereo-only (channel assignment {chan_code})"
-            )
+            raise ValueError(f"reserved channel assignment {chan_code:#06b}")
         if frame_ch != ch:
             raise ValueError(
                 f"frame channel assignment ({frame_ch} ch) disagrees with "
                 f"STREAMINFO ({ch} ch)"
             )
-        if size_code not in (0b000, 0b100):
-            raise NotImplementedError(
-                f"subset decoder is 16-bit-only (sample-size code {size_code:#05b})"
+        if size_code == 0b011:
+            raise ValueError("reserved sample-size code 0b011")
+        if size_code != 0b000 and _SIZE_CODE_BITS[size_code] != bps:
+            raise ValueError(
+                f"frame sample-size code ({_SIZE_CODE_BITS[size_code]}-bit) "
+                f"disagrees with STREAMINFO ({bps}-bit)"
             )
         _num, off2 = _utf8_decode_num(buf, off + 4)
         if bs_code == 0b0000:
@@ -392,49 +895,62 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
             raise ValueError(f"FLAC frame header CRC-8 mismatch at byte {start}")
         off2 += 1
 
-        frame_channels: list[np.ndarray] = []
-        for _c in range(frame_ch):
-            if off2 + 1 > n:
-                raise ValueError("truncated FLAC subframe header")
-            sub = buf[off2]
-            off2 += 1
-            if sub & 0x80:
-                raise ValueError("subframe header padding bit set")
-            if sub & 0x01:
-                raise NotImplementedError(
-                    "wasted-bits subframes not in decoder subset"
-                )
-            stype = (sub >> 1) & 0x3F
-            if stype == 0b000000:  # CONSTANT
-                if off2 + 2 > n:
-                    raise ValueError("truncated CONSTANT subframe")
-                val = int.from_bytes(buf[off2 : off2 + 2], "big", signed=True)
-                frame_channels.append(np.full(bs, val, dtype=np.int16))
-                off2 += 2
-            elif stype == 0b000001:  # VERBATIM
-                if off2 + 2 * bs > n:
-                    raise ValueError("truncated VERBATIM subframe")
-                frame_channels.append(
-                    np.frombuffer(buf, dtype=">i2", count=bs, offset=off2).astype(
-                        np.int16
+        # FAST PATH — the byte-aligned 16-bit CONSTANT/VERBATIM layout that
+        # encode_flac emits by default (and the bench corpus contains):
+        # pure np.frombuffer, no bit unpacking. Anything else (FIXED/LPC/
+        # wasted bits/side stereo/non-16-bit) falls through to the bit
+        # engine for this frame.
+        fast = None
+        if bps == 16 and chan_code in (0b0000, 0b0001):
+            fast_off = off2
+            fast_channels: list[np.ndarray] = []
+            for _c in range(frame_ch):
+                if fast_off + 1 > n:
+                    raise ValueError("truncated FLAC subframe header")
+                sub = buf[fast_off]
+                if sub & 0x80:
+                    raise ValueError("subframe header padding bit set")
+                stype = (sub >> 1) & 0x3F
+                if sub & 0x01 or stype not in (0b000000, 0b000001):
+                    fast_channels = []
+                    break
+                fast_off += 1
+                if stype == 0b000000:  # CONSTANT
+                    if fast_off + 2 > n:
+                        raise ValueError("truncated CONSTANT subframe")
+                    val = int.from_bytes(
+                        buf[fast_off : fast_off + 2], "big", signed=True
                     )
+                    fast_channels.append(np.full(bs, val, dtype=np.int16))
+                    fast_off += 2
+                else:  # VERBATIM
+                    if fast_off + 2 * bs > n:
+                        raise ValueError("truncated VERBATIM subframe")
+                    fast_channels.append(
+                        np.frombuffer(
+                            buf, dtype=">i2", count=bs, offset=fast_off
+                        ).astype(np.int16)
+                    )
+                    fast_off += 2 * bs
+            if fast_channels:
+                fast = (
+                    fast_channels[0]
+                    if frame_ch == 1
+                    else np.stack(fast_channels, axis=1)
                 )
-                off2 += 2 * bs
-            elif 0b001000 <= stype <= 0b001100:
-                raise NotImplementedError(
-                    f"FIXED subframe (order {stype - 8}) not in decoder subset"
-                )
-            elif stype & 0b100000:
-                raise NotImplementedError(
-                    f"LPC subframe (order {(stype & 0x1F) + 1}) not in decoder subset"
-                )
-            else:
-                raise ValueError(f"reserved subframe type {stype:#08b}")
-        chunks.append(
-            frame_channels[0]
-            if frame_ch == 1
-            else np.stack(frame_channels, axis=1)  # (bs, 2) interleaved order
-        )
+                off2 = fast_off
+        if fast is not None:
+            chunks.append(fast)
+        else:
+            if shared_bits is None and n <= _SHARED_UNPACK_LIMIT:
+                all_bits = np.unpackbits(np.frombuffer(buf, np.uint8))
+                shared_bits = {
+                    "bits": all_bits, "ones": np.flatnonzero(all_bits)
+                }
+            samples, off2 = _decode_frame_bits(
+                buf, off2, bs, chan_code, bps, shared=shared_bits
+            )
+            chunks.append(samples.astype(samp_dtype))
 
         if off2 + 2 > n:
             raise ValueError("truncated FLAC frame (CRC-16)")
@@ -461,14 +977,28 @@ def decode_flac(buf: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
             f"decoded {len(ints)} samples, STREAMINFO declares {total}"
         )
     if verify and md5 != b"\x00" * 16:
-        # MD5 covers the interleaved LE stream; C-order tobytes of the
-        # (n, 2) stereo array is exactly that interleaving
-        if hashlib.md5(ints.astype("<i2").tobytes()).digest() != md5:
+        # MD5 covers the interleaved LE stream (bps/8 bytes per sample);
+        # C-order tobytes of an (n, ch) array is exactly that interleaving
+        if bps == 8:
+            stream = ints.astype(np.int8).tobytes()
+        elif bps == 16:
+            stream = ints.astype("<i2").tobytes()
+        elif bps == 24:
+            v = (ints.astype(np.int64).ravel() & 0xFFFFFF).astype(np.uint32)
+            b3 = np.empty((len(v), 3), dtype=np.uint8)
+            b3[:, 0] = v & 0xFF
+            b3[:, 1] = (v >> 8) & 0xFF
+            b3[:, 2] = (v >> 16) & 0xFF
+            stream = b3.tobytes()
+        else:
+            stream = ints.astype("<i4").tobytes()
+        if hashlib.md5(stream).digest() != md5:
             raise ValueError("FLAC stream MD5 mismatch (decoded audio differs)")
+    scale = np.float32(float((1 << (bps - 1)) - 1))
     if ch == 1:
-        return ints.astype(np.float32) / 32767.0, sr
+        return ints.astype(np.float32) / scale, sr
     # decode-time downmix, same arithmetic as the WAV path (mean exact in
     # float64, exactly representable in float32, then float32 division)
     return (
-        ints.mean(axis=1, dtype=np.float64).astype(np.float32) / 32767.0
+        ints.mean(axis=1, dtype=np.float64).astype(np.float32) / scale
     ), sr

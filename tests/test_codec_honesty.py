@@ -67,14 +67,15 @@ def test_flac_verification_catches_corruption_and_truncation():
         decode_clip_ex(_wav(), "flac")
 
 
-def test_flac_subset_refuses_out_of_subset_features():
-    # 3-channel STREAMINFO: channels-1 = 2 in the packed bits (stereo is
-    # in-subset since the round-5 downmix; >2 channels still refuses)
+def test_flac_channel_count_mismatch_refused():
+    # 3-channel STREAMINFO over mono frames: since the round-5 full decoder
+    # multichannel is supported, so this is now an integrity error (frame
+    # channel assignment disagrees with STREAMINFO), not a capability refusal
     buf = bytearray(encode_flac(_pcm(), 16000))
     # packed u64 sits at 8 (magic+block hdr) + 10 (block/frame sizes); its
     # byte 2 covers bits 47-40, and channels-1 is bits 43-41 → bit 42 = 0x04
     buf[8 + 10 + 2] |= 0x04
-    with pytest.raises(NotImplementedError, match="mono/stereo-only"):
+    with pytest.raises(ValueError, match="disagrees"):
         decode_flac(bytes(buf))
 
 

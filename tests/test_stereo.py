@@ -96,26 +96,35 @@ def test_out_of_subset_refusals_unchanged():
     with pytest.raises(ValueError):
         decode_mulaw(bytes(mono_mulaw))
 
-    # FLAC side-channel stereo (channel assignment 0b1000) -> NotImplemented
+    # FLAC side-channel stereo is DECODED since the round-5 full decoder;
+    # a header rewritten to claim side-stereo over independent-stereo
+    # content now fails verification (CRC-16/MD5/desync), never mis-parses
     buf = bytearray(encode_flac(np.stack([_sig("tone")] * 2, axis=1), SR))
     # first frame header starts right after the 4+4+34 byte metadata
     fh = 42
     assert buf[fh] == 0xFF and (buf[fh + 1] & 0xFC) == 0xF8
     buf[fh + 3] = (0b1000 << 4) | 0b100_0
-    # re-seal the header CRC-8 so the refusal is about the feature, not CRC
+    # re-seal the header CRC-8 so the failure is about content integrity
     from semantic_log_detector_spark.functions.flac import crc8
 
     hdr_end = fh + 4 + 1 + 2  # fixed bytes + utf8 num (frame 0) + bs16
     buf[hdr_end] = crc8(bytes(buf[fh:hdr_end]))
-    with pytest.raises(NotImplementedError, match="side"):
+    with pytest.raises(ValueError):
         decode_flac(bytes(buf))
 
-    # >2 channel STREAMINFO -> NotImplemented
+    # genuine side-channel stereo round-trips through the real encoder path
+    st = np.stack([_sig("tone"), _sig("speech")], axis=1)
+    ref, _ = decode_flac(encode_flac(st, SR))
+    got, _ = decode_flac(encode_flac(st, SR, compression="fixed",
+                                     stereo_mode="mid-side"))
+    assert np.array_equal(ref, got)
+
+    # >2 channel STREAMINFO over mono frames -> channel-count mismatch
     buf3 = bytearray(encode_flac(_sig("tone"), SR))
     packed = int.from_bytes(buf3[18:26], "big")
     packed |= 2 << 41  # channels-1 = 2
     buf3[18:26] = packed.to_bytes(8, "big")
-    with pytest.raises(NotImplementedError, match="channels=3"):
+    with pytest.raises(ValueError, match="disagrees"):
         decode_flac(bytes(buf3))
 
 
