@@ -707,3 +707,88 @@ def stereo_twin_clips(
     schema = ("idx long, pair_id string, layout string, clip_id string,"
               " codec string, sr_hz int, dur_ms int, bytes binary")
     return rng.mapInPandas(gen, schema=schema)
+
+
+def packed_flac_twin_clips(
+    spark: SparkSession,
+    n_pairs: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Planted verbatim/bit-packed FLAC twin corpus for the round-5 full
+    decoder.
+
+    Emits ``2 * n_pairs`` rows: for each pair index the SAME signal encoded
+    once with the byte-aligned VERBATIM layout (the decoder's fast path)
+    and once with ``compression="fixed"`` (FIXED prediction + Rice
+    residuals — the bit engine). Decoded PCM is bit-identical by
+    construction (same int16 quantization), so every payload operator must
+    produce bit-identical outputs for the two layouts. Even pair indices
+    are mono; odd ones are stereo with the four channel assignments
+    cycling (independent / left-side / right-side / mid-side) on the
+    packed side — the verbatim side of a stereo pair uses independent
+    stereo, the only assignment that layout supports. Columns: idx,
+    pair_id, layout ('verbatim'|'packed'), clip_id, codec, sr_hz, dur_ms,
+    bytes.
+    """
+    sr_choices = (16000, 8000)
+    modes = ("independent", "left-side", "right-side", "mid-side")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import encode_flac as _flac
+
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            sr_row = np.where(
+                (_stream(i, 94, seed) % np.uint64(2)) == 0,
+                sr_choices[0], sr_choices[1],
+            )
+            f_base = 80.0 * np.power(4.0, _u01(i, 95, seed))  # [80, 320)
+            rows: list[dict] = []
+            for r in range(len(i)):
+                idx = int(i[r])
+                sr_r = int(sr_row[r])
+                t = np.arange(sr_r, dtype=np.float64) / sr_r  # 1 s
+                kind = idx % 3
+                if kind == 0:
+                    sig = 0.35 * np.sin(2 * np.pi * f_base[r] * t)
+                elif kind == 1:
+                    f_inst = f_base[r] * (1.0 + 0.8 * t)
+                    rng_r = np.random.Generator(
+                        np.random.Philox(key=idx * 2 + seed))
+                    sig = (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr_r)
+                           + 0.03 * rng_r.standard_normal(sr_r))
+                else:
+                    rng_r = np.random.Generator(
+                        np.random.Philox(key=idx * 2 + 1 + seed))
+                    sig = 0.1 * rng_r.standard_normal(sr_r)
+                sig32 = sig.astype(np.float32)
+                if idx % 2 == 0:
+                    payload = sig32
+                else:
+                    rng_r = np.random.Generator(
+                        np.random.Philox(key=idx * 3 + seed))
+                    other = (0.7 * sig + 0.02 * rng_r.standard_normal(sr_r))
+                    payload = np.stack(
+                        [sig32, other.astype(np.float32)], axis=1)
+                vb = _flac(payload, sr_r)
+                pk = _flac(payload, sr_r, compression="fixed",
+                           stereo_mode=modes[(idx // 2) % 4]
+                           if idx % 2 else "independent")
+                for layout, b in (("verbatim", vb), ("packed", pk)):
+                    rows.append({
+                        "idx": idx,
+                        "pair_id": f"p{idx:08d}",
+                        "layout": layout,
+                        "clip_id": f"p{idx:08d}_{layout}",
+                        "codec": "flac",
+                        "sr_hz": sr_r,
+                        "dur_ms": 1000,
+                        "bytes": b,
+                    })
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n_pairs, numPartitions=num_partitions)
+    schema = ("idx long, pair_id string, layout string, clip_id string,"
+              " codec string, sr_hz int, dur_ms int, bytes binary")
+    return rng.mapInPandas(gen, schema=schema)
