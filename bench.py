@@ -345,6 +345,35 @@ def main() -> None:
         best = min(best, time.time() - t0)
     timings["features_cmvn_10k"] = round(best, 3)
 
+    # bit-packed FLAC decode throughput (round-5 full decoder): MFCC export
+    # over a materialized 2k-clip FIXED+Rice corpus — times the _FrameBits
+    # engine (prefix-count Rice walk) at corpus level; the suite above
+    # exercises only the byte-aligned VERBATIM fast path
+    def packed_flac_bench(corpus_dir):
+        from semantic_log_detector_spark.operators.features import (
+            cmvn_stats, extract_features,
+        )
+
+        corpus = spark.read.parquet(corpus_dir)
+        cmvn_stats(extract_features(corpus)).write.format("noop") \
+            .mode("overwrite").save()
+
+    n_packed = int(os.environ.get("SPARK_GRAFT_BENCH_PACKED_CLIPS", 2_000))
+    pdir = f"/tmp/sld_bench_cache/packedflac_v1_{n_packed}_7"
+    if not (os.path.isdir(pdir) and any(f.endswith("parquet") for f in os.listdir(pdir))):
+        from semantic_log_detector_spark.sources.synth import packed_flac_twin_clips
+
+        (packed_flac_twin_clips(spark, n_packed, seed=7)
+         .filter("layout = 'packed'")
+         .select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+         .write.mode("overwrite").parquet(pdir))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        packed_flac_bench(pdir)
+        best = min(best, time.time() - t0)
+    timings["flac_packed_decode_2k"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline query suite + full clips validation wall time",
