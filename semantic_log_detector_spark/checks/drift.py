@@ -80,6 +80,13 @@ DC_MAX = 0.1
 # broadband, which refills the high band and masks the evidence — a
 # per-codec floor from the operator is the only honest way to scan ADPCM.
 R_BANDWIDTH = "R066_bandwidth"
+# R068 container metadata: payloads whose codec has no in-container decoder
+# (opus/mp3) are still STRUCTURALLY validated — Ogg page CRCs / MPEG frame
+# walk via functions/containers.py — and their container-derived duration,
+# sample rate, and channel count are checked against the declared columns.
+# A malformed container or a metadata mismatch is a violation; a clean probe
+# is surfaced as a per-partition 'container_probed' counter (never silent).
+R_CONTAINER = "R068_container_meta"
 # R067 speech rate: transcript word count vs MEASURED (VAD) speech seconds
 # — the decoded twin of the metadata chars/sec rule (R018). See drift_check.
 R_SPEECH_RATE = "R067_speech_rate"
@@ -175,6 +182,7 @@ def stats_record_batch(
     feats = np.zeros((n, n_feat))
     ok = np.zeros(n, dtype=bool)
     fake = np.zeros(n, dtype=bool)
+    probed = np.zeros(n, dtype=bool)  # R068: container-validated, undecodable
     o_kind: list[str] = []
     o_part: list[int] = []
     o_feat: list[str] = []
@@ -277,6 +285,40 @@ def stats_record_batch(
                 if abs(decoded_ms - dd) > max(dur_tol_ms, abs(dd) * dur_tol_rel):
                     viol(R_DURATION, parts[i], clip_ids[i],
                          str(round(decoded_ms, 1)), str(dd))
+        except NotImplementedError as e:
+            # real container without a registered decoder (opus/mp3 magic):
+            # probe the container structure instead of writing the row off —
+            # framing integrity + declared-vs-container metadata are still
+            # fully checkable (R068), audio decode keeps refusing honestly
+            from semantic_log_detector_spark.functions.containers import PROBERS
+
+            v = payloads[i]
+            raw = None if not v.is_valid else bytes(memoryview(v.as_buffer()))
+            if codecs[i] not in PROBERS or raw is None:
+                viol(R_DECODE, parts[i], clip_ids[i],
+                     f"{type(e).__name__}: {e}"[:200], "payload decodes cleanly")
+                continue
+            try:
+                meta = PROBERS[codecs[i]](raw)
+            except ValueError as pe:
+                viol(R_CONTAINER, parts[i], clip_ids[i],
+                     f"{type(pe).__name__}: {pe}"[:200],
+                     "container structure is valid")
+                continue
+            probed[i] = True
+            dd = decl_dur[i]
+            cd = meta.get("duration_ms")
+            if dd is not None and dd > 0 and cd is not None:
+                tol = max(dur_tol_ms, abs(dd) * dur_tol_rel,
+                          meta.get("duration_grain_ms", 0.0))
+                if abs(cd - dd) > tol:
+                    viol(R_CONTAINER, parts[i], clip_ids[i],
+                         f"container_dur_ms={cd:.1f}", str(dd))
+            csr = meta.get("sample_rate_hz") or meta.get("input_sample_rate_hz")
+            dsr = decl_sr[i]
+            if dsr is not None and csr and int(csr) != int(dsr):
+                viol(R_CONTAINER, parts[i], clip_ids[i],
+                     f"container_sr_hz={csr}", str(dsr))
         except Exception as e:  # decode is allowed to fail per-row
             viol(R_DECODE, parts[i], clip_ids[i],
                  f"{type(e).__name__}: {e}"[:200], "payload decodes cleanly")
@@ -298,6 +340,16 @@ def stats_record_batch(
             o_feat.append("fake_decodes")
             o_bin.append(None)
             o_cnt.append(n_fake)
+            o_clip.append(None)
+            o_obs.append(None)
+            o_exp.append(None)
+        n_probed = int((sel & probed).sum())
+        if n_probed:  # container-validated undecodable clips — never silent
+            o_kind.append("c")
+            o_part.append(int(p))
+            o_feat.append("container_probed")
+            o_bin.append(None)
+            o_cnt.append(n_probed)
             o_clip.append(None)
             o_obs.append(None)
             o_exp.append(None)
@@ -752,6 +804,7 @@ def drift_check(
         )
         is_decode = F.col("feature") == R_DECODE
         is_codec = F.col("feature") == R_CODEC
+        is_container = F.col("feature") == R_CONTAINER
         is_quality = F.col("feature").isin(R_CLIPPING, R_SILENCE, R_DC, R_BANDWIDTH)
         viol_rows = stats.filter(F.col("kind") == "v").select(
             F.lit(ctx.run_id).alias("run_id"),
@@ -759,16 +812,20 @@ def drift_check(
             F.col("feature").alias("rule_id"),
             "clip_id",
             F.when(is_codec, F.lit("codec"))
-            .when(is_decode | is_quality, F.lit("bytes"))
+            .when(is_decode | is_quality | is_container, F.lit("bytes"))
             .otherwise(F.lit("dur_ms")).alias("column"),
             F.col("observed"),
             F.col("expected"),
             F.when(is_decode, F.lit("Critical"))
-            .when(is_codec, F.lit("High"))
+            .when(is_codec | is_container, F.lit("High"))
             .otherwise(F.lit("Medium")).alias("severity"),
             F.when(
                 is_decode,
                 F.concat(F.lit("payload failed to decode: "), F.col("observed")),
+            ).when(
+                is_container,
+                F.lit("undecodable payload failed container-level validation "
+                      "(framing integrity or declared-metadata mismatch)"),
             ).when(
                 is_codec,
                 F.lit("declared codec has no registered decoder (strict_codecs)"),
@@ -879,7 +936,8 @@ def drift_check(
             )
             viol_rows = viol_rows.unionByName(sr_viols)
         decode_rules = [R_DECODE, R_DURATION, R_CLIPPING, R_SILENCE, R_DC,
-                        R_BANDWIDTH] + ([R_CODEC] if strict_codecs else []) \
+                        R_BANDWIDTH, R_CONTAINER] \
+            + ([R_CODEC] if strict_codecs else []) \
             + ([R_SPEECH_RATE] if speech else [])
         decode_verdicts = verdicts_from_violations(
             viol_rows.withColumnRenamed("part_id", ctx.part_col),

@@ -309,7 +309,19 @@ DECODERS: dict[str, object] = {
 
 # container magic for the codecs we claim to know but cannot really decode —
 # used to refuse honestly instead of mis-parsing real compressed payloads
-_CONTAINER_MAGIC = ((b"fLaC", "flac"), (b"OggS", "opus"), (b"ID3", "mp3"), (b"\xff\xfb", "mp3"))
+_CONTAINER_MAGIC = ((b"fLaC", "flac"), (b"OggS", "opus"), (b"ID3", "mp3"))
+
+
+def _is_mpeg_sync(head: bytes) -> bool:
+    """True iff the payload opens with an MPEG audio frame sync (11 set
+    bits + non-reserved layer) — covers MPEG1/2/2.5 of every layer, not
+    just the 0xFF 0xFB MPEG1-L3 byte pair."""
+    return (
+        len(head) >= 2
+        and head[0] == 0xFF
+        and (head[1] & 0xE0) == 0xE0
+        and (head[1] >> 1) & 0x3 != 0  # layer bits 00 are reserved
+    )
 
 
 def register_decoder(codec: str, fn) -> None:
@@ -342,6 +354,12 @@ def decode_clip_ex(buf: bytes, codec: str | None) -> tuple[np.ndarray, int, bool
                     "decoder is registered in this build; register one via "
                     "register_decoder()"
                 )
+        if _is_mpeg_sync(head):
+            raise NotImplementedError(
+                f"payload is real {codec!r} (MPEG audio frame sync) and no "
+                "decoder is registered in this build; register one via "
+                "register_decoder()"
+            )
         return (*_decode_fake(buf, codec), True)
     raise ValueError(f"unknown codec {codec!r}")
 
