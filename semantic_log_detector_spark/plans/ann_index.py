@@ -49,6 +49,7 @@ _ANN_DIR = "ann_index"
 _CODEBOOKS = "pq_codebooks"
 _CODES = "pq_codes"
 _LANDMARKS = "landmarks"
+_DEDUP_FPS = "dedup_fps"
 
 
 @dataclass(frozen=True)
@@ -62,6 +63,7 @@ class AnnIndexConfig:
 
     pq: bool = True
     landmarks: bool = True
+    dedup_fps: bool = True
     kind: str = "logmel"
     n_mels: int = 20
     n_coeffs: int = 13
@@ -127,7 +129,7 @@ def append_increment_index(
     from ..operators.knn import pq_encode, pq_fit
 
     base = f"{out_dir}/{_ANN_DIR}"
-    stats = {"pq_rows": 0, "landmark_rows": 0}
+    stats = {"pq_rows": 0, "landmark_rows": 0, "dedup_fp_rows": 0}
 
     if cfg.pq:
         emb = _increment_embeddings(clips, cfg)
@@ -160,6 +162,25 @@ def append_increment_index(
         lm.write.mode("overwrite").parquet(dest)
         stats["landmark_rows"] = spark.read.parquet(dest).count()
 
+    if cfg.dedup_fps:
+        # 8-byte melody fingerprints (operators/audio_dedup.py) — the
+        # standing dedup state: a later increment can be checked for
+        # content duplicates against the WHOLE corpus so far without
+        # re-decoding a single old payload (`incremental_dup_pairs`).
+        # Fake-decoded rows attest nothing about the audio and silence
+        # has no content identity — both are excluded at write time, so
+        # the standing table only ever holds matchable fingerprints.
+        from ..operators.audio_dedup import audio_fingerprint
+
+        fps = (
+            audio_fingerprint(clips)
+            .filter(~F.col("fake") & F.col("fp").isNotNull())
+            .select("id", "fp")
+        )
+        dest = f"{base}/{_DEDUP_FPS}/incr={fingerprint}"
+        fps.write.mode("overwrite").parquet(dest)
+        stats["dedup_fp_rows"] = spark.read.parquet(dest).count()
+
     return stats
 
 
@@ -173,6 +194,96 @@ def read_landmarks(spark: SparkSession, out_dir: str) -> DataFrame:
     """(id, key, t, fake) across every appended increment."""
     return spark.read.parquet(f"{out_dir}/{_ANN_DIR}/{_LANDMARKS}") \
         .select("id", "key", "t", "fake")
+
+
+def read_dedup_fps(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The standing acoustic-fingerprint table: (id, fp, incr) across every
+    increment appended so far (``incr`` is the partition-directory key)."""
+    return spark.read.parquet(f"{out_dir}/{_ANN_DIR}/{_DEDUP_FPS}")
+
+
+def incremental_dup_pairs(
+    spark: SparkSession,
+    out_dir: str,
+    fingerprint: str,
+    max_hamming: int = 3,
+    max_broadcast_fps: int = 5_000_000,
+    max_bucket: int | None = 1_000_000,
+    drop_stats: dict | None = None,
+) -> DataFrame:
+    """Content duplicates of ONE increment against the standing corpus.
+
+    The question every ingest asks — "is any of this feed already in the
+    corpus?" — must not cost a decode pass over the 10^12 old clips.
+    This answers it from the standing fingerprint state alone: the
+    increment's fps (written by ``append_increment_index``) are matched
+    (a) against every EARLIER increment's fps with the asymmetric
+    4×15-bit pigeonhole band join (complete for Hamming ≤ 3, same
+    geometry as `operators/audio_dedup.audio_contamination_pairs`), and
+    (b) against each other with the exact self-join
+    (`operators/dedup.hamming60_pairs`). Old-vs-old pairs are NEVER
+    recomputed or re-reported — they were this function's output when
+    their own increment landed.
+
+    Scale shape: the increment side is counted (bounded by the feed, not
+    the corpus) and BROADCAST when its banded rows fit under
+    ``max_broadcast_fps``; the standing side — 8 bytes/clip, ~8 TB at
+    10^12 rows — is scanned once with a narrow projection and never
+    shuffles on the broadcast path. Above the cap the hint is dropped and
+    the join degrades to a shuffle join instead of failing.
+
+    Returns (id_a, id_b, hamming, match_kind): ``id_a`` is always a clip
+    of THIS increment; ``match_kind='existing'`` pairs it with a clip
+    from an earlier increment, ``'increment'`` with another clip of the
+    same feed (canonical id_a < id_b, from the self-join)."""
+    import warnings
+
+    from ..operators.audio_dedup import _banded_fps
+    from ..operators.dedup import _track_persist, hamming60_pairs, hamming64
+
+    base = f"{out_dir}/{_ANN_DIR}/{_DEDUP_FPS}"
+    if not os.path.isdir(base):
+        raise FileNotFoundError(
+            f"no dedup fingerprint state under {base}; run "
+            "validate_increment/append_increment_index with "
+            "AnnIndexConfig(dedup_fps=True) first")
+    fps = spark.read.parquet(base)
+    new = fps.filter(F.col("incr") == fingerprint).select("id", "fp")
+    old = fps.filter(F.col("incr") != fingerprint).select("id", "fp")
+
+    intra = hamming60_pairs(
+        new.select("id", F.col("fp").alias("sh")),
+        max_hamming, max_bucket, drop_stats, op="incremental_dup_pairs",
+    ).withColumn("match_kind", F.lit("increment"))
+
+    # persist before the guard count so the increment's fps read once;
+    # released via dedup.unpersist_all(drop_stats) or ContextCleaner GC
+    new_banded = _track_persist(_banded_fps(new, "new_id", "new_fp"), drop_stats)
+    n_bands = new_banded.count()  # increment side only — feed-bounded
+    if isinstance(drop_stats, dict):
+        drop_stats["incr_fp_bands"] = n_bands
+    if n_bands <= max_broadcast_fps:
+        new_banded = F.broadcast(new_banded)
+    else:
+        warnings.warn(
+            f"incremental_dup_pairs: increment bands ({n_bands}) exceed "
+            f"max_broadcast_fps={max_broadcast_fps}; falling back to a "
+            "shuffle join",
+            stacklevel=2,
+        )
+    cross = (
+        _banded_fps(old, "old_id", "old_fp")
+        .join(new_banded, ["band", "key"])
+        .filter(hamming64(F.col("new_fp"), F.col("old_fp")) <= max_hamming)
+        .select(
+            F.col("new_id").alias("id_a"),
+            F.col("old_id").alias("id_b"),
+            hamming64(F.col("new_fp"), F.col("old_fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("match_kind", F.lit("existing"))
+    )
+    return intra.unionByName(cross)
 
 
 def pq_index_topk(

@@ -1,0 +1,108 @@
+"""Standing acoustic-dedup state (plans/ann_index.py, round 5): every
+validation increment appends its 8-byte melody fingerprints; a new feed is
+checked for content duplicates against the WHOLE corpus so far without
+re-decoding a single old payload, and old-vs-old pairs are never
+re-reported (they were the output of their own increment's check)."""
+
+import os
+
+import pytest
+
+from semantic_log_detector_spark.plans.ann_index import (
+    AnnIndexConfig,
+    append_increment_index,
+    incremental_dup_pairs,
+    read_dedup_fps,
+)
+from semantic_log_detector_spark.sources.synth import content_dup_clips
+
+# fingerprints only — PQ/landmark maintenance has its own tests
+CFG = AnnIndexConfig(pq=False, landmarks=False, dedup_fps=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = content_dup_clips(spark, 240, seed=13).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _planted(df):
+    """{(dup_clip_id, src_clip_id)} — dups are odd rows, sources even."""
+    return {
+        (r.clip_id, r.src_clip_id)
+        for r in df.filter("is_dup").select("clip_id", "src_clip_id").collect()
+    }
+
+
+def _tree_state(path):
+    out = []
+    for root, _, names in os.walk(path):
+        for n in sorted(names):
+            p = os.path.join(root, n)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+def test_cross_increment_dups_found_without_old_decode(spark, corpus, tmp_path):
+    # increment A = every source (even idx), increment B = every dup +
+    # odd non-dups: ALL planted pairs cross the increment boundary
+    out = str(tmp_path / "out")
+    inc_a = corpus.filter("idx % 2 = 0")
+    inc_b = corpus.filter("idx % 2 = 1")
+    sa = append_increment_index(spark, inc_a, out, "incrA", CFG)
+    assert sa["dedup_fp_rows"] > 0 and sa["pq_rows"] == 0
+
+    # A alone: no earlier increments, no planted intra pairs → empty
+    first = incremental_dup_pairs(spark, out, "incrA")
+    assert first.count() == 0
+    assert set(first.columns) == {"id_a", "id_b", "hamming", "match_kind"}
+
+    a_state = _tree_state(f"{out}/ann_index/dedup_fps/incr=incrA")
+    append_increment_index(spark, inc_b, out, "incrB", CFG)
+    # appending B never rewrites A's fingerprint files
+    assert _tree_state(f"{out}/ann_index/dedup_fps/incr=incrA") == a_state
+
+    got = incremental_dup_pairs(spark, out, "incrB").collect()
+    expected = _planted(corpus)
+    assert len(expected) > 20  # the plant actually planted
+    assert all(r.match_kind == "existing" for r in got)
+    assert {(r.id_a, r.id_b) for r in got} == expected  # recall AND precision 1.0
+
+
+def test_within_increment_dups_and_no_old_old_rereport(spark, corpus, tmp_path):
+    # split by idx instead: planted pairs are adjacent (even, odd) so each
+    # pair lands WHOLLY inside one half — A's pairs must NOT come back
+    # when B is checked, B's must come back as match_kind='increment'
+    out = str(tmp_path / "out")
+    inc_a = corpus.filter("idx < 120")
+    inc_b = corpus.filter("idx >= 120")
+    append_increment_index(spark, inc_a, out, "incrA", CFG)
+    append_increment_index(spark, inc_b, out, "incrB", CFG)
+
+    got = incremental_dup_pairs(spark, out, "incrB").collect()
+    assert all(r.match_kind == "increment" for r in got)  # no cross matches
+    found = {frozenset((r.id_a, r.id_b)) for r in got}
+    exp_b = {frozenset(p) for p in _planted(inc_b)}
+    exp_a = {frozenset(p) for p in _planted(inc_a)}
+    assert exp_b and exp_a  # both halves carry planted pairs
+    assert found == exp_b  # B's pairs exactly; none of A's re-reported
+    assert not (found & exp_a)
+
+
+def test_standing_table_reads_all_increments(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    append_increment_index(spark, corpus.filter("idx < 120"), out, "i1", CFG)
+    append_increment_index(spark, corpus.filter("idx >= 120"), out, "i2", CFG)
+    fps = read_dedup_fps(spark, out)
+    assert set(fps.columns) >= {"id", "fp", "incr"}
+    assert fps.select("incr").distinct().count() == 2
+    # every non-fake, non-silent clip is represented exactly once
+    assert fps.count() == fps.select("id").distinct().count()
+
+
+def test_no_state_raises_clearly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="dedup fingerprint state"):
+        incremental_dup_pairs(spark, str(tmp_path / "nowhere"), "x")
