@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
                           "clips into the standing ANN indexes under "
                           "<out>/ann_index (PQ acoustic-embedding codes + "
                           "snippet-search landmarks; plans/ann_index.py)")
+    run.add_argument("--dup-check", action="store_true",
+                     help="with --incremental --ann-index: match the "
+                          "increment's acoustic fingerprints against the "
+                          "whole standing corpus (no old-payload decodes) "
+                          "and write content-duplicate pairs to "
+                          "<out>/incremental_dups/")
     run.add_argument("--quarantine", action="store_true",
                      help="after the suite, write <out>/clean and "
                           "<out>/quarantined corpus views (quarantined rows "
@@ -361,6 +367,10 @@ def main(argv: list[str] | None = None) -> int:
             print("--ann-index rides the increment boundary: use it with "
                   "--incremental")
             return 2
+        if args.dup_check and not (args.incremental and args.ann_index):
+            print("--dup-check rides the standing fingerprint state: use "
+                  "it with --incremental --ann-index")
+            return 2
         if args.incremental:
             if not (args.input and os.path.isdir(args.input)):
                 print("--incremental needs --input pointing at a parquet dir")
@@ -378,11 +388,17 @@ def main(argv: list[str] | None = None) -> int:
 
                 ann = AnnIndexConfig()
             n_new, result = validate_increment(
-                spark, args.input, args.out, cfg, transcripts, ann=ann)
+                spark, args.input, args.out, cfg, transcripts, ann=ann,
+                dup_check=args.dup_check)
             if result is None:
                 print("no new files since the last increment")
                 return 0
             print(f"incremental: {n_new} new files")
+            if result.dup_check is not None:
+                d = result.dup_check
+                print(f"dup-check: {d['existing']} duplicate(s) of the "
+                      f"standing corpus, {d['increment']} within the feed "
+                      f"-> {d['path']}")
         else:
             result = run_suite(
                 spark, clips, transcripts, args.out, cfg,

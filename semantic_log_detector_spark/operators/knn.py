@@ -279,8 +279,9 @@ def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     n = len(x)
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = x[rng.choice(n, size=min(k, n), replace=False)].astype(np.float64)
-    if len(cents) < k:  # fewer points than centroids: pad by repeats
-        cents = np.concatenate([cents, cents[: k - len(cents)]])
+    if len(cents) < k:  # fewer points than centroids: pad by cycling
+        reps = -(-k // len(cents))
+        cents = np.tile(cents, (reps, 1))[:k]
     for _ in range(iters):
         # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c drops ||x||²
         d = -2.0 * x @ cents.T + (cents * cents).sum(axis=1)[None, :]
@@ -292,9 +293,11 @@ def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
         nonempty = counts > 0
         new[nonempty] /= counts[nonempty, None]
         if (~nonempty).any():
-            # farthest points, worst-first, one per empty cluster
+            # farthest points, worst-first, one per empty cluster (cycling
+            # when there are more empty clusters than points — k > n)
             far = np.argsort(-err, kind="stable")
-            new[~nonempty] = x[far[: (~nonempty).sum()]]
+            n_empty = int((~nonempty).sum())
+            new[~nonempty] = x[far[np.arange(n_empty) % n]]
         if np.allclose(new, cents):
             cents = new
             break
@@ -323,9 +326,23 @@ def pq_fit(
         .toPandas()["v"]
     )
     x = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
+    if len(x) == 0:
+        raise ValueError("pq_fit: no training vectors")
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(x) < ksub:
+        # a tiny first increment must not crash ingest: shrink the
+        # codebook to the data (ADC is shape-agnostic; recall is bounded
+        # by the data anyway). The saved codebooks carry the real ksub.
+        import warnings
+
+        warnings.warn(
+            f"pq_fit: only {len(x)} training vectors for ksub={ksub}; "
+            f"shrinking ksub to {len(x)}",
+            stacklevel=2,
+        )
+        ksub = len(x)
     dsub = dim // m
     return np.stack([
         _kmeans_np(np.ascontiguousarray(x[:, j * dsub:(j + 1) * dsub]),

@@ -161,8 +161,18 @@ def validate_increment(
     write_baseline: bool = True,
     sketches: bool = True,
     ann=None,
+    dup_check: bool = False,
 ) -> tuple[int, RunResult | None]:
     """Validate the files of ``table_dir`` not yet in the files ledger.
+
+    ``dup_check`` (requires ``ann`` with ``dedup_fps=True``): after the
+    increment's fingerprints are appended to the standing dedup state,
+    match the increment against the whole corpus so far
+    (:func:`plans.ann_index.incremental_dup_pairs` — zero old-payload
+    decodes), write the pairs to
+    ``{out_dir}/incremental_dups/incr=<fingerprint>/`` (overwrite mode,
+    same idempotency contract as the index writes) and record counts in
+    ``RunResult.dup_check``.
 
     Returns (n_new_files, RunResult | None). Verdicts / violations /
     run-ledger land under ``out_dir`` exactly as run_suite writes them
@@ -180,6 +190,11 @@ def validate_increment(
     the FIRST run (no ledger yet) not even those: the table dir is read
     wholesale and the ledger is written straight from the listing
     DataFrame, so a 10^8-file bootstrap never builds a driver-side list."""
+    if dup_check and (ann is None or not ann.dedup_fps):
+        # fail BEFORE the validation pass, not after a decode of the feed
+        raise ValueError(
+            "dup_check rides the standing fingerprint state: pass "
+            "ann=AnnIndexConfig(dedup_fps=True)")
     listing = list_data_files_df(spark, table_dir)
     new_df, ledger_exists = _new_files_df(
         spark, listing, f"{out_dir}/{_FILES_LEDGER}")
@@ -253,6 +268,23 @@ def validate_increment(
         from .ann_index import append_increment_index
 
         append_increment_index(spark, clips, out_dir, fingerprint, ann)
+        if dup_check:
+            from .ann_index import incremental_dup_pairs
+
+            dest = f"{out_dir}/incremental_dups/incr={fingerprint}"
+            incremental_dup_pairs(spark, out_dir, fingerprint) \
+                .write.mode("overwrite").parquet(dest)
+            counts = {
+                r["match_kind"]: r["n"]
+                for r in spark.read.parquet(dest)
+                .groupBy("match_kind").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            res.dup_check = {
+                "existing": int(counts.get("existing", 0)),
+                "increment": int(counts.get("increment", 0)),
+                "path": dest,
+            }
 
     # record the increment's files LAST: a crash before this line leaves
     # the files unrecorded and the next call revalidates them — the run

@@ -103,6 +103,9 @@ class RunResult:
     # the batched collect, the two writes — the observability needed to keep
     # fixed (non-scaling) cost honest. Populated by run_suite.
     timings: dict = field(default_factory=dict)
+    # populated by validate_increment(dup_check=True): counts + sink path of
+    # the increment's cross-corpus content-duplicate pairs (ann_index)
+    dup_check: dict | None = None
 
 
 def _wave_parts(cfg: SuiteConfig, wave: int) -> list[int]:

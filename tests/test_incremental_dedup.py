@@ -106,3 +106,45 @@ def test_standing_table_reads_all_increments(spark, corpus, tmp_path):
 def test_no_state_raises_clearly(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="dedup fingerprint state"):
         incremental_dup_pairs(spark, str(tmp_path / "nowhere"), "x")
+
+
+def test_validate_increment_dup_check_end_to_end(spark, corpus, tmp_path):
+    # the product path: each feed validated + dup-checked as it lands
+    from semantic_log_detector_spark.plans.incremental import validate_increment
+    from semantic_log_detector_spark.plans.runner import SuiteConfig
+
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    suite = SuiteConfig(num_parts=4, checks=("row_rules",))
+
+    # the sketch writer expects the input_hint schema (transcript present)
+    corpus = corpus.withColumn("transcript", F.concat(F.lit("t "), "clip_id"))
+    corpus.filter("idx % 2 = 0").write.mode("append").parquet(table)
+    n1, r1 = validate_increment(spark, table, out, suite, ann=CFG,
+                                dup_check=True)
+    assert n1 > 0 and r1.dup_check == {
+        "existing": 0, "increment": 0, "path": r1.dup_check["path"]}
+
+    corpus.filter("idx % 2 = 1").write.mode("append").parquet(table)
+    n2, r2 = validate_increment(spark, table, out, suite, ann=CFG,
+                                dup_check=True)
+    assert n2 > 0
+    n_planted = corpus.filter("is_dup").count()
+    assert r2.dup_check["existing"] == n_planted
+    assert r2.dup_check["increment"] == 0
+    pairs = spark.read.parquet(r2.dup_check["path"])
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == _planted(corpus)
+
+
+def test_dup_check_requires_fingerprint_state(spark, corpus, tmp_path):
+    from semantic_log_detector_spark.plans.incremental import validate_increment
+    from semantic_log_detector_spark.plans.runner import SuiteConfig
+
+    table = str(tmp_path / "t")
+    corpus.limit(10).write.parquet(table)
+    with pytest.raises(ValueError, match="dup_check"):
+        validate_increment(spark, table, str(tmp_path / "o"),
+                           SuiteConfig(num_parts=2, checks=("row_rules",)),
+                           dup_check=True)

@@ -285,3 +285,31 @@ def test_ivfpq_query_chunking(ivfpq_grid, spark):
         (r["q_id"], r["rank"], r["vec_id"], round(r["dist"], 6))
         for r in rows)
     assert canon(whole) == canon(chunked)
+
+
+def test_pq_fit_tiny_increment_shrinks_ksub(spark):
+    # a first increment smaller than ksub must not crash ingest (found
+    # live: CLI --ann-index default ksub=256 on a 60-clip first feed blew
+    # up in _kmeans_np); the codebook shrinks to the data and the index
+    # still serves exact self-retrieval
+    import warnings
+
+    import numpy as np
+
+    from semantic_log_detector_spark.operators.knn import (
+        pq_encode, pq_fit, pq_topk)
+
+    rng = np.random.default_rng(7)
+    vecs = [(f"v{i}", rng.standard_normal(16).tolist()) for i in range(10)]
+    base = spark.createDataFrame(vecs, "vec_id string, embedding array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cb = pq_fit(base, m=4, ksub=256, seed=1)
+    assert any("shrinking ksub" in str(x.message) for x in w)
+    assert cb.shape == (4, 10, 4)
+    codes = pq_encode(base, cb)
+    assert codes.count() == 10
+    q = spark.createDataFrame([("q0", vecs[3][1])],
+                              "q_id string, embedding array<double>")
+    top = pq_topk(q, codes, cb, k=1, base_id="vec_id").collect()
+    assert top and top[0]["vec_id"] == "v3"
