@@ -260,6 +260,30 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
                 for r in incs
             ],
         }
+
+    # ingest-time dup checks (validate_increment(dup_check=True)): per-feed
+    # content-duplicate counts against the standing corpus, straight from
+    # the pairs table — pair-count-sized, never payload-sized
+    dup_path = f"{out_dir}/incremental_dups"
+    # pairs live under incr=<fingerprint>/ partition dirs, one level down;
+    # a clean feed writes an EMPTY pairs table, so feeds_checked counts
+    # the dirs, not the groupBy rows
+    n_feeds = (
+        sum(d.startswith("incr=") for d in os.listdir(dup_path))
+        if os.path.isdir(dup_path) else 0
+    )
+    if n_feeds:
+        kinds = {
+            r["match_kind"]: r["n"]
+            for r in spark.read.parquet(dup_path)
+            .groupBy("match_kind").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        report["incremental_dups"] = {
+            "n_pairs_existing": int(kinds.get("existing", 0)),
+            "n_pairs_within_feed": int(kinds.get("increment", 0)),
+            "feeds_checked": n_feeds,
+        }
     return report
 
 
@@ -407,6 +431,13 @@ def _md(report: dict) -> str:
             f"**{inc['n_files_total']:,}** files "
             f"({inc['bytes_total']:,} bytes)",
         ]
+        idup = report.get("incremental_dups")
+        if idup:
+            lines.append(
+                f"- ingest dup-check over {idup['feeds_checked']} feed(s): "
+                f"**{idup['n_pairs_existing']}** duplicate(s) of the "
+                f"standing corpus, {idup['n_pairs_within_feed']} within-feed"
+            )
         if inc["mutated_files"]:
             lines.append(
                 f"- **BROKEN IMMUTABILITY: {inc['mutated_files']} file(s) "

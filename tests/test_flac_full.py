@@ -255,3 +255,29 @@ def test_sample_size_code_mismatch_refused():
     b[crc_off] = F.crc8(bytes(b[start:crc_off]))
     with pytest.raises(ValueError, match="sample-size"):
         F.decode_flac(bytes(b))
+
+
+def test_single_byte_corruption_never_crashes_decoder():
+    """Exhaustive single-byte fuzz over a bit-packed stream: every
+    corrupted variant must either decode to finite PCM (flips the CRC/MD5
+    machinery catches are a ValueError; flips in headers likewise) or
+    raise the documented refusal types — never an IndexError/struct
+    leak, never a hang.
+    Ingest at corpus scale WILL see flipped bits; the decoder is the
+    parser facing them."""
+    rng = np.random.default_rng(3)
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2048) / 8000)
+           + 0.01 * rng.standard_normal(2048)).astype(np.float32)
+    buf = bytearray(F.encode_flac(pcm, 8000, compression="fixed"))
+    for pos in range(len(buf)):
+        for flip in (0x01, 0x80, 0xFF):
+            mut = bytes(buf[:pos]) + bytes([buf[pos] ^ flip]) + bytes(buf[pos + 1:])
+            try:
+                out, sr = F.decode_flac(mut)
+            except (ValueError, NotImplementedError):
+                # ValueError = malformed-stream refusal; NotImplementedError
+                # = the documented odd-bit-depth refusal (a flip landing in
+                # STREAMINFO's bps field) — both clean, both fine
+                continue
+            assert sr > 0
+            assert np.isfinite(np.asarray(out, dtype=np.float64)).all()

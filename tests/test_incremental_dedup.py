@@ -137,6 +137,18 @@ def test_validate_increment_dup_check_end_to_end(spark, corpus, tmp_path):
     pairs = spark.read.parquet(r2.dup_check["path"])
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == _planted(corpus)
 
+    # the report surfaces the ingest dup-check from the pairs table alone
+    from semantic_log_detector_spark.plans.report import write_report
+
+    rep = write_report(spark, out)
+    assert rep["incremental_dups"] == {
+        "n_pairs_existing": n_planted,
+        "n_pairs_within_feed": 0,
+        "feeds_checked": 2,
+    }
+    md = open(os.path.join(out, "report.md")).read()
+    assert "ingest dup-check over 2 feed(s)" in md
+
 
 def test_dup_check_requires_fingerprint_state(spark, corpus, tmp_path):
     from semantic_log_detector_spark.plans.incremental import validate_increment
