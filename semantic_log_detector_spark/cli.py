@@ -64,10 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                           "snippet-search landmarks; plans/ann_index.py)")
     run.add_argument("--dup-check", action="store_true",
                      help="with --incremental --ann-index: match the "
-                          "increment's acoustic fingerprints against the "
-                          "whole standing corpus (no old-payload decodes) "
-                          "and write content-duplicate pairs to "
-                          "<out>/incremental_dups/")
+                          "increment's acoustic + transcript fingerprints "
+                          "against the whole standing corpus (no "
+                          "old-payload decodes) and write duplicate pairs "
+                          "per axis to <out>/incremental_dups/")
     run.add_argument("--quarantine", action="store_true",
                      help="after the suite, write <out>/clean and "
                           "<out>/quarantined corpus views (quarantined rows "
@@ -396,9 +396,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"incremental: {n_new} new files")
             if result.dup_check is not None:
                 d = result.dup_check
+                per_axis = ", ".join(
+                    f"{ax}: {v['existing']}+{v['increment']}"
+                    for ax, v in d["by_axis"].items())
                 print(f"dup-check: {d['existing']} duplicate(s) of the "
                       f"standing corpus, {d['increment']} within the feed "
-                      f"-> {d['path']}")
+                      f"({per_axis}) -> {d['path']}")
         else:
             result = run_suite(
                 spark, clips, transcripts, args.out, cfg,

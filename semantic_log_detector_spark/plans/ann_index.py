@@ -50,6 +50,8 @@ _CODEBOOKS = "pq_codebooks"
 _CODES = "pq_codes"
 _LANDMARKS = "landmarks"
 _DEDUP_FPS = "dedup_fps"
+_TEXT_FPS = "text_fps"
+_AXIS_DIRS = {"audio": _DEDUP_FPS, "text": _TEXT_FPS}
 
 
 @dataclass(frozen=True)
@@ -64,6 +66,8 @@ class AnnIndexConfig:
     pq: bool = True
     landmarks: bool = True
     dedup_fps: bool = True
+    text_fps: bool = True
+    text_col: str = "transcript"
     kind: str = "logmel"
     n_mels: int = 20
     n_coeffs: int = 13
@@ -129,7 +133,8 @@ def append_increment_index(
     from ..operators.knn import pq_encode, pq_fit
 
     base = f"{out_dir}/{_ANN_DIR}"
-    stats = {"pq_rows": 0, "landmark_rows": 0, "dedup_fp_rows": 0}
+    stats = {"pq_rows": 0, "landmark_rows": 0, "dedup_fp_rows": 0,
+             "text_fp_rows": 0}
 
     if cfg.pq:
         emb = _increment_embeddings(clips, cfg)
@@ -181,6 +186,25 @@ def append_increment_index(
         fps.write.mode("overwrite").parquet(dest)
         stats["dedup_fp_rows"] = spark.read.parquet(dest).count()
 
+    if cfg.text_fps and cfg.text_col in clips.columns:
+        # the transcript twin: 60-bit SimHash per clip (same 4×15-bit
+        # pigeonhole geometry as the melody fp, so `incremental_dup_pairs`
+        # serves both axes from the same join machinery). Empty/blank
+        # transcripts have no content identity — excluded like silence.
+        from ..operators.dedup import simhash60_md5
+
+        tfps = (
+            clips
+            .filter(F.length(F.trim(F.col(cfg.text_col))) > 0)
+            .select(
+                F.col("clip_id").alias("id"),
+                simhash60_md5(F.col(cfg.text_col)).alias("fp"),
+            )
+        )
+        dest = f"{base}/{_TEXT_FPS}/incr={fingerprint}"
+        tfps.write.mode("overwrite").parquet(dest)
+        stats["text_fp_rows"] = spark.read.parquet(dest).count()
+
     return stats
 
 
@@ -196,16 +220,19 @@ def read_landmarks(spark: SparkSession, out_dir: str) -> DataFrame:
         .select("id", "key", "t", "fake")
 
 
-def read_dedup_fps(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The standing acoustic-fingerprint table: (id, fp, incr) across every
-    increment appended so far (``incr`` is the partition-directory key)."""
-    return spark.read.parquet(f"{out_dir}/{_ANN_DIR}/{_DEDUP_FPS}")
+def read_dedup_fps(spark: SparkSession, out_dir: str,
+                   axis: str = "audio") -> DataFrame:
+    """The standing fingerprint table: (id, fp, incr) across every
+    increment appended so far (``incr`` is the partition-directory key).
+    ``axis='audio'`` → melody fps, ``'text'`` → transcript SimHashes."""
+    return spark.read.parquet(f"{out_dir}/{_ANN_DIR}/{_AXIS_DIRS[axis]}")
 
 
 def incremental_dup_pairs(
     spark: SparkSession,
     out_dir: str,
     fingerprint: str,
+    axis: str = "audio",
     max_hamming: int = 3,
     max_broadcast_fps: int = 5_000_000,
     max_bucket: int | None = 1_000_000,
@@ -235,18 +262,27 @@ def incremental_dup_pairs(
     Returns (id_a, id_b, hamming, match_kind): ``id_a`` is always a clip
     of THIS increment; ``match_kind='existing'`` pairs it with a clip
     from an earlier increment, ``'increment'`` with another clip of the
-    same feed (canonical id_a < id_b, from the self-join)."""
+    same feed (canonical id_a < id_b, from the self-join).
+
+    ``axis`` picks the fingerprint space: ``'audio'`` matches melody fps
+    (the same recording re-encoded/resampled), ``'text'`` matches
+    transcript SimHashes (the same words re-recorded — near-dup text the
+    audio fp cannot see, and vice versa; run both for the cross-modal
+    ingest gate). Both axes share the identical 4×15-bit geometry and
+    this identical join machinery."""
     import warnings
 
     from ..operators.audio_dedup import _banded_fps
     from ..operators.dedup import _track_persist, hamming60_pairs, hamming64
 
-    base = f"{out_dir}/{_ANN_DIR}/{_DEDUP_FPS}"
+    if axis not in _AXIS_DIRS:
+        raise ValueError(f"axis must be one of {sorted(_AXIS_DIRS)}, got {axis!r}")
+    base = f"{out_dir}/{_ANN_DIR}/{_AXIS_DIRS[axis]}"
     if not os.path.isdir(base):
         raise FileNotFoundError(
-            f"no dedup fingerprint state under {base}; run "
+            f"no {axis} dedup fingerprint state under {base}; run "
             "validate_increment/append_increment_index with "
-            "AnnIndexConfig(dedup_fps=True) first")
+            "AnnIndexConfig(dedup_fps=True, text_fps=True) first")
     fps = spark.read.parquet(base)
     new = fps.filter(F.col("incr") == fingerprint).select("id", "fp")
     old = fps.filter(F.col("incr") != fingerprint).select("id", "fp")

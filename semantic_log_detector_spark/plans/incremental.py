@@ -272,17 +272,33 @@ def validate_increment(
             from .ann_index import incremental_dup_pairs
 
             dest = f"{out_dir}/incremental_dups/incr={fingerprint}"
-            incremental_dup_pairs(spark, out_dir, fingerprint) \
-                .write.mode("overwrite").parquet(dest)
+            axes = ["audio"] + (
+                ["text"]
+                if ann.text_fps and ann.text_col in clips.columns else [])
+            pairs = None
+            for ax in axes:
+                p = incremental_dup_pairs(spark, out_dir, fingerprint, axis=ax) \
+                    .withColumn("axis", F.lit(ax))
+                pairs = p if pairs is None else pairs.unionByName(p)
+            pairs.write.mode("overwrite").parquet(dest)
             counts = {
-                r["match_kind"]: r["n"]
+                (r["axis"], r["match_kind"]): r["n"]
                 for r in spark.read.parquet(dest)
-                .groupBy("match_kind").agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("axis", "match_kind").agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
             res.dup_check = {
-                "existing": int(counts.get("existing", 0)),
-                "increment": int(counts.get("increment", 0)),
+                "existing": int(sum(
+                    v for (_, k), v in counts.items() if k == "existing")),
+                "increment": int(sum(
+                    v for (_, k), v in counts.items() if k == "increment")),
+                "by_axis": {
+                    ax: {
+                        "existing": int(counts.get((ax, "existing"), 0)),
+                        "increment": int(counts.get((ax, "increment"), 0)),
+                    }
+                    for ax in axes
+                },
                 "path": dest,
             }
 

@@ -54,6 +54,7 @@ def test_cross_increment_dups_found_without_old_decode(spark, corpus, tmp_path):
     inc_b = corpus.filter("idx % 2 = 1")
     sa = append_increment_index(spark, inc_a, out, "incrA", CFG)
     assert sa["dedup_fp_rows"] > 0 and sa["pq_rows"] == 0
+    assert sa["text_fp_rows"] == 0  # corpus has no transcript column
 
     # A alone: no earlier increments, no planted intra pairs → empty
     first = incremental_dup_pairs(spark, out, "incrA")
@@ -124,18 +125,26 @@ def test_validate_increment_dup_check_end_to_end(spark, corpus, tmp_path):
     corpus.filter("idx % 2 = 0").write.mode("append").parquet(table)
     n1, r1 = validate_increment(spark, table, out, suite, ann=CFG,
                                 dup_check=True)
-    assert n1 > 0 and r1.dup_check == {
-        "existing": 0, "increment": 0, "path": r1.dup_check["path"]}
+    assert n1 > 0
+    assert r1.dup_check["existing"] == 0 and r1.dup_check["increment"] == 0
+    # transcript present → the text axis rides along
+    assert set(r1.dup_check["by_axis"]) == {"audio", "text"}
 
     corpus.filter("idx % 2 = 1").write.mode("append").parquet(table)
     n2, r2 = validate_increment(spark, table, out, suite, ann=CFG,
                                 dup_check=True)
     assert n2 > 0
     n_planted = corpus.filter("is_dup").count()
-    assert r2.dup_check["existing"] == n_planted
+    # the planted pairs duplicate CONTENT, not words: audio axis flags
+    # them all, the text axis (distinct per-clip transcripts) stays quiet
+    assert r2.dup_check["by_axis"]["audio"]["existing"] == n_planted
+    assert r2.dup_check["by_axis"]["text"] == {"existing": 0, "increment": 0}
     assert r2.dup_check["increment"] == 0
     pairs = spark.read.parquet(r2.dup_check["path"])
-    assert {(r.id_a, r.id_b) for r in pairs.collect()} == _planted(corpus)
+    assert {
+        (r.id_a, r.id_b)
+        for r in pairs.filter("axis = 'audio'").collect()
+    } == _planted(corpus)
 
     # the report surfaces the ingest dup-check from the pairs table alone
     from semantic_log_detector_spark.plans.report import write_report
@@ -160,3 +169,56 @@ def test_dup_check_requires_fingerprint_state(spark, corpus, tmp_path):
         validate_increment(spark, table, str(tmp_path / "o"),
                            SuiteConfig(num_parts=2, checks=("row_rules",)),
                            dup_check=True)
+
+
+def test_text_axis_catches_rerecorded_words(spark, corpus, tmp_path):
+    # the cross-modal gate: a feed clip that RE-RECORDS an existing
+    # transcript (different audio, same words) is invisible to the melody
+    # fp but caught on the text axis — and vice versa nothing false-fires
+    from pyspark.sql import functions as F
+
+    from semantic_log_detector_spark.plans.incremental import validate_increment
+    from semantic_log_detector_spark.plans.runner import SuiteConfig
+
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    suite = SuiteConfig(num_parts=4, checks=("row_rules",))
+
+    # genuinely distinct word sets per clip (8 md5-derived tokens): a
+    # shared-carrier-phrase fixture ("the quick brown fox ... <id>") is
+    # itself a NEAR-DUP corpus — SimHash correctly flagged all of it —
+    # so distinctness has to be by construction, not by suffix
+    base = corpus.filter("NOT is_dup").withColumn(
+        "transcript",
+        F.concat_ws(" ", *[
+            F.substring(
+                F.md5(F.concat(F.col("clip_id"), F.lit(f"#{k}"))), 1, 8)
+            for k in range(8)
+        ]),
+    )
+    inc_a = base.filter("idx % 2 = 0")
+    a_row = inc_a.orderBy("idx").first()
+    # increment B: fresh audio content everywhere (non-dup rows), but one
+    # clip re-records a_row's exact transcript
+    inc_b = base.filter("idx % 2 = 1").withColumn(
+        "transcript",
+        F.when(F.col("clip_id") == base.filter("idx % 2 = 1")
+               .orderBy("idx").first()["clip_id"],
+               F.lit(a_row["transcript"]))
+        .otherwise(F.col("transcript")),
+    )
+    b_id = inc_b.orderBy("idx").first()["clip_id"]
+
+    inc_a.write.mode("append").parquet(table)
+    validate_increment(spark, table, out, suite, ann=CFG, dup_check=True)
+    inc_b.write.mode("append").parquet(table)
+    _, r2 = validate_increment(spark, table, out, suite, ann=CFG,
+                               dup_check=True)
+
+    assert r2.dup_check["by_axis"]["text"]["existing"] == 1
+    assert r2.dup_check["by_axis"]["audio"]["existing"] == 0
+    pair = spark.read.parquet(r2.dup_check["path"]) \
+        .filter("axis = 'text'").collect()
+    assert len(pair) == 1
+    assert (pair[0]["id_a"], pair[0]["id_b"]) == (b_id, a_row["clip_id"])
+    assert pair[0]["hamming"] == 0
