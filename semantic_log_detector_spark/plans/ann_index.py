@@ -289,7 +289,8 @@ def incremental_dup_pairs(
 
     intra = hamming60_pairs(
         new.select("id", F.col("fp").alias("sh")),
-        max_hamming, max_bucket, drop_stats, op="incremental_dup_pairs",
+        max_hamming, max_bucket, drop_stats,
+        op=f"incremental_dup_pairs[{axis}]",
     ).withColumn("match_kind", F.lit("increment"))
 
     # persist before the guard count so the increment's fps read once;

@@ -273,16 +273,22 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
         if os.path.isdir(dup_path) else 0
     )
     if n_feeds:
-        kinds = {
-            r["match_kind"]: r["n"]
-            for r in spark.read.parquet(dup_path)
-            .groupBy("match_kind").agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        dup = spark.read.parquet(dup_path)
+        has_axis = "axis" in dup.columns  # pre-round-5 pairs have no axis
+        keys = (["axis", "match_kind"] if has_axis else ["match_kind"])
+        rows = dup.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+        kinds: dict = {}
+        by_axis: dict = {}
+        for r in rows:
+            kinds[r["match_kind"]] = kinds.get(r["match_kind"], 0) + r["n"]
+            if has_axis:
+                ax = by_axis.setdefault(r["axis"], {})
+                ax[r["match_kind"]] = r["n"]
         report["incremental_dups"] = {
             "n_pairs_existing": int(kinds.get("existing", 0)),
             "n_pairs_within_feed": int(kinds.get("increment", 0)),
             "feeds_checked": n_feeds,
+            **({"by_axis": by_axis} if has_axis else {}),
         }
     return report
 

@@ -154,6 +154,7 @@ def test_validate_increment_dup_check_end_to_end(spark, corpus, tmp_path):
         "n_pairs_existing": n_planted,
         "n_pairs_within_feed": 0,
         "feeds_checked": 2,
+        "by_axis": {"audio": {"existing": n_planted}},
     }
     md = open(os.path.join(out, "report.md")).read()
     assert "ingest dup-check over 2 feed(s)" in md
