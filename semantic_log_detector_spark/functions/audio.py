@@ -237,6 +237,11 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         off = body + csize + (csize & 1)
     if fmt_body is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt_body) < 16:
+        # a fmt chunk DECLARING csize < 16: the buffer-length guard above
+        # can pass on later chunks' bytes while the sliced body stays
+        # short — keep the ValueError contract, not a struct.error
+        raise ValueError(f"fmt chunk too short: {len(fmt_body)} < 16 bytes")
     (tag, channels, sr_hz, _br, _ba, bits) = struct.unpack_from("<HHIIHH", fmt_body, 0)
     if tag == _WAVE_FMT_EXTENSIBLE:
         # 16 base bytes + cbSize(2) + validBits(2) + channelMask(4) + GUID(16)

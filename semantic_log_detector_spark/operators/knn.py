@@ -427,26 +427,61 @@ def pq_topk(
     processed in internal chunks of ``max_queries`` — the query stream is
     pulled one chunk at a time (toLocalIterator, never all resident), and
     each chunk is one full no-shuffle base scan, so Q queries cost
-    ceil(Q/max_queries) scans; the per-chunk broadcast bound is
-    unchanged. Query ids must be unique (the standard kNN contract)."""
-    chunks = []
-    it = queries.select(query_id, vec_col).toLocalIterator()
-    while True:
-        from itertools import islice
-
-        qrows = list(islice(it, max_queries))
-        if not qrows:
-            break
-        chunks.append(_pq_topk_chunk(
+    ceil(Q/max_queries) scans; the per-chunk broadcast bound is real, not
+    just per-plan: with ≥2 chunks each chunk's top-k is materialized
+    (localCheckpoint) and its broadcast destroyed before the next chunk's
+    is built, so at most ONE chunk's distance tables are ever resident
+    (the single-chunk case stays fully lazy). An empty query side returns
+    an empty result, not an error. Query ids must be unique (the standard
+    kNN contract)."""
+    def chunk(qrows):
+        return _pq_topk_chunk(
             qrows, base_codes, codebooks, k=k, query_id=query_id,
             base_id=base_id, vec_col=vec_col, code_col=code_col,
             rerank=rerank, rerank_base=rerank_base,
-            query_schema=queries.schema))
-    if not chunks:
-        raise ValueError("pq_topk got an empty query side")
-    out = chunks[0]
-    for c in chunks[1:]:
-        out = out.unionByName(c)
+            query_schema=queries.schema)
+
+    return _chunked_query_topk(
+        queries, base_codes, query_id, vec_col, base_id, max_queries, chunk)
+
+
+def _chunked_query_topk(
+    queries: DataFrame,
+    base_codes: DataFrame,
+    query_id: str,
+    vec_col: str,
+    base_id: str,
+    max_queries: int,
+    chunk_fn,
+) -> DataFrame:
+    """Shared pq_topk/ivfpq_topk chunk loop. ``chunk_fn(qrows) -> (df,
+    broadcast)``. Single chunk: returned lazily (one resident broadcast is
+    the documented bound, no eager job). Multiple chunks: each chunk's
+    result — top-k rows only, Q_chunk × k — is materialized via eager
+    localCheckpoint and the chunk's driver/executor broadcast destroyed
+    before the next chunk is built, so resident broadcast memory is
+    bounded by ONE chunk regardless of Q. The checkpoint cuts lineage, so
+    the destroyed broadcast can never be re-demanded (block loss under a
+    localCheckpoint is already fatal by Spark's contract)."""
+    from itertools import islice
+
+    it = queries.select(query_id, vec_col).toLocalIterator()
+    out = None
+    qrows = list(islice(it, max_queries))
+    while qrows:
+        nxt = list(islice(it, max_queries))
+        df, bc = chunk_fn(qrows)
+        if out is None and not nxt:
+            return df
+        df = df.localCheckpoint(eager=True)
+        bc.destroy()
+        out = df if out is None else out.unionByName(df)
+        qrows = nxt
+    if out is None:
+        qt = queries.schema[query_id].dataType.simpleString()
+        bt = base_codes.schema[base_id].dataType.simpleString()
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_id} {qt}, {base_id} {bt}, dist double, rank int")
     return out
 
 
@@ -462,9 +497,10 @@ def _pq_topk_chunk(
     rerank: int,
     rerank_base: DataFrame | None,
     query_schema,
-) -> DataFrame:
-    """One ADC pass over the base for ≤ max_queries collected query rows
-    (the broadcast-bounded unit pq_topk loops over)."""
+) -> tuple:
+    """(result DataFrame, the chunk's driver broadcast) for ≤ max_queries
+    collected query rows — the broadcast-bounded unit pq_topk loops over;
+    the caller owns the broadcast's lifecycle."""
     m, ksub, dsub = codebooks.shape
     qids = [r[query_id] for r in qrows]
     qv = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
@@ -538,7 +574,7 @@ def _pq_topk_chunk(
             .filter(F.col("rank") <= k)
         )
     return ranked.select(
-        query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank")
+        query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank"), bc
 
 
 # ------------------------------------------------------------------ IVF-PQ
@@ -653,27 +689,19 @@ def ivfpq_topk(
     ``nprobe == n_cells`` degrades to pq_topk-quality over the full base —
     the correctness crosscheck. ``rerank``/``rerank_base`` as in pq_topk.
     ``max_queries`` chunks a larger query side internally exactly like
-    pq_topk (per-chunk broadcast bound, one codes scan per chunk).
+    pq_topk (per-chunk broadcast bound — enforced by per-chunk
+    materialize + broadcast destroy when ≥2 chunks — one codes scan per
+    chunk; empty query side → empty result).
     """
-    chunks = []
-    it = queries.select(query_id, vec_col).toLocalIterator()
-    while True:
-        from itertools import islice
-
-        qrows = list(islice(it, max_queries))
-        if not qrows:
-            break
-        chunks.append(_ivfpq_topk_chunk(
+    def chunk(qrows):
+        return _ivfpq_topk_chunk(
             qrows, base_codes, centroids, codebooks, k=k, nprobe=nprobe,
             query_id=query_id, base_id=base_id, vec_col=vec_col,
             rerank=rerank, rerank_base=rerank_base,
-            query_schema=queries.schema))
-    if not chunks:
-        raise ValueError("ivfpq_topk got an empty query side")
-    out = chunks[0]
-    for c in chunks[1:]:
-        out = out.unionByName(c)
-    return out
+            query_schema=queries.schema)
+
+    return _chunked_query_topk(
+        queries, base_codes, query_id, vec_col, base_id, max_queries, chunk)
 
 
 def _ivfpq_topk_chunk(
@@ -689,8 +717,9 @@ def _ivfpq_topk_chunk(
     rerank: int,
     rerank_base: DataFrame | None,
     query_schema,
-) -> DataFrame:
-    """One residual-ADC pass for ≤ max_queries collected query rows."""
+) -> tuple:
+    """(result DataFrame, the chunk's driver broadcast) for ≤ max_queries
+    collected query rows; the caller owns the broadcast's lifecycle."""
     m, ksub, dsub = codebooks.shape
     n_cells = len(centroids)
     nprobe = min(int(nprobe), n_cells)
@@ -775,7 +804,7 @@ def _ivfpq_topk_chunk(
     else:
         ranked = ranked.filter(F.col("rank") <= k)
     return ranked.select(
-        query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank")
+        query_id, base_id, (F.round("dist", 6) + 0.0).alias("dist"), "rank"), bc
 
 
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

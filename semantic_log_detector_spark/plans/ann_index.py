@@ -311,6 +311,10 @@ def incremental_dup_pairs(
     cross = (
         _banded_fps(old, "old_id", "old_fp")
         .join(new_banded, ["band", "key"])
+        # same id under two incr tags = the same clip re-appended by a
+        # crash-window rerun whose recomputed fingerprint diverged — a
+        # self-row, not a duplicate recording; never pair it with itself
+        .filter(F.col("new_id") != F.col("old_id"))
         .filter(hamming64(F.col("new_fp"), F.col("old_fp")) <= max_hamming)
         .select(
             F.col("new_id").alias("id_a"),

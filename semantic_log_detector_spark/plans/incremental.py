@@ -198,6 +198,18 @@ def validate_increment(
     listing = list_data_files_df(spark, table_dir)
     new_df, ledger_exists = _new_files_df(
         spark, listing, f"{out_dir}/{_FILES_LEDGER}")
+    # SNAPSHOT the anti-joined listing once: the lazy listing re-walks the
+    # dir on every action, so fingerprint / validation / ledger write must
+    # all read ONE materialization or a file landing mid-run gets ledgered
+    # without ever being validated (the forbidden direction — the comment
+    # at the ledger write promises revalidate-on-crash, never skip). The
+    # snapshot is a distributed write of (file, size) rows — increment-
+    # sized metadata, never a driver-side list. Append-only corpus ⇒ the
+    # first-run wholesale scan below sees a SUPERSET of this snapshot, so
+    # ledgering from the snapshot stays on the safe side.
+    snap_path = f"{out_dir}/_listing_snapshot"
+    new_df.write.mode("overwrite").parquet(snap_path)
+    new_df = spark.read.parquet(snap_path)
     # one-row agg: count + order-independent content hash of the increment
     agg = new_df.agg(
         F.count(F.lit(1)).alias("n"),

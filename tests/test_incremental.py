@@ -207,3 +207,40 @@ def test_ledger_compaction_and_crash_recovery(spark, tmp_path):
     shutil.move(ledger, f"{ledger}.compacted")
     assert increment_history(spark, out).count() == n_rows
     assert os.path.isdir(ledger) and not os.path.isdir(f"{ledger}.compacted")
+
+
+def test_midrun_file_never_ledgered_unvalidated(spark, tmp_path, monkeypatch):
+    """A file landing WHILE a validation run is in flight must not be
+    ledgered by that run (it was never validated — the forbidden
+    direction); the next increment must pick it up. Exercises the
+    listing-snapshot fix: the lazy distributed listing re-walks the dir on
+    every action, so without a snapshot the first-run ledger write (which
+    re-evaluates the listing) would silently absorb the late file."""
+    from semantic_log_detector_spark.plans import incremental as inc
+
+    table = str(tmp_path / "table")
+    out = str(tmp_path / "out")
+    _write_batch(spark, table, 120, seed=1)
+    before = {f for f, _ in list_data_files(table)}
+
+    real_run_suite = inc.run_suite
+
+    def run_suite_and_ingest(*a, **k):
+        res = real_run_suite(*a, **k)
+        # lands between the fingerprint snapshot and the ledger write
+        _write_batch(spark, table, 40, seed=9)
+        return res
+
+    monkeypatch.setattr(inc, "run_suite", run_suite_and_ingest)
+    n1, res1 = validate_increment(spark, table, out, CFG)
+    monkeypatch.setattr(inc, "run_suite", real_run_suite)
+    assert n1 == len(before) and res1 is not None
+
+    late = {f for f, _ in list_data_files(table)} - before
+    assert late  # the mid-run batch did land
+    ledgered = {r["file"] for r in
+                spark.read.parquet(f"{out}/files_ledger").collect()}
+    assert ledgered == before  # ledger == the validated snapshot, exactly
+    # the late files are validated by the NEXT increment, not skipped
+    n2, res2 = validate_increment(spark, table, out, CFG)
+    assert n2 == len(late) and res2 is not None

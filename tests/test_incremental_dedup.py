@@ -223,3 +223,16 @@ def test_text_axis_catches_rerecorded_words(spark, corpus, tmp_path):
     assert len(pair) == 1
     assert (pair[0]["id_a"], pair[0]["id_b"]) == (b_id, a_row["clip_id"])
     assert pair[0]["hamming"] == 0
+
+
+def test_same_id_across_increments_is_not_a_dup_pair(spark, corpus, tmp_path):
+    # crash-window rerun whose recomputed fingerprint diverged: the SAME
+    # clip appended under two incr tags is a self-row, never an
+    # 'existing' duplicate of itself
+    out = str(tmp_path / "out")
+    inc_a = corpus.filter("idx % 2 = 0")
+    append_increment_index(spark, inc_a, out, "incrA", CFG)
+    append_increment_index(spark, inc_a, out, "incrB", CFG)  # re-append
+    got = incremental_dup_pairs(spark, out, "incrB").collect()
+    assert not [r for r in got if r["id_a"] == r["id_b"]]
+    assert not [r for r in got if r["match_kind"] == "existing"]

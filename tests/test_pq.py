@@ -313,3 +313,15 @@ def test_pq_fit_tiny_increment_shrinks_ksub(spark):
                               "q_id string, embedding array<double>")
     top = pq_topk(q, codes, cb, k=1, base_id="vec_id").collect()
     assert top and top[0]["vec_id"] == "v3"
+
+
+def test_empty_query_side_returns_empty(grid, spark):
+    # a dynamically-empty query batch (e.g. no new clips matched a
+    # filter) yields zero matches, not an error
+    cents, df = grid
+    codes = pq_encode(df, cents)
+    q = df.filter("vec_id = '__nope__'") \
+          .select(F.col("vec_id").alias("q_id"), "embedding")
+    got = pq_topk(q, codes, cents, k=3, base_id="vec_id")
+    assert got.columns == ["q_id", "vec_id", "dist", "rank"]
+    assert got.count() == 0

@@ -153,3 +153,19 @@ def test_24bit_misaligned_data_refuses():
         off += 8 + csize + (csize & 1)
     with pytest.raises(ValueError, match="multiple of 3"):
         decode_wav(bytes(body))
+
+
+def test_short_fmt_chunk_raises_valueerror():
+    # fmt chunk DECLARING csize=8: the buffer is long enough (later data
+    # chunk bytes) but the sliced fmt body is short — must keep the
+    # ValueError contract, not leak struct.error
+    import struct
+
+    fmt_body = struct.pack("<HHI", 1, 1, 16000)  # 8 bytes only
+    data = b"\x00\x00" * 8
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+               + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+               + b"data" + struct.pack("<I", len(data)) + data)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(payload)
