@@ -49,15 +49,67 @@ def _ogg_crc_table() -> np.ndarray:
 
 
 _CRC_TAB = _ogg_crc_table()
+_CRC_LIST = _CRC_TAB.tolist()  # plain ints: no numpy scalar boxing in the loop
+
+# Vectorization of the CRC recurrence (the R068 probe CRC-checks EVERY page
+# of every undecodable clip — a per-byte Python loop here would dominate
+# the whole drift pass at corpus scale). The LFSR state is linear over
+# GF(2) in (init, message) and init is 0, so: (a) leading zero bytes keep
+# the state at 0 — left-padding is free; (b) crc(A||B) =
+# shift_|B|(crc(A)) XOR crc(B) — the zlib crc32_combine identity. Split
+# the page into R rows of C bytes (R padded to a power of two with zero
+# rows at the FRONT — free by (a)), run the byte-table recurrence
+# COLUMN-wise over all rows at once (C numpy ops on R-vectors instead of
+# R*C Python iterations), then tree-combine adjacent rows in log2(R)
+# vectorized levels, doubling the precomputed shift operator (its 32
+# GF(2) basis images) at each level.
+_COMBINE_C = 64
+
+
+def _shift_c_basis(c: int) -> np.ndarray:
+    """Images of the 32 basis states under 'shift c zero bytes through'."""
+    s = (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint32)
+    for _ in range(c):
+        s = ((s << np.uint32(8)) ^ _CRC_TAB[s >> np.uint32(24)]).astype(np.uint32)
+    return s
+
+
+_MC = _shift_c_basis(_COMBINE_C)
+_BITSEL = np.arange(32, dtype=np.uint32)
+
+
+def _apply_shift(m: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Linear shift operator (32 basis images) applied to each uint32 in v."""
+    bits = ((v[:, None] >> _BITSEL[None, :]) & np.uint32(1)).astype(bool)
+    return np.bitwise_xor.reduce(
+        np.where(bits, m[None, :], np.uint32(0)), axis=1)
 
 
 def ogg_crc(data: bytes) -> int:
     """CRC-32/Ogg of one page (with its CRC field zeroed)."""
-    r = np.uint32(0)
+    n = len(data)
+    if n < 2048:  # vector setup doesn't pay below ~2 KB
+        r = 0
+        tab = _CRC_LIST
+        for b in data:
+            r = ((r << 8) & 0xFFFFFFFF) ^ tab[(r >> 24) ^ b]
+        return r
+    c = _COMBINE_C
+    rows = 1 << (-(-n // c) - 1).bit_length()
+    arr = np.zeros(rows * c, dtype=np.uint8)
+    arr[rows * c - n:] = np.frombuffer(data, dtype=np.uint8)
+    arr = arr.reshape(rows, c)
+    s = np.zeros(rows, dtype=np.uint32)
     tab = _CRC_TAB
-    for b in data:
-        r = np.uint32((int(r) << 8) & 0xFFFFFFFF) ^ tab[(int(r) >> 24) ^ b]
-    return int(r)
+    for col in range(c):
+        s = ((s << np.uint32(8)) ^ tab[(s >> np.uint32(24)) ^ arr[:, col]]) \
+            .astype(np.uint32)
+    m = _MC
+    while len(s) > 1:  # crc(A||B) = shift_|B|(crc A) ^ crc B, pairwise
+        s = _apply_shift(m, s[0::2]) ^ s[1::2]
+        if len(s) > 1:
+            m = _apply_shift(m, m)  # double the shift span
+    return int(s[0])
 
 
 # ------------------------------------------------------------ Ogg page walker

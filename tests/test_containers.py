@@ -139,3 +139,24 @@ def test_r068_verdict_rows_exist(r068_res):
     rows = r068_res.verdicts.filter(
         "rule_id = 'R068_container_meta'").collect()
     assert rows and any(not r["passed"] for r in rows)
+
+
+def test_ogg_crc_vectorized_matches_bitwise_definition():
+    # the tree-combined vector path (len >= 2048) and the scalar path must
+    # both equal the independent bit-by-bit RFC 3533 definition, across
+    # the chunk/padding boundaries (power-of-two row counts, partial rows)
+    from semantic_log_detector_spark.functions.containers import ogg_crc
+
+    def bitwise(data):
+        r = 0
+        for b in data:
+            r ^= b << 24
+            for _ in range(8):
+                r = (((r << 1) ^ 0x04C11DB7) if r & 0x80000000
+                     else (r << 1)) & 0xFFFFFFFF
+        return r
+
+    rng = np.random.default_rng(11)
+    for n in [0, 1, 63, 64, 65, 2047, 2048, 2049, 4096 - 1, 4096, 8191, 65307]:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert ogg_crc(data) == bitwise(data), n
