@@ -636,6 +636,25 @@ def pitch_clips(
 
 # ------------------------------------------------ stereo ground-truth corpus
 
+def _twin_signal(idx: int, sr: int, f_base: float, seed: int) -> np.ndarray:
+    """One second of the twin fixtures' shared signal model: tone /
+    speech-like glide+noise / noise by ``idx % 3``, Philox-keyed on
+    ``idx * 2 (+1) + seed``. The stereo and packed-FLAC twin corpora draw
+    from THIS one function so a tweak to the model can never silently
+    desynchronize the two planted corpora."""
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 s
+    kind = idx % 3
+    if kind == 0:
+        return 0.35 * np.sin(2 * np.pi * f_base * t)
+    if kind == 1:
+        f_inst = f_base * (1.0 + 0.8 * t)
+        rng = np.random.Generator(np.random.Philox(key=idx * 2 + seed))
+        return (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr)
+                + 0.03 * rng.standard_normal(sr))
+    rng = np.random.Generator(np.random.Philox(key=idx * 2 + 1 + seed))
+    return 0.1 * rng.standard_normal(sr)
+
+
 def stereo_twin_clips(
     spark: SparkSession,
     n_pairs: int,
@@ -672,20 +691,7 @@ def stereo_twin_clips(
             for r in range(len(i)):
                 idx = int(i[r])
                 sr_r = int(sr_row[r])
-                t = np.arange(sr_r, dtype=np.float64) / sr_r  # 1 s
-                kind = idx % 3
-                if kind == 0:
-                    sig = 0.35 * np.sin(2 * np.pi * f_base[r] * t)
-                elif kind == 1:
-                    f_inst = f_base[r] * (1.0 + 0.8 * t)
-                    rng_r = np.random.Generator(
-                        np.random.Philox(key=idx * 2 + seed))
-                    sig = (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr_r)
-                           + 0.03 * rng_r.standard_normal(sr_r))
-                else:
-                    rng_r = np.random.Generator(
-                        np.random.Philox(key=idx * 2 + 1 + seed))
-                    sig = 0.1 * rng_r.standard_normal(sr_r)
+                sig = _twin_signal(idx, sr_r, float(f_base[r]), seed)
                 sig32 = sig.astype(np.float32)
                 stereo = np.stack([sig32, sig32], axis=1)
                 codec = "pcm_s16le" if idx % 2 == 0 else "flac"
@@ -748,20 +754,7 @@ def packed_flac_twin_clips(
             for r in range(len(i)):
                 idx = int(i[r])
                 sr_r = int(sr_row[r])
-                t = np.arange(sr_r, dtype=np.float64) / sr_r  # 1 s
-                kind = idx % 3
-                if kind == 0:
-                    sig = 0.35 * np.sin(2 * np.pi * f_base[r] * t)
-                elif kind == 1:
-                    f_inst = f_base[r] * (1.0 + 0.8 * t)
-                    rng_r = np.random.Generator(
-                        np.random.Philox(key=idx * 2 + seed))
-                    sig = (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr_r)
-                           + 0.03 * rng_r.standard_normal(sr_r))
-                else:
-                    rng_r = np.random.Generator(
-                        np.random.Philox(key=idx * 2 + 1 + seed))
-                    sig = 0.1 * rng_r.standard_normal(sr_r)
+                sig = _twin_signal(idx, sr_r, float(f_base[r]), seed)
                 sig32 = sig.astype(np.float32)
                 if idx % 2 == 0:
                     payload = sig32
