@@ -163,6 +163,32 @@ def unpersist_all(drop_stats: dict, blocking: bool = False) -> int:
     return len(handles)
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for the narrow per-document stage.
+
+    A small corpus arrives as one or two parquet splits, so the
+    shingling/signature projection — interpreted higher-order expressions,
+    the most expensive narrow work in these pipelines — runs on one core
+    while the rest idle (guide §2.5 "input skew": fix at the read).
+    Repartition UP to the session default parallelism only when the input
+    has fewer partitions; at corpus scale (scan partitions ≥ cores) this
+    is a no-op, so no shuffle is ever added where data is already spread.
+    Round-robin repartition is deterministic (sort-before-repartition is
+    on by default) and every consumer below is partition-order-invariant
+    (pair sets, hashes, exact counts), so results are unchanged.
+    Measured at sf0.1 (5k docs, 1 scan partition, 32 cores): the shingle
+    projection alone 2.6 s → 0.5 s."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # plans without a materializable RDD (streaming)
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
@@ -383,11 +409,18 @@ def minhash_lsh_pairs(
     known to have no degenerate buckets.
     """
     base = (
-        df.select(
+        _spread_small_input(df)
+        .select(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
+        # No size(sh)>0 guard filter here (round 6): token_shingles cannot
+        # return an empty array (short/null docs fall back to one whole-
+        # text shingle), and Catalyst pushes a filter over the projected
+        # column BELOW the projection, re-evaluating the interpreted
+        # shingle expression per row — measured 0.46 s → 2.9 s at sf0.1
+        # for a filter that never drops anything. The banding UDF keeps
+        # its own explicit non-empty assertion as the contract guard.
         .withColumn("bkeys", _band_buckets_udf(num_hashes, bands)(F.col("sh")))
         # lazily checkpoint the (small: one row per doc) signature table:
         # the bucket-size broadcast AND both sides of the candidate
@@ -584,7 +617,7 @@ def simhash_hamming_pairs(
     accounting follows `hamming60_pairs`: guaranteed only with a
     ``drop_stats`` dict; under AQE the default is cap-with-WARNING,
     no counts."""
-    base = df.select(
+    base = _spread_small_input(df).select(
         F.col(id_col).alias("id"), simhash60_md5(F.col(text_col)).alias("sh")
     )
     return hamming60_pairs(
@@ -606,7 +639,7 @@ def simhash_pairs(
     Over-sized buckets are dropped with the drop surfaced via log +
     ``drop_stats`` (see ``minhash_lsh_pairs``)."""
     # lazy checkpoint: sizes-broadcast + both self-join sides consume it
-    base = df.select(
+    base = _spread_small_input(df).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     ).localCheckpoint(eager=False)
     banded = base.select(
@@ -652,12 +685,65 @@ def simhash_pairs(
 # ------------------------------------------------------- duplicate clustering
 
 
+def _dup_clusters_local(
+    edges: DataFrame,
+    id_dtype,
+    n_edges: int,
+    drop_stats: dict | None,
+) -> DataFrame:
+    """Driver-side connected components over a COUNTED small edge list —
+    the tiny-graph fast path of ``dup_clusters`` (same device as the drift
+    check's collected-histogram scoring): one ``toPandas`` of the already-
+    materialized edge checkpoint, then the identical min-label-propagation
+    + pointer-jumping algorithm vectorized in numpy. Replaces the
+    per-iteration join/count jobs (4 Spark jobs × O(log d) rounds) with
+    one collect. Labels, cluster ids, sizes and canonicals are exactly the
+    distributed results: same algorithm, same min-id convention (numpy's
+    sort order over int64/UTF-8 strings matches Spark's ordering)."""
+    spark = edges.sparkSession
+    id_t = id_dtype.simpleString()
+    schema = f"id {id_t}, cluster_id {id_t}, cluster_size long, is_canonical boolean"
+    if drop_stats is not None:
+        drop_stats.update({"cc_iterations": 0, "cc_converged": True,
+                           "cc_local": True, "cc_edges": n_edges})
+    if n_edges == 0:
+        return spark.createDataFrame([], schema)
+    pdf = edges.toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    e_src = inv[: len(src)]
+    e_dst = inv[len(src):]
+    labels = np.arange(len(ids))
+    while True:
+        nxt = labels.copy()
+        # propagate: label(v) ← min(label(v), min(label(neighbors)))
+        np.minimum.at(nxt, e_src, labels[e_dst])
+        # pointer jump: label ← label(label) (labels are node indices)
+        nxt = np.minimum(nxt, nxt[nxt])
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    # flatten to roots (labels only decrease; fixpoint = component min)
+    while not np.array_equal(labels[labels], labels):
+        labels = labels[labels]
+    sizes = np.bincount(labels, minlength=len(ids))
+    out = pd.DataFrame({
+        "id": ids,
+        "cluster_id": ids[labels],
+        "cluster_size": sizes[labels].astype("int64"),
+        "is_canonical": labels == np.arange(len(ids)),
+    })
+    return spark.createDataFrame(out, schema=schema)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
     drop_stats: dict | None = None,
+    max_local_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → duplicate
     clusters with a canonical keep id (the last rung of the dedup ladder:
@@ -694,10 +780,34 @@ def dup_clusters(
     diameter ~2^max_iters); iteration count is surfaced via
     ``drop_stats``/log. ``max_iters`` is caller-configurable end to end
     (curate_documents / CLI pass it through).
+
+    ``max_local_edges`` (round 6): counted size guard for the tiny-graph
+    fast path. The symmetric edge list is counted once (materializing the
+    checkpoint the loop reuses); at or below the cap the SAME algorithm
+    runs vectorized on the driver (`_dup_clusters_local` — one collect
+    instead of 4 Spark jobs per round; measured q43 14.8 s → see
+    OPTIMIZATION_r06.md), above it the distributed loop runs unchanged.
+    ``max_local_edges=0``/None forces the distributed path (tests use it
+    to keep gating the scale shape). ``drop_stats`` reports
+    ``cc_local``/``cc_edges`` when the fast path ran.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    if max_local_edges:
+        # counted guard (the decontaminate-broadcast device): one count —
+        # which materializes the lazy edge checkpoint the distributed loop
+        # would materialize anyway, so the over-cap case pays only a read
+        # of the cached blocks — then the tiny-graph fast path when the
+        # whole edge list fits comfortably on the driver. The dedup pair
+        # graph is edge-scale (collisions only), so at bench/test scale
+        # this replaces ~O(log d) rounds × 4 Spark jobs with one collect;
+        # a corpus-scale graph exceeds the cap and runs the distributed
+        # loop unchanged.
+        n_edges = edges.count()
+        if n_edges <= max_local_edges:
+            return _dup_clusters_local(
+                edges, pairs.schema[id_a].dataType, n_edges, drop_stats)
     labels = (
         edges.select("src").distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
@@ -798,18 +908,25 @@ def ngram_jaccard_pairs(
     ``_surface_bucket_drops`` for the AQE caveat). ``max_df=None``
     disables the guard (pure exact baseline for verification at sample
     scale)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
     # hash AFTER explode: the projection over the generator output runs in
     # whole-stage codegen (hashing inside the higher-order transform would
     # be interpreted), and the self-join keys become fixed-width longs.
+    # NO n_sh column through the Generate (round 6): Catalyst collapses a
+    # projection carrying size(sh) into the Generate's required output and
+    # re-evaluates the interpreted token_shingles expression PER EXPLODED
+    # ROW — measured 0.37 s → 2.9 s at sf0.1 for the identical postings.
+    # Per-doc set sizes are instead derived from the posting counts
+    # (shingles are array_distinct, so count(postings per id) == n_sh —
+    # exactly how the df-guarded branch below already computes them).
     # Lazy checkpoint: both sides of the self-join (and the df guard)
     # consume inv — without it the shingling executes once per consumer.
     inv = (
-        sh.select("id", "n_sh", F.explode("sh").alias("s_str"))
-        .select("id", "n_sh", F.xxhash64("s_str").alias("s"))
+        _spread_small_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingles(F.col(text_col), shingle_n)).alias("s_str"),
+        )
+        .select("id", F.xxhash64("s_str").alias("s"))
         .localCheckpoint(eager=False)
     )
     if max_df is not None:
@@ -916,16 +1033,22 @@ def ngram_jaccard_pairs(
                 .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
             )
             return _jaccard_tail(inter, threshold)
+    # per-doc set sizes from the posting counts (thin: one row per doc),
+    # persisted because both end joins (na and nb) consume them — the
+    # same tail shape as the filtered-universe branch above
+    sizes = _track_persist(
+        inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")),
+        drop_stats,
+    )
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
     )
     return _jaccard_tail(inter, threshold)
 

@@ -536,8 +536,10 @@ def test_dup_clusters_non_convergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"]
     )
+    # max_local_edges=0 forces the distributed loop — the max_iters
+    # contract under test belongs to it (the local path always converges)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(chain, max_iters=1)
+        dup_clusters(chain, max_iters=1, max_local_edges=0)
 
 
 def test_dup_clusters_long_chain_converges_logarithmically(spark):
@@ -552,11 +554,48 @@ def test_dup_clusters_long_chain_converges_logarithmically(spark):
         [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
     )
     stats = {}
-    rows = dup_clusters(chain, drop_stats=stats).collect()
+    rows = dup_clusters(chain, drop_stats=stats, max_local_edges=0).collect()
     assert len(rows) == n
     assert all(r["cluster_id"] == 1 and r["cluster_size"] == n for r in rows)
     assert sum(r["is_canonical"] for r in rows) == 1
     assert stats["cc_converged"] and stats["cc_iterations"] <= 12
+
+
+def test_dup_clusters_local_fast_path_equals_distributed(spark):
+    # round-6 counted-guard fast path: the driver-side numpy CC must be
+    # row-for-row identical to the distributed loop on a mixed graph
+    # (chain + star + isolated pairs), for long AND string ids
+    from semantic_log_detector_spark.operators.dedup import dup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(1, 30)]            # chain
+        + [(100, 100 + j) for j in range(1, 20)]      # star hub
+        + [(1000 + 2 * j, 1001 + 2 * j) for j in range(10)]  # pairs
+    )
+    for typed in (edges, [(f"d{a:05d}", f"d{b:05d}") for a, b in edges]):
+        pairs = spark.createDataFrame(typed, ["id_a", "id_b"])
+        stats_l, stats_d = {}, {}
+        local = dup_clusters(pairs, drop_stats=stats_l)
+        dist = dup_clusters(pairs, drop_stats=stats_d, max_local_edges=0)
+        assert stats_l.get("cc_local") is True
+        assert "cc_local" not in stats_d
+        # nullability is advisory metadata; names+types must match
+        assert [(f.name, f.dataType) for f in local.schema] == \
+            [(f.name, f.dataType) for f in dist.schema]
+        assert sorted(map(tuple, local.collect())) == \
+            sorted(map(tuple, dist.collect()))
+
+
+def test_dup_clusters_cap_exceeded_runs_distributed(spark):
+    from semantic_log_detector_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], ["id_a", "id_b"])
+    stats = {}
+    rows = dup_clusters(pairs, drop_stats=stats, max_local_edges=5).collect()
+    # 19 pairs > cap=5 → distributed loop (telemetry shows iterations)
+    assert "cc_local" not in stats and stats["cc_iterations"] >= 1
+    assert all(r["cluster_id"] == 1 for r in rows)
 
 
 def test_hash_split_deterministic_and_stratified(spark):

@@ -104,7 +104,9 @@ def test_dup_clusters_star_hub_10pct(spark):
         .repartition(32)
     stats: dict = {}
     t0 = time.monotonic()
-    cl = dup_clusters(pairs, drop_stats=stats)
+    # max_local_edges=0: the skew claim under test is the DISTRIBUTED
+    # loop's (the round-6 local fast path would absorb this graph)
+    cl = dup_clusters(pairs, drop_stats=stats, max_local_edges=0)
     got = cl.filter(F.col("cluster_id") == "hub")
     n_hub = got.count()
     wall = time.monotonic() - t0
@@ -126,6 +128,6 @@ def test_dup_clusters_chain_logarithmic_rounds(spark):
     stats: dict = {}
     cl = dup_clusters(
         spark.createDataFrame(edges, "id_a string, id_b string"),
-        drop_stats=stats)
+        drop_stats=stats, max_local_edges=0)
     assert cl.select("cluster_id").distinct().count() == 1
     assert stats["cc_iterations"] <= 14, stats  # ~log2(4000) + slack
