@@ -63,6 +63,35 @@ from .base import (
 
 R_ANOMALY = "R070_knn_anomaly"
 
+# auto-ANN counted guard (round 6, verdict item 3): with ann=None the kNN
+# strategy is now CHOSEN by a cheap count of the baseline side — brute
+# force (which broadcasts the baseline's vectors to every executor) only
+# when the baseline is verified to fit, the bucketed LSH path above the
+# cap. 100k × 64-d float64 vectors ≈ 50 MB broadcast — comfortably inside
+# executor memory; past that the broadcast nested-loop join is the wrong
+# default at corpus scale. Same device as dedup.decontaminate's
+# max_broadcast_postings guard.
+AUTO_BRUTE_MAX_BASELINE = 100_000
+
+
+def _resolve_ann(baseline: DataFrame, ann: str | None, id_col: str,
+                 auto_max: int) -> str | None:
+    """None → counted auto-choice (brute below ``auto_max`` baseline rows,
+    'lsh' above, WARNING logged either way the switch fires); 'brute' →
+    force brute force; any other value passes through (e.g. 'lsh')."""
+    if ann is not None:
+        return None if ann == "brute" else ann
+    n = baseline.select(id_col).count()
+    if n <= auto_max:
+        return None
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "anomaly: baseline has %d rows > auto_brute_max_baseline=%d — "
+        "switching to the bucketed LSH kNN path (approximate). Pass "
+        "ann='brute' to force the exact broadcast path.", n, auto_max)
+    return "lsh"
+
 # (upper_bound, level, description) — explanation_engine.py:23-28; the
 # final row is the fall-through for score >= 1.0 (:35-39).
 SEVERITY_LEVELS = [
@@ -206,6 +235,7 @@ def anomaly_explain(
     text_col: str | None = None,
     threshold_percentile: float = 95.0,
     ann: str | None = None,
+    auto_brute_max_baseline: int = AUTO_BRUTE_MAX_BASELINE,
 ) -> DataFrame:
     """Score every `scored` row against the `baseline` slice and attach the
     reference's full explanation record. Columns:
@@ -215,7 +245,13 @@ def anomaly_explain(
 
     `scored` must carry (id_col, vec_col[, text_col]); text drives the
     content-keyword recommendations (empty text → tier recs only).
+
+    ``ann=None`` (the default) resolves via the counted guard
+    (`_resolve_ann`): exact brute force below ``auto_brute_max_baseline``
+    baseline rows, the LSH path above it. ``ann='brute'`` / ``ann='lsh'``
+    force a strategy explicitly.
     """
+    ann = _resolve_ann(baseline, ann, id_col, auto_brute_max_baseline)
     fit = fit_baseline(baseline, k=k, id_col=id_col, vec_col=vec_col,
                        threshold_percentile=threshold_percentile, ann=ann)
     q = scored.select(F.col(id_col).alias("q_id"), vec_col)
@@ -264,6 +300,7 @@ def anomaly_check(
     text_col: str | None = None,
     threshold_percentile: float = 95.0,
     ann: str | None = None,
+    auto_brute_max_baseline: int = AUTO_BRUTE_MAX_BASELINE,
 ) -> CheckResult:
     """Validation-engine wrapper: flagged rows (is_anomaly) become R070
     violation rows whose explanation IS the reference's explanation
@@ -273,7 +310,9 @@ def anomaly_check(
     parts = scored.select(F.col(id_col).alias("id"), F.col(ctx.part_col))
     ex = anomaly_explain(scored, baseline, k=k, id_col=id_col, vec_col=vec_col,
                          text_col=text_col, threshold_percentile=threshold_percentile,
-                         ann=ann).join(parts, "id", "left")
+                         ann=ann,
+                         auto_brute_max_baseline=auto_brute_max_baseline,
+                         ).join(parts, "id", "left")
     violations = ex.filter(F.col("is_anomaly")).select(
         F.col("id").cast("string").alias("clip_id"),
         F.col(ctx.part_col),

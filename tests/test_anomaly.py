@@ -189,3 +189,38 @@ def test_scoring_plan_has_single_query_shuffle(spark, planted):
     qid_exchanges = re.findall(r"Exchange hashpartitioning\(__qid", means_plan)
     assert len(qid_exchanges) <= 2  # one for scored means, one inside the fit
     assert "CartesianProduct" not in means_plan
+
+
+def test_auto_ann_guard_switches_off_broadcast_brute(spark, planted):
+    """Round-6 counted guard: with ann=None a baseline over the cap must
+    resolve to the LSH path — no BroadcastNestedLoopJoin of the base
+    vectors anywhere in the plan; below the cap the exact brute plan (and
+    its broadcast nested-loop join) is kept."""
+    *_, baseline, scored = planted
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+
+    import re
+
+    def n_bnlj(df):
+        # formatted plans print each operator in the tree AND the detail
+        # list — count the "(n) BroadcastNestedLoopJoin" detail headers
+        return len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan(df)))
+
+    # the 1-row fit crossJoin is always one BroadcastNestedLoopJoin; the
+    # brute kNN adds one per kNN pass (scored + baseline self-fit), so the
+    # base side is broadcast iff the count exceeds 1
+    brute = anomaly_explain(scored, baseline, k=K, text_col="text")
+    assert n_bnlj(brute) > 1  # 40 rows < cap → brute
+
+    auto_lsh = anomaly_explain(scored, baseline, k=K, text_col="text",
+                               auto_brute_max_baseline=10)
+    assert n_bnlj(auto_lsh) == 1
+
+    # explicit override beats the guard in both directions
+    forced = anomaly_explain(scored, baseline, k=K, text_col="text",
+                             ann="brute", auto_brute_max_baseline=10)
+    assert n_bnlj(forced) > 1
