@@ -158,41 +158,89 @@ def audio_fingerprint(
     (such rows can only ever match other fake rows — exclude them for
     honest dedup, which `audio_dup_pairs` does by default).
     ``passthrough`` columns are carried to the output unchanged (e.g. the
-    event-time column for the streaming twin)."""
+    event-time column for the streaming twin).
+
+    When ``df`` is a PURE parquet scan (``bare_scan_files``), the pass
+    runs as the Python-native row-group reader (round 6 — the drift
+    check's payload_scan device): payload bytes never cross the
+    JVM→worker socket; descriptors go in, 8-byte fingerprints come out.
+    Transformed inputs fall back to the JVM-fed mapInPandas path; both
+    run the same kernel, so rows are identical (tested)."""
     cols = [id_col, bytes_col, codec_col, *passthrough]
 
-    def gen(batches):
+    def fp_batch(ids, payloads, codecs):
+        """(fps, fakes) for one batch of raw payloads — shared kernel."""
         import pyarrow as pa
 
         from ..functions.audio import decode_clip_ex, predecode_batch
 
+        # batch path for adpcm (predecode_batch wants a pyarrow array);
+        # values are (pcm, sr) or a deferred per-row Exception
+        pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+        pcms: list[np.ndarray | None] = []
+        srs: list[int] = []
+        fakes: list[bool] = []
+        for i, (buf, codec) in enumerate(zip(payloads, codecs)):
+            try:
+                hit = pre.get(i)
+                if isinstance(hit, Exception):
+                    raise hit
+                if hit is not None:
+                    pcm, sr = hit
+                    fake = False
+                else:
+                    pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
+                pcms.append(pcm)
+                srs.append(sr)
+                fakes.append(bool(fake))
+            except Exception:
+                pcms.append(None)
+                srs.append(0)
+                fakes.append(False)
+        return _fingerprint_rows(pcms, srs), fakes
+
+    schema = "id string, fp long, fake boolean"
+    for c in passthrough:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
+
+    from ..sources.payload_scan import bare_scan_files, list_row_groups
+
+    files = bare_scan_files(df, cols)
+    if files:
+        spark = df.sparkSession
+        groups = list_row_groups(files, spark)
+        desc = spark.createDataFrame(
+            spark.sparkContext.parallelize(groups, len(groups)),
+            "file string, row_group int",
+        )
+
+        def gen_scan(batches):
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                for file, group in zip(b["file"], b["row_group"]):
+                    pf = pq.ParquetFile(file)
+                    for rb in pf.iter_batches(batch_size=1024,
+                                              row_groups=[int(group)],
+                                              columns=cols):
+                        ids = [str(x) for x in rb.column(id_col).to_pylist()]
+                        fps, fakes = fp_batch(
+                            ids, rb.column(bytes_col).to_pylist(),
+                            rb.column(codec_col).to_pylist())
+                        out = {"id": pd.Series(ids, dtype=object),
+                               "fp": pd.array(fps, dtype="Int64"),
+                               "fake": fakes}
+                        for c in passthrough:
+                            out[c] = rb.column(c).to_pandas()
+                        yield pd.DataFrame(out)
+
+        return desc.mapInPandas(gen_scan, schema=schema)
+
+    def gen(batches):
         for pdf in batches:
-            payloads = pdf[bytes_col].tolist()
-            codecs = pdf[codec_col].tolist()
-            # batch path for adpcm (predecode_batch wants a pyarrow array);
-            # values are (pcm, sr) or a deferred per-row Exception
-            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
-            pcms: list[np.ndarray | None] = []
-            srs: list[int] = []
-            fakes: list[bool] = []
-            for i, (buf, codec) in enumerate(zip(payloads, codecs)):
-                try:
-                    hit = pre.get(i)
-                    if isinstance(hit, Exception):
-                        raise hit
-                    if hit is not None:
-                        pcm, sr = hit
-                        fake = False
-                    else:
-                        pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
-                    pcms.append(pcm)
-                    srs.append(sr)
-                    fakes.append(bool(fake))
-                except Exception:
-                    pcms.append(None)
-                    srs.append(0)
-                    fakes.append(False)
-            fps = _fingerprint_rows(pcms, srs)
+            fps, fakes = fp_batch(
+                pdf[id_col].astype(str).tolist(),
+                pdf[bytes_col].tolist(), pdf[codec_col].tolist())
             out = {
                 "id": pdf[id_col].astype(str),
                 "fp": pd.array(fps, dtype="Int64"),
@@ -202,9 +250,6 @@ def audio_fingerprint(
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    schema = "id string, fp long, fake boolean"
-    for c in passthrough:
-        schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return df.select(*cols).mapInPandas(gen, schema=schema)
 
 

@@ -82,6 +82,79 @@ def _event_keys(bands: np.ndarray, times: np.ndarray):
     return keys, et[:-2].astype(np.int64)
 
 
+def _landmark_batch(ids: list, payloads: list, codecs: list, hop: int) -> pd.DataFrame:
+    """Shared landmark kernel for ONE batch of clips — identical rows from
+    the JVM-fed mapInPandas path and the Python-native row-group reader.
+
+    STREAMED per-clip processing in float32. The previous shape (gather
+    every row's windows into one batch matrix, then one rfft over all of
+    it) is the dedup-kernel pattern, but here clips are long (hundreds of
+    frames each) and the batch matrix reached ~100 MB float64 per task —
+    at 32 concurrent tasks the job went memory-bandwidth-bound (65-110 s
+    for a pass whose compute is ~2 s/task). Per-clip float32 chunks keep
+    the working set cache-sized; measured 65 s → single-digit seconds for
+    the 5k-clip / 11-hour bench corpus."""
+    import pyarrow as pa
+
+    from ..functions.audio import (
+        decode_clip_ex,
+        predecode_batch,
+        resample_linear,
+    )
+
+    masks = _band_masks(FP_SR)
+    half = FP_WIN // 2
+    pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
+    win32 = np.hanning(FP_WIN).astype(np.float32)
+    offs = np.arange(-half, half)[None, :]
+    out = {"id": [], "key": [], "t": [], "fake": []}
+    for i, (buf, codec) in enumerate(zip(payloads, codecs)):
+        try:
+            hit = pre.get(i)
+            if isinstance(hit, Exception):
+                raise hit
+            if hit is not None:
+                pcm, sr = hit
+                fake = False
+            else:
+                pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
+        except Exception:
+            continue
+        if pcm is None or len(pcm) == 0 or sr <= 0:
+            continue
+        pcm = resample_linear(
+            np.asarray(pcm, np.float32), int(sr), FP_SR
+        ).astype(np.float32)
+        if len(pcm) < FP_WIN:
+            continue
+        centers = np.arange(half, len(pcm) - half + 1, hop)
+        nf = len(centers)
+        if nf < 3:
+            continue
+        dom = np.empty(nf, dtype=np.int64)
+        for s in range(0, nf, 2048):
+            w = pcm[centers[s : s + 2048, None] + offs]
+            rms = np.sqrt(np.mean(w * w, axis=1))
+            spec = np.abs(np.fft.rfft(w * win32, axis=1)) ** 2
+            d = (spec @ masks).argmax(axis=1).astype(np.int64)
+            d[rms < FP_MIN_RMS] = -1
+            dom[s : s + len(d)] = d
+        keys, anchors = _event_keys(dom, np.arange(nf, dtype=np.int64))
+        out["id"].extend([ids[i]] * len(keys))
+        out["key"].extend(keys.tolist())
+        out["t"].extend(anchors.tolist())
+        out["fake"].extend([bool(fake)] * len(keys))
+    return pd.DataFrame({
+        "id": pd.Series(out["id"], dtype=object),
+        "key": pd.Series(out["key"], dtype="int64"),
+        "t": pd.Series(out["t"], dtype="int64"),
+        "fake": pd.Series(out["fake"], dtype=bool),
+    })
+
+
+_LM_SCHEMA = "id string, key long, t long, fake boolean"
+
+
 def audio_landmarks(
     df: DataFrame,
     id_col: str = "clip_id",
@@ -93,85 +166,58 @@ def audio_landmarks(
     anchor frame index on the ``hop_ms`` grid at FP_SR (offset-invariant
     keys; ``t`` only feeds the vote). Undecodable or all-silent clips
     emit no rows; ``fake`` marks fake-decoder rows (exclude downstream —
-    `audio_snippet_search` does by default)."""
+    `audio_snippet_search` does by default).
+
+    When ``df`` is a PURE parquet scan (``bare_scan_files``), the pass
+    runs as the Python-native row-group reader (round 6, the drift
+    check's payload_scan device): payload bytes never cross the
+    JVM→worker socket — the socket carries (file, row_group) descriptors
+    in and 20-byte landmark rows out. Any transformed input falls back
+    to the JVM-fed mapInPandas path; both run `_landmark_batch`, so rows
+    are identical (tested)."""
     cols = [id_col, bytes_col, codec_col]
     hop = int(FP_SR * hop_ms / 1000.0)
 
-    def gen(batches):
-        import pyarrow as pa
+    from ..sources.payload_scan import bare_scan_files, list_row_groups
 
-        from ..functions.audio import (
-            decode_clip_ex,
-            predecode_batch,
-            resample_linear,
+    files = bare_scan_files(df, cols)
+    if files:
+        spark = df.sparkSession
+        groups = list_row_groups(files, spark)
+        # one row group per task (payload_scan's balanced-split finding)
+        desc = spark.createDataFrame(
+            spark.sparkContext.parallelize(groups, len(groups)),
+            "file string, row_group int",
         )
 
-        win = np.hanning(FP_WIN)
-        masks = _band_masks(FP_SR)
-        half = FP_WIN // 2
-        for pdf in batches:
-            payloads = pdf[bytes_col].tolist()
-            codecs = pdf[codec_col].tolist()
-            ids = pdf[id_col].astype(str).tolist()
-            pre = predecode_batch(pa.array(payloads, type=pa.binary()), codecs)
-            # STREAMED per-clip processing in float32. The previous shape
-            # (gather every row's windows into one batch matrix, then one
-            # rfft over all of it) is the dedup-kernel pattern, but here
-            # clips are long (hundreds of frames each) and the batch
-            # matrix reached ~100 MB float64 per task — at 32 concurrent
-            # tasks the job went memory-bandwidth-bound (65-110 s for a
-            # pass whose compute is ~2 s/task). Per-clip float32 chunks
-            # keep the working set cache-sized; measured 65 s → single-
-            # digit seconds for the 5k-clip / 11-hour bench corpus.
-            win32 = win.astype(np.float32)
-            offs = np.arange(-half, half)[None, :]
-            out = {"id": [], "key": [], "t": [], "fake": []}
-            for i, (buf, codec) in enumerate(zip(payloads, codecs)):
-                try:
-                    hit = pre.get(i)
-                    if isinstance(hit, Exception):
-                        raise hit
-                    if hit is not None:
-                        pcm, sr = hit
-                        fake = False
-                    else:
-                        pcm, sr, fake = decode_clip_ex(bytes(buf), codec)
-                except Exception:
-                    continue
-                if pcm is None or len(pcm) == 0 or sr <= 0:
-                    continue
-                pcm = resample_linear(
-                    np.asarray(pcm, np.float32), int(sr), FP_SR
-                ).astype(np.float32)
-                if len(pcm) < FP_WIN:
-                    continue
-                centers = np.arange(half, len(pcm) - half + 1, hop)
-                nf = len(centers)
-                if nf < 3:
-                    continue
-                dom = np.empty(nf, dtype=np.int64)
-                for s in range(0, nf, 2048):
-                    w = pcm[centers[s : s + 2048, None] + offs]
-                    rms = np.sqrt(np.mean(w * w, axis=1))
-                    spec = np.abs(np.fft.rfft(w * win32, axis=1)) ** 2
-                    d = (spec @ masks).argmax(axis=1).astype(np.int64)
-                    d[rms < FP_MIN_RMS] = -1
-                    dom[s : s + len(d)] = d
-                keys, anchors = _event_keys(dom, np.arange(nf, dtype=np.int64))
-                out["id"].extend([ids[i]] * len(keys))
-                out["key"].extend(keys.tolist())
-                out["t"].extend(anchors.tolist())
-                out["fake"].extend([bool(fake)] * len(keys))
-            yield pd.DataFrame({
-                "id": pd.Series(out["id"], dtype=object),
-                "key": pd.Series(out["key"], dtype="int64"),
-                "t": pd.Series(out["t"], dtype="int64"),
-                "fake": pd.Series(out["fake"], dtype=bool),
-            })
+        def gen_scan(batches):
+            import pyarrow.parquet as pq
 
-    return df.select(*cols).mapInPandas(
-        gen, schema="id string, key long, t long, fake boolean"
-    )
+            for b in batches:
+                for file, group in zip(b["file"], b["row_group"]):
+                    pf = pq.ParquetFile(file)
+                    for rb in pf.iter_batches(batch_size=1024,
+                                              row_groups=[int(group)],
+                                              columns=cols):
+                        yield _landmark_batch(
+                            [str(x) for x in rb.column(id_col).to_pylist()],
+                            rb.column(bytes_col).to_pylist(),
+                            rb.column(codec_col).to_pylist(),
+                            hop,
+                        )
+
+        return desc.mapInPandas(gen_scan, schema=_LM_SCHEMA)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _landmark_batch(
+                pdf[id_col].astype(str).tolist(),
+                pdf[bytes_col].tolist(),
+                pdf[codec_col].tolist(),
+                hop,
+            )
+
+    return df.select(*cols).mapInPandas(gen, schema=_LM_SCHEMA)
 
 
 def audio_snippet_search(

@@ -91,20 +91,25 @@ def extract_features(
                     if pcm is None or len(pcm) == 0 or sr <= 0:
                         out["err"][i] = "empty_decode"
                         continue
+                    # no float64 pre-cast (round 6): the framing kernel
+                    # casts to float32 internally, and f32→f64→f32 is an
+                    # exact round-trip, so results are bit-identical
                     if kind == "mfcc":
-                        m = mfcc(np.asarray(pcm, np.float64), sr,
-                                 n_mfcc=n_coeffs, n_mels=n_mels)
+                        m = mfcc(pcm, sr, n_mfcc=n_coeffs, n_mels=n_mels)
                     else:
-                        m = log_mel_frames(np.asarray(pcm, np.float64), sr,
-                                           n_mels=n_mels)
+                        m = log_mel_frames(pcm, sr, n_mels=n_mels)
                     m = np.atleast_2d(np.asarray(m, np.float64))
                     out["ok"][i] = True
                     out["sr_hz"][i] = int(sr)
                     out["n_frames"][i] = int(m.shape[0])
-                    out["feats"][i] = [row.astype(np.float32).tolist()
-                                       for row in m]
-                    out["f_sum"][i] = m.sum(axis=0).tolist()
-                    out["f_sumsq"][i] = (m * m).sum(axis=0).tolist()
+                    # hand Arrow the ndarrays directly (round 6): the old
+                    # per-frame .tolist() materialized ~n_frames×n_coeffs
+                    # Python floats per clip — pure conversion overhead;
+                    # pyarrow consumes nested ndarrays natively and the
+                    # wire values are identical (same float32 cast)
+                    out["feats"][i] = list(m.astype(np.float32))
+                    out["f_sum"][i] = m.sum(axis=0)
+                    out["f_sumsq"][i] = (m * m).sum(axis=0)
                 except Exception as e:
                     out["err"][i] = f"{type(e).__name__}: {e}"[:200]
             res = pd.DataFrame({

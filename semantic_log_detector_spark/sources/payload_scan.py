@@ -63,8 +63,62 @@ def _list_parquet_files(path: str) -> list[str]:
 _DISTRIBUTED_LISTING_THRESHOLD = 64
 
 
-def list_row_groups(path: str, spark: SparkSession | None = None) -> list[tuple[str, int]]:
-    """(file, row_group_index) descriptors for a parquet directory/file.
+def bare_scan_files(df: DataFrame, needed_cols: list[str]) -> list[str] | None:
+    """Parquet files behind ``df`` when it is a PURE column-pruned scan —
+    else None (round 6).
+
+    Lets payload operators (audio landmarks/fingerprints) route a plain
+    ``spark.read.parquet(dir)`` input through the Python-native row-group
+    reader — payload bytes never cross the JVM→worker socket — while any
+    transformed input falls back to the general mapInPandas path. The
+    check is deliberately conservative (false negatives only): the
+    OPTIMIZED logical plan must consist of nothing but attribute-only
+    Project nodes over exactly one parquet Relation (a Filter, Generate,
+    expression or join anywhere → None), and every needed column must
+    exist in the first file's physical schema (a partition-directory
+    column the raw reader cannot see → None)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    lines = [ln.lstrip(" +-:") for ln in plan.strip().splitlines() if ln.strip()]
+    n_rel = sum(ln.startswith("Relation") for ln in lines)
+    if n_rel != 1 or not all(
+        ln.startswith(("Project [", "Relation")) for ln in lines
+    ):
+        return None
+    if not re.search(r"Relation\s*\[[^\]]*\]\s*parquet", plan):
+        return None
+    for ln in lines:
+        if ln.startswith("Project ["):
+            inner = ln[len("Project ["):ln.rindex("]")]
+            # pure attribute list: `name#id` tokens only — any '(' (an
+            # expression) or ' AS ' (an alias) means computed columns
+            if "(" in inner or " AS " in inner:
+                return None
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    files = [f[len("file:"):] if f.startswith("file:") else f for f in files]
+    try:
+        names = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    except Exception:
+        return None
+    if not set(needed_cols) <= names:
+        return None
+    return files
+
+
+def list_row_groups(path: str | list[str], spark: SparkSession | None = None) -> list[tuple[str, int]]:
+    """(file, row_group_index) descriptors for a parquet directory/file —
+    or for an explicit file list (round 6: the `bare_scan_files` route).
 
     Footer reads are parallelized: a driver thread pool for small file
     counts, a distributed mapInArrow job over the file list when it is
@@ -72,7 +126,7 @@ def list_row_groups(path: str, spark: SparkSession | None = None) -> list[tuple[
     driver must not serially open 10^6 footers)."""
     import pyarrow.parquet as pq
 
-    files = _list_parquet_files(path)
+    files = list(path) if isinstance(path, (list, tuple)) else _list_parquet_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
 
