@@ -469,14 +469,18 @@ def _chunked_query_topk(
     out = None
     qrows = list(islice(it, max_queries))
     while qrows:
-        nxt = list(islice(it, max_queries))
+        # last-chunk detection peeks ONE row (round 6, ADVICE #2) — the
+        # old full-chunk look-ahead kept TWO chunks of collected query
+        # rows resident on the driver, exceeding the documented one-chunk
+        # bound for large max_queries with wide vectors
+        peek = list(islice(it, 1))
         df, bc = chunk_fn(qrows)
-        if out is None and not nxt:
+        if out is None and not peek:
             return df
         df = df.localCheckpoint(eager=True)
         bc.destroy()
         out = df if out is None else out.unionByName(df)
-        qrows = nxt
+        qrows = peek + list(islice(it, max_queries - 1)) if peek else []
     if out is None:
         qt = queries.schema[query_id].dataType.simpleString()
         bt = base_codes.schema[base_id].dataType.simpleString()

@@ -152,6 +152,45 @@ def _collect_increment(new_df: DataFrame) -> list[tuple[str, int]]:
     return sorted((r["file"], r["size"]) for r in new_df.collect())
 
 
+def _exclude_post_snapshot_files(
+    spark: SparkSession,
+    clips: DataFrame,
+    snapshot_df: DataFrame,
+    table_dir: str,
+) -> DataFrame:
+    """First-run snapshot pinning (round 6, ADVICE #1): drop rows of files
+    that are NOT in the listing snapshot from a wholesale table scan.
+
+    The scan's file index froze when ``clips`` was created, AFTER the
+    snapshot was written; on an append-only corpus the only difference is
+    files landed inside that window. A fresh listing taken NOW is a
+    superset of the scan's index (append-only again), so
+    ``fresh ⊖ snapshot`` covers every file the scan could read beyond the
+    snapshot. That overhang is collected (race-window-sized: seconds of
+    arrivals, usually empty) and excluded with a narrow
+    ``input_file_name`` filter — validated set == ledgered set == the
+    snapshot, exactly. Returns ``clips`` unchanged when the overhang is
+    empty (the common case)."""
+    overhang = (
+        list_data_files_df(spark, table_dir)
+        .join(snapshot_df.select("file", "size"), ["file", "size"], "left_anti")
+        .select("file")
+        .collect()
+    )
+    if not overhang:
+        return clips
+    from pathlib import Path
+
+    uris = [Path(r["file"]).resolve().as_uri() for r in overhang]
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "validate_increment: %d file(s) landed after the listing snapshot "
+        "— excluded from this increment, they will be validated by the "
+        "next one", len(uris))
+    return clips.filter(~F.input_file_name().isin(uris))
+
+
 def validate_increment(
     spark: SparkSession,
     table_dir: str,
@@ -224,9 +263,20 @@ def validate_increment(
 
     if not ledger_exists:
         # first increment = the whole table: read the dir wholesale (no
-        # path list anywhere Python-side) and ledger from the DataFrame
+        # path list anywhere Python-side) and ledger from the DataFrame.
+        # Round 6 (ADVICE #1): a file landing between the snapshot write
+        # above and this read used to be validated and its fingerprints
+        # appended under THIS increment's tag, then re-validated and
+        # re-appended by the NEXT increment (the ledger records only the
+        # snapshot) — permanent duplicate rows per clip in the standing
+        # index. Restrict the scan to the snapshot: the OVERHANG (files
+        # visible now but absent from the snapshot) is race-window-sized
+        # by construction on an append-only corpus, so collecting it is
+        # driver-safe, and the exclusion is a narrow input_file_name
+        # filter — no shuffle, zero cost when the overhang is empty.
         new = None
         clips = spark.read.parquet(table_dir)
+        clips = _exclude_post_snapshot_files(spark, clips, new_df, table_dir)
     else:
         new = _collect_increment(new_df)
         clips = spark.read.parquet(*[p for p, _ in new])

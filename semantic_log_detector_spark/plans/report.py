@@ -273,8 +273,14 @@ def summarize(spark: SparkSession, out_dir: str) -> dict:
         if os.path.isdir(dup_path) else 0
     )
     if n_feeds:
-        dup = spark.read.parquet(dup_path)
+        # mergeSchema (round 6, ADVICE #3): with mixed pre-round-5 (no
+        # axis column) and newer partition dirs, a single sampled footer
+        # would silently drop the axis breakdown; merged, old rows surface
+        # with a NULL axis which is folded into an explicit 'unknown' key
+        dup = spark.read.option("mergeSchema", "true").parquet(dup_path)
         has_axis = "axis" in dup.columns  # pre-round-5 pairs have no axis
+        if has_axis:
+            dup = dup.withColumn("axis", F.coalesce("axis", F.lit("unknown")))
         keys = (["axis", "match_kind"] if has_axis else ["match_kind"])
         rows = dup.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
         kinds: dict = {}

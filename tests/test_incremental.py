@@ -244,3 +244,33 @@ def test_midrun_file_never_ledgered_unvalidated(spark, tmp_path, monkeypatch):
     # the late files are validated by the NEXT increment, not skipped
     n2, res2 = validate_increment(spark, table, out, CFG)
     assert n2 == len(late) and res2 is not None
+
+
+def test_first_run_scan_pinned_to_listing_snapshot(spark, tmp_path):
+    # round 6 (ADVICE #1): a file landing between the listing snapshot and
+    # the first-run wholesale read must NOT be validated under this
+    # increment (it would be ledgered never / indexed twice) — the scan is
+    # pinned to the snapshot via the input_file_name exclusion filter
+    from semantic_log_detector_spark.plans.incremental import (
+        _exclude_post_snapshot_files,
+        list_data_files_df,
+    )
+
+    t = str(tmp_path / "t")
+    spark.range(5).selectExpr("id", "'a' as tag").coalesce(1) \
+        .write.mode("overwrite").parquet(t)
+    snap = list_data_files_df(spark, t).cache()
+    snap.count()
+    # a file lands after the snapshot
+    spark.range(100, 103).selectExpr("id", "'b' as tag").coalesce(1) \
+        .write.mode("append").parquet(t)
+    clips = spark.read.parquet(t)
+    assert clips.count() == 8  # wholesale read sees the late file
+    pinned = _exclude_post_snapshot_files(spark, clips, snap, t)
+    assert sorted(r["id"] for r in pinned.collect()) == [0, 1, 2, 3, 4]
+    # no overhang → the frame is returned unchanged (no filter added)
+    snap2 = list_data_files_df(spark, t).cache()
+    snap2.count()
+    clips2 = spark.read.parquet(t)
+    assert _exclude_post_snapshot_files(spark, clips2, snap2, t) is clips2
+    snap.unpersist(); snap2.unpersist()
