@@ -77,17 +77,21 @@ def verdicts_from_violations(
 ) -> DataFrame:
     """Assemble VERDICT_SCHEMA rows from sparse violations.
 
-    Cross-joining the (tiny) rule list with per-partition counts yields the
-    full (part, rule) grid so rules with zero violations still produce an
-    explicit `passed=true` verdict — the reference always reports each
-    signal, hit or not (api/main.py:131-140).
+    The (part, rule) grid — so rules with zero violations still produce an
+    explicit `passed=true` verdict, the reference always reports each
+    signal, hit or not (api/main.py:131-140) — is built by EXPLODING the
+    rule-id literals over the per-partition counts (round 6): the previous
+    createDataFrame + broadcast crossJoin launched one broadcast-exchange
+    job per check inside the runner's batched action (~7 extra serialized
+    jobs per wave at 60k clips); the explode is a pure projection, zero
+    extra jobs, identical rows.
     """
-    spark = violations.sparkSession
-    rules = spark.createDataFrame([(r,) for r in rule_ids], ["rule_id"])
     vcounts = violations.groupBy(ctx.part_col, "rule_id").agg(
         F.count(F.lit(1)).alias("n_violations")
     )
-    grid = part_counts.crossJoin(F.broadcast(rules))
+    grid = part_counts.withColumn(
+        "rule_id", F.explode(F.array(*[F.lit(r) for r in rule_ids]))
+    )
     return (
         grid.join(vcounts, [ctx.part_col, "rule_id"], "left")
         .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))

@@ -197,7 +197,18 @@ def run_suite(
         # metadata-only checks share a single scan. NB: bytes intentionally
         # excluded from the cache — only drift reads them, streamed not cached.
         meta_cols = [c for c in clips.columns if c != "bytes"]
-        wave_meta = clips.select(*meta_cols).filter(F.col(ctx.part_col).isin(union_parts)).cache()
+        # cache the metadata slice at the wave's (small) partition count:
+        # every metadata check fans ~2 map stages out of this cache, so 32
+        # scan splits × ~16 subtrees ≈ 1000 tiny tasks in the batched
+        # action; coalescing the cache bounds that at ~8 × subtree count
+        # while the byte volume (60k thin rows) is unchanged (round 6)
+        n_cache_parts = cfg.wave_shuffle_partitions or 8
+        wave_meta = (
+            clips.select(*meta_cols)
+            .filter(F.col(ctx.part_col).isin(union_parts))
+            .coalesce(n_cache_parts)
+            .cache()
+        )
 
         tr_part = F.pmod(F.xxhash64("clip_id"), F.lit(cfg.num_parts)).cast("int")
 
