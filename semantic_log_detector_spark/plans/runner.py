@@ -229,52 +229,85 @@ def run_suite(
             # collect each) are pure fixed scheduling cost that does not
             # shrink with cores — batching them is what keeps the N→4N
             # scaling efficiency honest at sandbox input sizes.
-            for check in wave_checks:
-                pend = pending_by_check[check]
-                if not pend:
-                    continue
+            #
+            # The drift build is EAGER (its decode pass materializes at
+            # build time for the tiny-histogram collect), so it runs in a
+            # driver thread while the main thread builds the other checks'
+            # plans (guide §2.6: overlap independent work — the cluster is
+            # busy decoding while the driver does ~2 s of pure py4j plan
+            # construction; measured back-to-back at 60k clips / 32 cores).
+            # InheritableThread carries the Spark thread-locals; results
+            # are re-inserted at drift's original position so ledger/union
+            # order — and therefore every output — is unchanged.
+            def build_check(check: str, pend: list[int]) -> CheckResult | None:
                 sub_meta = wave_meta.filter(F.col(ctx.part_col).isin(pend))
-                t0 = time.time()
                 if check == "row_rules":
-                    res = run_row_rules(
+                    return run_row_rules(
                         sub_meta,
                         default_clip_rules(cfg.allowed_codecs, cfg.sr_range,
                                            cfg.dur_range, cfg.rate_range),
                         ctx)
-                elif check == "stats":
-                    res = stats_check(sub_meta, ctx,
-                                      {c: list(e) for c, e in cfg.stats_expectations})
-                elif check == "uniqueness":
-                    res = uniqueness_check(sub_meta, ctx)
-                elif check == "referential":
+                if check == "stats":
+                    return stats_check(sub_meta, ctx,
+                                       {c: list(e) for c, e in cfg.stats_expectations})
+                if check == "uniqueness":
+                    return uniqueness_check(sub_meta, ctx)
+                if check == "referential":
                     if transcripts is None:
-                        continue
+                        return None
                     # transcripts filtered to THIS check's pending parts
                     # (not the wave union) so resumed runs never emit
                     # verdicts for partitions outside their pending set
-                    res = referential_check(
+                    return referential_check(
                         sub_meta, transcripts.filter(tr_part.isin(pend)), ctx)
-                elif check == "frequency":
-                    res = frequency_check(sub_meta, ctx, allowed=cfg.allowed_codecs)
-                elif check == "transcript_quality":
-                    res = transcript_quality_check(sub_meta, ctx)
-                elif check == "drift":
+                if check == "frequency":
+                    return frequency_check(sub_meta, ctx, allowed=cfg.allowed_codecs)
+                if check == "transcript_quality":
+                    return transcript_quality_check(sub_meta, ctx)
+                if check == "drift":
                     sub_full = clips.filter(F.col(ctx.part_col).isin(pend))
-                    res = drift_check(sub_full, ctx,
-                                      psi_threshold=cfg.psi_threshold,
-                                      ks_threshold=cfg.ks_threshold,
-                                      strict_codecs=cfg.strict_codecs,
-                                      baseline=drift_baseline,
-                                      payload_path=clips_path,
-                                      pending_parts=(
-                                          pend if len(pend) < cfg.num_parts else None),
-                                      transcripts=(
-                                          transcripts.filter(tr_part.isin(pend))
-                                          if cfg.speech_rate and transcripts is not None
-                                          else None),
-                                      wps_range=cfg.wps_range)
-                else:
-                    raise ValueError(f"unknown check {check!r}")
+                    return drift_check(sub_full, ctx,
+                                       psi_threshold=cfg.psi_threshold,
+                                       ks_threshold=cfg.ks_threshold,
+                                       strict_codecs=cfg.strict_codecs,
+                                       baseline=drift_baseline,
+                                       payload_path=clips_path,
+                                       pending_parts=(
+                                           pend if len(pend) < cfg.num_parts else None),
+                                       transcripts=(
+                                           transcripts.filter(tr_part.isin(pend))
+                                           if cfg.speech_rate and transcripts is not None
+                                           else None),
+                                       wps_range=cfg.wps_range)
+                raise ValueError(f"unknown check {check!r}")
+
+            drift_future = None
+            drift_pend: list[int] = []
+            t_drift = 0.0
+            if "drift" in wave_checks and pending_by_check.get("drift"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                from pyspark import inheritable_thread_target
+
+                drift_pend = pending_by_check["drift"]
+                t_drift = time.time()
+                _pool = ThreadPoolExecutor(max_workers=1)
+                drift_future = _pool.submit(
+                    inheritable_thread_target(spark)(
+                        lambda: build_check("drift", drift_pend)))
+                _pool.shutdown(wait=False)
+            for check in wave_checks:
+                pend = pending_by_check[check]
+                if not pend:
+                    continue
+                if check == "drift" and drift_future is not None:
+                    res = drift_future.result()
+                    built.append((check, pend, res, time.time() - t_drift))
+                    continue
+                t0 = time.time()
+                res = build_check(check, pend)
+                if res is None:
+                    continue
                 built.append((check, pend, res, time.time() - t0))
 
             if built:
@@ -366,6 +399,15 @@ def run_suite(
                     if check not in result.checks_run:
                         result.checks_run.append(check)
         finally:
+            if drift_future is not None and not any(
+                c == "drift" for c, *_ in built
+            ):
+                # a non-drift build raised while drift was still building:
+                # await it so its persisted resources don't leak
+                try:
+                    drift_future.result().release()
+                except Exception:
+                    pass
             for _, _, res, _ in built:
                 res.release()
             wave_meta.unpersist()
