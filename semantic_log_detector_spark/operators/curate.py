@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import dup_clusters, minhash_lsh_pairs, ngram_jaccard_pairs
+from .dedup import (
+    _spread_small_input,
+    dup_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 from .textstats import lang_id, quality_score, token_count
 
 
@@ -64,7 +69,11 @@ def curate_documents(
     duplicate-cluster table (id, cluster_id, is_canonical). Edge-scale,
     never corpus-scale.
     """
-    stats = df.select(
+    # spread a small single-split input before the per-doc stats projection
+    # (round 6, the pair builders' device): token/quality/lang are ~6 regex
+    # scans per doc and otherwise run on one core for a one-file corpus;
+    # a no-op at scale, per-row values are partitioning-independent
+    stats = _spread_small_input(df).select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         quality_score(F.col(text_col)).alias("quality"),
